@@ -1,0 +1,74 @@
+"""Output writers with byte parity to the reference.
+
+The reference opens its outputs with zlib mode "wT" -- TRANSPARENT write
+(no gzip wrapper, no compression; EM.cpp:296,325,361) -- so .indF/.ibd are
+plain text and .geno is raw little-endian doubles despite the gz handles.
+
+Formats (reference: print_iter, EM.cpp:293-380):
+ .indF : "%.10f\n" total lkl; per individual "%.5f\t%f\n" (F snapped to
+         0/1 with alpha printed as "NA" when within EPSILON of the bounds,
+         EM.cpp:306-313); per site "%f\n" freq.
+ .ibd  : "//\t" + per-individual lkls joined with "\t" at "%.10f"; one
+         ASCII 0/1 row per individual (Viterbi path); one "%f"-formatted
+         tab-joined row per individual (IBD posteriors).
+ .geno : per site x individual: 3 posteriors (exp space) as binary doubles,
+         with the HWE prior conditioned on the VITERBI state (EM.cpp:372).
+"""
+
+import numpy as np
+
+from ..utils.constants import EPSILON, N_GENO
+from .readers import _normalise_log
+
+
+def fmt_f(x):
+    """C "%f" (six decimals)."""
+    return f"{x:.6f}"
+
+
+def write_indF(path, tot_lkl, indF, alpha, freq):
+    with open(path, "w") as fh:
+        fh.write(f"{tot_lkl:.10f}\n")
+        for F, a in zip(indF, alpha):
+            if F < EPSILON:
+                fh.write(f"{0.0:.5f}\tNA\n")
+            elif F > 1 - EPSILON:
+                fh.write(f"{1.0:.5f}\tNA\n")
+            else:
+                fh.write(f"{F:.5f}\t{a:.6f}\n")
+        for f in freq:
+            fh.write(f"{f:.6f}\n")
+
+
+def write_ibd(path, ind_lkl, path_states, p_ibd):
+    """path_states: [S, N] ints; p_ibd: [S, N] floats (marg_prob[..,1])."""
+    S, N = path_states.shape
+    with open(path, "w") as fh:
+        fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
+        digits = (path_states.astype(np.uint8) + ord("0")).astype(np.uint8)
+        for i in range(N):
+            fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
+        for i in range(N):
+            fh.write("\t".join(fmt_f(v) for v in p_ibd[:, i]) + "\n")
+
+
+def write_geno(path, gl, freq, path_states):
+    """Genotype posteriors with Viterbi-conditioned HWE prior, binary doubles.
+
+    gl: [S, N, 3] normalised log GLs; freq: [S]; path_states: [S, N].
+    Site-major, individual-inner ordering (EM.cpp:369-376).
+    """
+    S, N = path_states.shape
+    F = path_states.astype(np.float64)  # prior F = Viterbi state (EM.cpp:372)
+    p = freq[:, None]
+    pq = (1 - p) * p
+    g0 = (1 - p) ** 2 + pq * F
+    g1 = 2 * pq - 2 * pq * F
+    g2 = p**2 + pq * F
+    prior = np.stack([g0, g1, g2], axis=-1)
+    with np.errstate(divide="ignore"):
+        lpri = np.log(prior)
+    lpri[np.isneginf(lpri)] = -1e15
+    lpri[..., 1] = np.where(F == 1.0, -1e15, lpri[..., 1])
+    pp = np.exp(_normalise_log(gl + lpri))
+    pp.astype("<f8").reshape(S, N * N_GENO).tofile(path)

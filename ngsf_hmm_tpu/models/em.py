@@ -1,0 +1,281 @@
+"""The EM engine: one jitted iteration + a host-side convergence loop.
+
+TPU-first redesign of the reference training loop (reference: EM.cpp:27-289):
+
+ - the per-individual pthread fan-out (EM.cpp:151-159,198-201) becomes a
+   batch axis inside single fused XLA programs;
+ - the E-step is one forward-backward scan over all individuals;
+ - the (F, alpha) M-step optimises ALL individuals simultaneously with a
+   batched box-constrained L-BFGS driven by autodiff (vs per-individual
+   serial L-BFGS-B with central differences, EM.cpp:423-439);
+ - the serial per-site freq M-step (EM.cpp:224-271, the reference's scaling
+   bottleneck) becomes one masked fixed point over every site at once;
+ - convergence bookkeeping (EM.cpp:56,75-97) is replicated exactly on host.
+
+State layout (site-major, 0-based):
+  gl      [S, N, 3]  normalised log genotype likelihoods (read-only)
+  dist    [S]        Mb distances; dist[0] = first-site coordinate quirk
+  freq    [S]        minor allele frequencies
+  indF    [N], alpha [N]
+  e_prob  [S, N, 2]  log emissions
+  p_ibd   [S, N]     IBD posterior (marg_prob[..][1]), check_interv-snapped
+"""
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.emissions import calc_emission
+from ..ops.hwe import check_interv
+from ..ops.maf import est_maf
+from ..utils.constants import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    F_MAX,
+    F_MIN,
+)
+from .hmm import forward_loglik, posteriors, viterbi
+from .lbfgsb import lbfgsb_minimize
+
+
+@dataclasses.dataclass(frozen=True)
+class EMOptions:
+    """Engine flags mirroring the reference CLI (parse_args.cpp:43-68)."""
+
+    freq_est: int = 1
+    e_prob_calc: int = 1
+    indF_fixed: bool = False
+    alpha_fixed: bool = False
+    min_iters: int = 10
+    max_iters: int = 100
+    min_epsilon: float = 1e-5
+    viterbi_compat: bool = True
+    lkl_check_tol: float = 0.001  # EM.cpp:166-170
+    check_fwbw: bool = True
+    verbose: int = 1
+
+
+class EMState(NamedTuple):
+    freq: jnp.ndarray
+    indF: jnp.ndarray
+    alpha: jnp.ndarray
+    e_prob: jnp.ndarray
+    p_ibd: jnp.ndarray
+    ind_lkl: jnp.ndarray
+
+
+class IterStats(NamedTuple):
+    fwbw_maxdiff: jnp.ndarray  # scalar
+    opt_iters: jnp.ndarray  # scalar
+
+
+def init_state(gl, freq0, indF0, alpha0) -> EMState:
+    """Initial EM state with emissions from the initial freqs
+    (parse_args.cpp:370-387)."""
+    S, N = gl.shape[0], gl.shape[1]
+    e_prob = calc_emission(gl, freq0[:, None])  # [S, N, 2]
+    return EMState(
+        freq=freq0,
+        indF=indF0,
+        alpha=alpha0,
+        e_prob=e_prob,
+        p_ibd=jnp.zeros((S, N), gl.dtype),
+        ind_lkl=jnp.full((N,), -jnp.inf, gl.dtype),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed"),
+)
+def em_iteration(
+    gl,
+    dist,
+    state: EMState,
+    freq_est: int = 1,
+    e_prob_calc: int = 1,
+    indF_fixed: bool = False,
+    alpha_fixed: bool = False,
+):
+    """One EM iteration (reference: iter_EM, EM.cpp:139-289)."""
+    N = gl.shape[1]
+    dtype = gl.dtype
+
+    # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
+    p_raw, ll_f, ll_b = posteriors(state.e_prob, dist, state.indF, state.alpha)
+    p_ibd = check_interv(p_raw)
+    ind_lkl = ll_f
+    fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b))
+
+    # ---- M-step 1: per-individual (F, alpha) (EM.cpp:189-206)
+    if indF_fixed and alpha_fixed:
+        indF, alpha = state.indF, state.alpha
+        opt_iters = jnp.asarray(0, jnp.int32)
+    else:
+        x0 = jnp.stack([state.indF, state.alpha], axis=-1)
+        lo = jnp.stack(
+            [
+                state.indF if indF_fixed else jnp.full((N,), F_MIN, dtype),
+                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MIN, dtype),
+            ],
+            axis=-1,
+        )
+        hi = jnp.stack(
+            [
+                state.indF if indF_fixed else jnp.full((N,), F_MAX, dtype),
+                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MAX, dtype),
+            ],
+            axis=-1,
+        )
+
+        def objective(x):
+            return -forward_loglik(x[:, 0], x[:, 1], state.e_prob, dist)
+
+        x_opt, _, opt_iters = lbfgsb_minimize(objective, x0, lo, hi)
+        indF, alpha = x_opt[:, 0], x_opt[:, 1]
+
+    # ---- M-step 2: per-site freq + emission recompute (EM.cpp:210-272)
+    if freq_est == 0:
+        # Emissions frozen too: the recompute lives inside the freq-est
+        # branch (SURVEY.md §3.6e).
+        freq, e_prob = state.freq, state.e_prob
+    elif freq_est == 1:
+        freq = est_maf(gl, p_ibd)
+        if e_prob_calc == 1:
+            e_prob = calc_emission(gl, freq[:, None])
+        else:
+            # e_prob_calc == 2: the reference's outer gate
+            # (EM.cpp:252 `if(e_prob_calc == 1 || s == 1)`) only ever
+            # recomputes site 1 -- with plain calc_emission.
+            e0 = calc_emission(gl[0], freq[0])
+            e_prob = state.e_prob.at[0].set(e0)
+    else:
+        raise NotImplementedError(
+            "freq_est == 2 (LD haplotype path) is non-functional in the "
+            "reference (discarded accumulator update, gen_func.cpp:1160 -> "
+            "NaN frequencies); see ops/haplo.py. A corrected LD mode is "
+            "tracked for a later milestone."
+        )
+
+    new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
+    return new_state, IterStats(fwbw_maxdiff, opt_iters)
+
+
+def _array_max_pos(a: np.ndarray) -> int:
+    """First index of the strict maximum, NaN-insensitive like the
+    reference's array_max_pos (gen_func.cpp:73-84)."""
+    res, best = 0, -np.inf
+    for i, v in enumerate(a):
+        if v > best:
+            res, best = i, v
+    return res
+
+
+@dataclasses.dataclass
+class EMResult:
+    state: EMState
+    path: np.ndarray  # [S, N] int8 Viterbi path
+    tot_lkl: float
+    n_iters: int
+    converged: bool
+    lkl_history: list
+
+
+def run_em(
+    gl,
+    dist,
+    state: EMState,
+    opts: EMOptions,
+    log_callback=None,
+    trace=None,
+) -> EMResult:
+    """Full training loop (reference: EM, EM.cpp:27-135).
+
+    log_callback(iter, state, tot_lkl): invoked at the top of every
+    iteration like the --log N output rewrites (EM.cpp:59-63) -- the caller
+    decides cadence (the reference fires on iter==1 or iter%log==0,
+    including iter 0's pre-EM state).
+    trace(event, **kw): optional stdout-parity hook; events "iter_start"
+    and "iter_done" carry the values the reference prints at verbose 1-3.
+    """
+    import time
+
+    n_iter = 0
+    prev_tot = 0.0
+    tot = 0.0
+    N = gl.shape[1]
+    prev_ind = np.full(N, -np.inf)
+    max_eps = -np.inf
+    history = []
+
+    def keep_going():
+        return (
+            prev_tot - tot > opts.min_epsilon
+            or max_eps > opts.min_epsilon
+            or n_iter < opts.min_iters
+        ) and n_iter < opts.max_iters
+
+    while keep_going():
+        if log_callback is not None:
+            log_callback(n_iter, state, tot)
+        t0 = time.time()
+        n_iter += 1
+        if trace is not None:
+            trace("iter_start", n_iter=n_iter)
+
+        state, stats = em_iteration(
+            gl,
+            dist,
+            state,
+            freq_est=opts.freq_est,
+            e_prob_calc=opts.e_prob_calc,
+            indF_fixed=opts.indF_fixed,
+            alpha_fixed=opts.alpha_fixed,
+        )
+        if opts.check_fwbw:
+            d = float(stats.fwbw_maxdiff)
+            if d > opts.lkl_check_tol:
+                raise RuntimeError(
+                    f"Fw and Bw lkl do not match (max diff {d:g})!"
+                )
+
+        ind_lkl = np.asarray(state.ind_lkl)
+        prev_tot = tot
+        tot = float(ind_lkl.sum())
+        with np.errstate(invalid="ignore"):
+            ind_eps = (ind_lkl - prev_ind) / np.abs(prev_ind)
+        imax = _array_max_pos(ind_eps)
+        max_eps = ind_eps[imax]
+        prev_ind = ind_lkl
+        history.append(tot)
+        if trace is not None:
+            trace(
+                "iter_done",
+                n_iter=n_iter,
+                tot_lkl=tot,
+                max_eps=max_eps,
+                dt=time.time() - t0,
+                ind_lkl=ind_lkl,
+                ind_eps=ind_eps,
+                imax=imax,
+                state=state,
+            )
+
+    converged = n_iter < opts.max_iters
+
+    # ---- Final Viterbi decode (EM.cpp:110-116)
+    path, _ = viterbi(
+        state.e_prob, dist, state.indF, state.alpha, compat=opts.viterbi_compat
+    )
+    return EMResult(
+        state=state,
+        path=np.asarray(path),
+        tot_lkl=tot,
+        n_iters=n_iter,
+        converged=converged,
+        lkl_history=history,
+    )

@@ -1,0 +1,80 @@
+"""Minor-allele-frequency M-step: the est_maf fixed point, all sites at once.
+
+The reference runs est_maf serially per site on one thread -- its scaling
+bottleneck (EM.cpp:224-271, gen_func.cpp:974-1009). Here the fixed point
+runs for EVERY site simultaneously as one masked ``lax.while_loop``;
+converged sites freeze, so per-site trajectories equal the serial loops.
+
+Quirk replicated (SURVEY.md §3.6b): the expected-allele-count accumulators
+``num``/``den`` are initialised once OUTSIDE the fixed point and keep
+accumulating across its iterations (gen_func.cpp:976-1000), damping
+updates. ``.indF`` frequencies depend on this.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import EPSILON, ITER_MAX
+from .hwe import calc_hwe, post_prob, miss_data
+
+
+class _MafState(NamedTuple):
+    freq: jnp.ndarray  # [S]
+    num: jnp.ndarray  # [S]
+    den: jnp.ndarray  # [S]
+    active: jnp.ndarray  # [S] bool
+    passes: jnp.ndarray  # scalar int
+
+
+def est_maf(gl_s, indF, ignore_miss_data=False):
+    """Per-site MAF via the damped EM fixed point.
+
+    gl_s:  [S, N, 3] normalised log genotype likelihoods (site-major)
+    indF:  [S, N] per-individual inbreeding weight at each site (the IBD
+           posterior marg_prob[i][s][1] during EM; constants at init), or
+           None for a uniform prior (gen_func.cpp:987-989).
+    Returns freq [S].
+
+    The loop-exit test matches the reference's post-increment condition
+    ``while(|prev-freq| > EPS && iters++ < 100)``: the body runs at least
+    once and at most ITER_MAX+1 times.
+    """
+    S, N = gl_s.shape[0], gl_s.shape[1]
+    dtype = gl_s.dtype
+
+    if ignore_miss_data:
+        present = ~miss_data(gl_s)  # [S, N]
+    else:
+        present = jnp.ones((S, N), dtype=bool)
+
+    def body(st: _MafState) -> _MafState:
+        prev = st.freq
+        if indF is None:
+            pp = jnp.exp(post_prob(gl_s, None))  # [S, N, 3]
+            F = jnp.zeros((S, N), dtype=dtype)
+        else:
+            F = indF
+            prior = calc_hwe(st.freq[:, None], F)  # [S, N, 3] log
+            pp = jnp.exp(post_prob(gl_s, prior))
+        w = present.astype(dtype)
+        two_m_F = 2.0 - F
+        cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=1)
+        cd = jnp.sum(w * (2.0 * pp[..., 1] + (pp[..., 0] + pp[..., 2]) * two_m_F), axis=1)
+        num = jnp.where(st.active, st.num + cn, st.num)
+        den = jnp.where(st.active, st.den + cd, st.den)
+        freq = jnp.where(st.active, num / den, st.freq)
+        passes = st.passes + 1
+        active = st.active & (jnp.abs(prev - freq) > EPSILON) & (passes <= ITER_MAX)
+        return _MafState(freq, num, den, active, passes)
+
+    init = _MafState(
+        freq=jnp.full((S,), 0.01, dtype=dtype),
+        num=jnp.zeros((S,), dtype=dtype),
+        den=jnp.zeros((S,), dtype=dtype),
+        active=jnp.ones((S,), dtype=bool),
+        passes=jnp.zeros((), dtype=jnp.int32),
+    )
+    out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)
+    return out.freq
