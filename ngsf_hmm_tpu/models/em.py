@@ -90,7 +90,9 @@ def init_state(gl, freq0, indF0, alpha0) -> EMState:
 
 @partial(
     jax.jit,
-    static_argnames=("freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed"),
+    static_argnames=(
+        "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
+    ),
 )
 def em_iteration(
     gl,
@@ -100,8 +102,14 @@ def em_iteration(
     e_prob_calc: int = 1,
     indF_fixed: bool = False,
     alpha_fixed: bool = False,
+    axis_name: Optional[str] = None,
 ):
-    """One EM iteration (reference: iter_EM, EM.cpp:139-289)."""
+    """One EM iteration (reference: iter_EM, EM.cpp:139-289).
+
+    axis_name: set when running under shard_map with individuals sharded
+    over a mesh axis; the freq M-step then psums its accumulators across
+    it (the only collective in the step).
+    """
     N = gl.shape[1]
     dtype = gl.dtype
 
@@ -110,6 +118,8 @@ def em_iteration(
     p_ibd = check_interv(p_raw)
     ind_lkl = ll_f
     fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b))
+    if axis_name is not None:
+        fwbw_maxdiff = jax.lax.pmax(fwbw_maxdiff, axis_name)
 
     # ---- M-step 1: per-individual (F, alpha) (EM.cpp:189-206)
     if indF_fixed and alpha_fixed:
@@ -144,7 +154,7 @@ def em_iteration(
         # branch (SURVEY.md §3.6e).
         freq, e_prob = state.freq, state.e_prob
     elif freq_est == 1:
-        freq = est_maf(gl, p_ibd)
+        freq = est_maf(gl, p_ibd, axis_name=axis_name)
         if e_prob_calc == 1:
             e_prob = calc_emission(gl, freq[:, None])
         else:

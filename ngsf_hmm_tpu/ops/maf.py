@@ -28,13 +28,19 @@ class _MafState(NamedTuple):
     passes: jnp.ndarray  # scalar int
 
 
-def est_maf(gl_s, indF, ignore_miss_data=False):
+def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None):
     """Per-site MAF via the damped EM fixed point.
 
     gl_s:  [S, N, 3] normalised log genotype likelihoods (site-major)
     indF:  [S, N] per-individual inbreeding weight at each site (the IBD
            posterior marg_prob[i][s][1] during EM; constants at init), or
            None for a uniform prior (gen_func.cpp:987-989).
+    axis_name: mesh axis individuals are sharded over; the expected-allele
+           count accumulators are psum'd across it (the ONLY cross-shard
+           communication in the whole EM step). Because the psum'd
+           freq/active trajectories are identical on every shard, the
+           while_loop trip count is too -- no shard can exit the loop
+           early and orphan a collective.
     Returns freq [S].
 
     The loop-exit test matches the reference's post-increment condition
@@ -62,6 +68,9 @@ def est_maf(gl_s, indF, ignore_miss_data=False):
         two_m_F = 2.0 - F
         cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=1)
         cd = jnp.sum(w * (2.0 * pp[..., 1] + (pp[..., 0] + pp[..., 2]) * two_m_F), axis=1)
+        if axis_name is not None:
+            cn = jax.lax.psum(cn, axis_name)
+            cd = jax.lax.psum(cd, axis_name)
         num = jnp.where(st.active, st.num + cn, st.num)
         den = jnp.where(st.active, st.den + cd, st.den)
         freq = jnp.where(st.active, num / den, st.freq)

@@ -1,0 +1,108 @@
+"""shard_map'd EM step: individuals data-parallel, restarts as a mesh axis.
+
+The full training step runs as ONE SPMD program per iteration:
+
+ - forward/backward/Viterbi/L-BFGS are local to each "ind" shard (each
+   individual's chain is independent -- the reference's property that made
+   its pthread pool race-free, SURVEY.md §3.6g, becomes zero-communication
+   sharding);
+ - the freq M-step psums its per-site expected-allele-count accumulators
+   over the "ind" axis once per inner fixed-point pass (est_maf,
+   ops/maf.py) -- the only collective, riding ICI;
+ - the "restart" axis carries independent replicates (ngsF-HMM.sh protocol)
+   with no communication at all.
+"""
+
+from functools import partial
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.em import EMState, IterStats, em_iteration
+from ..models.hmm import viterbi
+from .mesh import data_specs
+
+
+def make_sharded_em_step(
+    mesh,
+    freq_est=1,
+    e_prob_calc=1,
+    indF_fixed=False,
+    alpha_fixed=False,
+    with_restart=False,
+):
+    """Returns a jitted sharded step: (gl, dist, state) -> (state', stats).
+
+    Without restart: gl [S, N, 3], state fields as in models/em.py.
+    With restart: every EMState field gains a leading [R] axis sharded over
+    the "restart" mesh axis; gl stays [S, N, 3] (same data per replicate).
+    """
+    gl_spec, dist_spec, st = data_specs(with_restart)
+    state_specs = EMState(**st)
+
+    core = partial(
+        em_iteration,
+        freq_est=freq_est,
+        e_prob_calc=e_prob_calc,
+        indF_fixed=indF_fixed,
+        alpha_fixed=alpha_fixed,
+        axis_name="ind",
+    )
+
+    if with_restart:
+        stats_spec = IterStats(P("restart"), P("restart"))
+
+        def body(gl, dist, state):
+            return jax.vmap(
+                lambda s: core(gl, dist, s), in_axes=0, out_axes=0
+            )(state)
+
+    else:
+        stats_spec = IterStats(P(), P())
+
+        def body(gl, dist, state):
+            return core(gl, dist, state)
+
+    step = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(gl_spec, dist_spec, state_specs),
+        out_specs=(state_specs, stats_spec),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def make_sharded_viterbi(mesh, compat=True, with_restart=False):
+    """Sharded final decode: path [.., S, N] int8."""
+    gl_spec, dist_spec, st = data_specs(with_restart)
+
+    def one(e_prob, dist, F, alpha):
+        return viterbi(e_prob, dist, F, alpha, compat=compat)[0]
+
+    if with_restart:
+        body = lambda e, d, F, a: jax.vmap(lambda ee, FF, aa: one(ee, d, FF, aa))(e, F, a)
+        out_spec = P("restart", None, "ind")
+    else:
+        body = one
+        out_spec = P(None, "ind")
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(st["e_prob"], dist_spec, st["indF"], st["alpha"]),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_inputs(mesh, gl, dist, state, with_restart=False):
+    """Place host arrays onto the mesh with the canonical shardings."""
+    gl_spec, dist_spec, st = data_specs(with_restart)
+    dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    gl = dev(gl, gl_spec)
+    dist = dev(dist, dist_spec)
+    state = EMState(*(dev(x, st[f]) for f, x in zip(EMState._fields, state)))
+    return gl, dist, state
