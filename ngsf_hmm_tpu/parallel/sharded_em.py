@@ -69,7 +69,7 @@ def make_sharded_em_step(
         mesh=mesh,
         in_specs=(gl_spec, dist_spec, state_specs),
         out_specs=(state_specs, stats_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
@@ -93,7 +93,7 @@ def make_sharded_viterbi(mesh, compat=True, with_restart=False):
         mesh=mesh,
         in_specs=(st["e_prob"], dist_spec, st["indF"], st["alpha"]),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
