@@ -163,16 +163,26 @@ def time_ours(gl, pos):
     )
 
     def step(st):
-        st2, _ = em_iteration(gl_d, dist_d, st)
+        st2, _ = em_iteration(gl_d, dist_d, st, block_size="auto")
         return st2
 
-    state = jax.block_until_ready(step(state))  # compile + warmup
+    def hard_sync(st):
+        # On tunneled backends jax.block_until_ready can return before
+        # queued work finishes; a device-side reduction pulled to host is
+        # the only trustworthy sync (and transfers 4 bytes, not arrays).
+        return float(np.asarray(jnp.sum(st.ind_lkl)))
+
+    # Warm up two steps: the first absorbs compilation, the second gets
+    # the state onto a realistic EM trajectory.
+    state = step(step(state))
+    hard_sync(state)
+    reps = max(ITERS, 8)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(reps):
         state = step(state)
-    jax.block_until_ready(state)
-    per_iter = (time.perf_counter() - t0) / ITERS
-    log(f"[bench] ours: {per_iter * 1e3:.2f} ms/EM-iter")
+    hard_sync(state)
+    per_iter = (time.perf_counter() - t0) / reps
+    log(f"[bench] ours: {per_iter * 1e3:.2f} ms/EM-iter ({reps} iters, 1 sync)")
     return per_iter
 
 

@@ -38,7 +38,14 @@ from ..utils.constants import (
     F_MAX,
     F_MIN,
 )
-from .hmm import forward_loglik, posteriors, viterbi
+from .hmm import forward_loglik, loglik_value_and_grad, posteriors, viterbi
+from .hmm_blocked import (
+    block_sites,
+    forward_loglik_blocked,
+    loglik_value_and_grad_blocked,
+    pick_block_size,
+    posteriors_blocked,
+)
 from .lbfgsb import lbfgsb_minimize
 
 
@@ -57,6 +64,9 @@ class EMOptions:
     lkl_check_tol: float = 0.001  # EM.cpp:166-170
     check_fwbw: bool = True
     verbose: int = 1
+    # None = sequential scan kernels (f64 reference-compatible); "auto" or
+    # an int = blocked depth-O(sqrt S) kernels (TPU speed path).
+    block_size: object = None
 
 
 class EMState(NamedTuple):
@@ -92,6 +102,7 @@ def init_state(gl, freq0, indF0, alpha0) -> EMState:
     jax.jit,
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
+        "block_size",
     ),
 )
 def em_iteration(
@@ -103,18 +114,37 @@ def em_iteration(
     indF_fixed: bool = False,
     alpha_fixed: bool = False,
     axis_name: Optional[str] = None,
+    block_size: Optional[int] = None,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
     axis_name: set when running under shard_map with individuals sharded
     over a mesh axis; the freq M-step then psums its accumulators across
     it (the only collective in the step).
+
+    block_size: use the depth-O(sqrt S) blocked HMM kernels
+    (models/hmm_blocked.py) with this within-block length -- the TPU
+    speed path (composed sequential scans are per-step-latency bound).
+    "auto" picks the depth-minimising size; None keeps the sequential
+    kernels whose float64 results are ULP-compatible with the reference.
     """
     N = gl.shape[1]
+    S = gl.shape[0]
     dtype = gl.dtype
+    if block_size == "auto":
+        block_size = pick_block_size(S)
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
-    p_raw, ll_f, ll_b = posteriors(state.e_prob, dist, state.indF, state.alpha)
+    if block_size:
+        e_blk, _ = block_sites(state.e_prob, block_size, 0.0)
+        dist_blk, _ = block_sites(dist, block_size, 0.0)
+        p_raw, ll_f, ll_b = posteriors_blocked(
+            e_blk, dist_blk, state.indF, state.alpha, S
+        )
+    else:
+        p_raw, ll_f, ll_b = posteriors(
+            state.e_prob, dist, state.indF, state.alpha
+        )
     p_ibd = check_interv(p_raw)
     ind_lkl = ll_f
     fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b))
@@ -142,10 +172,31 @@ def em_iteration(
             axis=-1,
         )
 
-        def objective(x):
-            return -forward_loglik(x[:, 0], x[:, 1], state.e_prob, dist)
+        if block_size:
 
-        x_opt, _, opt_iters = lbfgsb_minimize(objective, x0, lo, hi)
+            def objective(x):
+                return -forward_loglik_blocked(x[:, 0], x[:, 1], e_blk, dist_blk)
+
+            def objective_vag(x):
+                L, gF, ga = loglik_value_and_grad_blocked(
+                    x[:, 0], x[:, 1], e_blk, dist_blk
+                )
+                return -L, -jnp.stack([gF, ga], axis=-1)
+
+        else:
+
+            def objective(x):
+                return -forward_loglik(x[:, 0], x[:, 1], state.e_prob, dist)
+
+            def objective_vag(x):
+                L, gF, ga = loglik_value_and_grad(
+                    x[:, 0], x[:, 1], state.e_prob, dist
+                )
+                return -L, -jnp.stack([gF, ga], axis=-1)
+
+        x_opt, _, opt_iters = lbfgsb_minimize(
+            objective, x0, lo, hi, value_and_grad=objective_vag
+        )
         indF, alpha = x_opt[:, 0], x_opt[:, 1]
 
     # ---- M-step 2: per-site freq + emission recompute (EM.cpp:210-272)
@@ -245,6 +296,7 @@ def run_em(
             e_prob_calc=opts.e_prob_calc,
             indF_fixed=opts.indF_fixed,
             alpha_fixed=opts.alpha_fixed,
+            block_size=opts.block_size,
         )
         if opts.check_fwbw:
             d = float(stats.fwbw_maxdiff)

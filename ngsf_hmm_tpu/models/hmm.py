@@ -91,6 +91,70 @@ def forward_loglik(F, alpha, e_prob, dist):
     return logsum2(last[:, 0], last[:, 1])
 
 
+def loglik_value_and_grad(F, alpha, e_prob, dist):
+    """Analytic (loglik, dL/dF, dL/dalpha), each [N], via forward-backward.
+
+    Reverse-mode autodiff through a 100k+-step ``lax.scan`` is ~1000x
+    slower than the scan itself on TPU (residual-replay bound), and the
+    reference instead burns 2n extra forward passes on central
+    differences (bfgs.cpp:22-65). Neither is needed: by the Fisher
+    identity the HMM log-likelihood gradient is the posterior expectation
+    of the transition-score gradients,
+
+      dL/dtheta = sum_s sum_{k,l} xi_s(k,l) d(log T_s[k,l])/dtheta
+                + sum_k gamma_init(k) d(log q[k])/dtheta,
+
+    with pairwise posteriors xi_s(k,l) = exp(fw_{s-1}[k] + log T_s[k,l]
+    + e_s[l] + bw_s[l] - L) and fw_{-1} = log q. Cost: one forward + one
+    backward scan + fused elementwise passes.
+
+    Implemented division-free: xi_s(k,l) d(log T)/dtheta = u_s(k,l)
+    dT/dtheta with u_s(k,l) = exp(fw_{s-1}[k] + e_s[l] + bw_s[l] - L)
+    (the pairwise posterior WITHOUT its transition factor), so parameter
+    values pinned at the box bounds (F ~ 1e-15, alpha ~ 0) never produce
+    0/0. Closed-form dT (x = exp(-alpha d), dx = d*x; both 0 at
+    chromosome breaks d = inf):
+      T      = [[(1-x)(1-F)+x, (1-x)F], [(1-x)(1-F), (1-x)F+x]]
+      dT/dF  = (1-x) * [[-1, 1], [-1, 1]]
+      dT/da  = dx * [[-F, F], [1-F, -(1-F)]]
+    Initial-distribution term: dL/dF += -w0 + w1 with
+    w_k = sum_l T_0[k,l] exp(e_0[l] + bw_0[l] - L) (since dq/dF = [-1, 1]).
+    """
+    fw, L = forward(e_prob, dist, F, alpha)
+    bw, _ = backward(e_prob, dist, F, alpha)
+
+    lq = log_q(F)  # [N, 2]
+    fw_prev = jnp.concatenate([jnp.broadcast_to(lq, (1,) + lq.shape), fw[:-1]])
+
+    is_break = jnp.isinf(dist)[:, None]  # [S, 1]
+    d_safe = jnp.where(is_break, 1.0, dist[:, None])
+    x = jnp.where(is_break, 0.0, jnp.exp(-alpha[None, :] * d_safe))  # [S, N]
+    dx = jnp.where(is_break, 0.0, d_safe * x)  # d * exp(-alpha d)
+    one_m = 1.0 - x
+    Fb = F[None, :]
+
+    # u_s(k,l), [S, N] each.
+    b = e_prob + bw - L[None, :, None]  # [S, N, 2]
+    u00 = jnp.exp(fw_prev[:, :, 0] + b[:, :, 0])
+    u01 = jnp.exp(fw_prev[:, :, 0] + b[:, :, 1])
+    u10 = jnp.exp(fw_prev[:, :, 1] + b[:, :, 0])
+    u11 = jnp.exp(fw_prev[:, :, 1] + b[:, :, 1])
+
+    gF = (one_m * (-u00 + u01 - u10 + u11)).sum(0)
+    ga = (dx * (Fb * (u01 - u00) + (1.0 - Fb) * (u10 - u11))).sum(0)
+
+    # Initial-distribution term (dq0/dF = -1, dq1/dF = +1).
+    T00_0 = one_m[0] * (1.0 - F) + x[0]
+    T01_0 = one_m[0] * F
+    T10_0 = one_m[0] * (1.0 - F)
+    T11_0 = one_m[0] * F + x[0]
+    eb0 = jnp.exp(b[0])  # [N, 2]
+    w0 = T00_0 * eb0[:, 0] + T01_0 * eb0[:, 1]
+    w1 = T10_0 * eb0[:, 0] + T11_0 * eb0[:, 1]
+    gF = gF + (w1 - w0)
+    return L, gF, ga
+
+
 def backward(e_prob, dist, F, alpha):
     """Log-space backward pass (HMM.cpp:33-60).
 

@@ -33,6 +33,7 @@ PGTOL = 1e-3
 EPS_MACH = 2.220446049250313e-16
 MAX_LS = 25
 ARMIJO_C1 = 1e-4
+LS_LADDER = 8  # step sizes probed per (batched) line-search evaluation
 
 
 class _State(NamedTuple):
@@ -97,21 +98,35 @@ def lbfgsb_minimize(
     max_iters: int = 60,
     pgtol: float = PGTOL,
     factr: float = FACTR,
+    value_and_grad: Callable | None = None,
+    fun_multi: Callable | None = None,
 ):
     """Minimise a batched objective within box bounds.
 
     fun: x [B, n] -> f [B]  (independent per batch row; autodiff-able)
     x0, lower, upper: [B, n]
+    value_and_grad: optional x -> (f [B], g [B, n]) override; supply an
+        analytic gradient (e.g. hmm.loglik_value_and_grad) when reverse-
+        mode through the objective is expensive.
+    fun_multi: optional x [K, B, n] -> f [K, B] evaluating K step-size
+        candidates at once (defaults to vmap(fun)); one such call probes
+        a whole backtracking ladder, collapsing the line-search loop to
+        ~1 sequential objective evaluation.
     Returns (x_opt [B, n], f_opt [B], n_outer_iters).
     """
     B, n = x0.shape
     dtype = x0.dtype
     x0 = jnp.clip(x0, lower, upper)
 
-    def value_and_grad(x):
-        f, vjp = jax.vjp(fun, x)
-        (g,) = vjp(jnp.ones_like(f))
-        return f, g
+    if value_and_grad is None:
+
+        def value_and_grad(x):
+            f, vjp = jax.vjp(fun, x)
+            (g,) = vjp(jnp.ones_like(f))
+            return f, g
+
+    if fun_multi is None:
+        fun_multi = jax.vmap(fun)
 
     f0, g0 = value_and_grad(x0)
 
@@ -149,30 +164,43 @@ def lbfgsb_minimize(
         descent = jnp.sum(d * g_eff, axis=-1) < 0
         d = jnp.where(descent[:, None], d, -g_eff)
 
-        # projected-path backtracking Armijo line search (batched t)
-        def ls_cond(ls):
-            t, f_try, x_try, need = ls
-            return jnp.any(need)
+        # Projected-path backtracking Armijo search, whole ladders of
+        # candidate steps per objective call: round r probes
+        # t = scale * {1, 1/2, ..., 2^(1-K)} for every row at once and
+        # keeps each row's LARGEST accepted t (identical accept test and
+        # order as one-at-a-time halving).
+        ladder = (2.0 ** -jnp.arange(LS_LADDER, dtype=dtype))  # [K]
 
-        def ls_body(ls):
-            t, f_try, x_try, need = ls
-            x_new = proj(st.x + t[:, None] * d)
-            f_new = fun(x_new)
-            dec = jnp.sum(st.g * (x_new - st.x), axis=-1)
-            ok = f_new <= st.f + ARMIJO_C1 * dec
-            moved = jnp.any(x_new != st.x, axis=-1)
-            accept = ok & moved & jnp.isfinite(f_new)
-            f_try = jnp.where(need & accept, f_new, f_try)
-            x_try = jnp.where((need & accept)[:, None], x_new, x_try)
-            still = need & ~accept
-            t = jnp.where(still, t * 0.5, t)
-            # stop shrinking once t is negligible
-            still = still & (t > 1e-12)
-            return (t, f_try, x_try, still)
+        def ls_round(ls):
+            scale, f_try, x_try, need = ls
+            ts = scale[None, :] * ladder[:, None]  # [K, B]
+            x_cand = proj(st.x[None] + ts[:, :, None] * d[None])  # [K,B,n]
+            f_cand = fun_multi(x_cand)  # [K, B]
+            dec = jnp.sum(st.g[None] * (x_cand - st.x[None]), axis=-1)
+            moved = jnp.any(x_cand != st.x[None], axis=-1)
+            ok = (
+                (f_cand <= st.f[None] + ARMIJO_C1 * dec)
+                & moved
+                & jnp.isfinite(f_cand)
+            )  # [K, B]
+            any_ok = jnp.any(ok, axis=0)
+            first = jnp.argmax(ok, axis=0)  # largest accepted t (K-order)
+            f_sel = jnp.take_along_axis(f_cand, first[None], axis=0)[0]
+            x_sel = jnp.take_along_axis(
+                x_cand, first[None, :, None], axis=0
+            )[0]
+            acc = need & any_ok
+            f_try = jnp.where(acc, f_sel, f_try)
+            x_try = jnp.where(acc[:, None], x_sel, x_try)
+            still = need & ~any_ok
+            scale = jnp.where(still, scale * ladder[-1] * 0.5, scale)
+            still = still & (scale > 1e-12)
+            return (scale, f_try, x_try, still)
 
-        t0 = jnp.ones((B,), dtype)
-        ls0 = (t0, st.f, st.x, st.active)
-        _, f_new, x_new, _ = jax.lax.while_loop(ls_cond, ls_body, ls0)
+        ls0 = (jnp.ones((B,), dtype), st.f, st.x, st.active)
+        _, f_new, x_new, _ = jax.lax.while_loop(
+            lambda ls: jnp.any(ls[3]), ls_round, ls0
+        )
 
         f_new2, g_new = value_and_grad(x_new)
         # keep previous values for inactive rows

@@ -9,6 +9,7 @@ import oracle
 from ngsf_hmm_tpu.models.hmm import (
     forward,
     forward_loglik,
+    loglik_value_and_grad,
     backward,
     posteriors,
     viterbi,
@@ -105,6 +106,35 @@ def test_single_site():
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_b), atol=1e-12)
     path, _ = viterbi(_j(e), _j(dist), _j(F), _j(alpha))
     assert path.shape == (1, 2)
+
+
+def test_analytic_value_and_grad_matches_autodiff(case):
+    """The Fisher-identity gradient (loglik_value_and_grad) must agree
+    with reverse-mode autodiff through the scan -- including at
+    chromosome-break (inf) distances, which the fixture contains."""
+    import jax
+
+    gl, freq, dist, F, alpha, e = case
+    L, gF, ga = loglik_value_and_grad(_j(F), _j(alpha), _j(e), _j(dist))
+    ll_ref = forward_loglik(_j(F), _j(alpha), _j(e), _j(dist))
+    np.testing.assert_allclose(np.asarray(L), np.asarray(ll_ref), rtol=1e-14)
+
+    f = lambda F_, a_: jnp.sum(forward_loglik(F_, a_, _j(e), _j(dist)))
+    gF_ad, ga_ad = jax.grad(f, argnums=(0, 1))(_j(F), _j(alpha))
+    np.testing.assert_allclose(np.asarray(gF), np.asarray(gF_ad), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ad), rtol=1e-9)
+
+
+def test_analytic_grad_at_bound_params():
+    """Near the box bounds the reference pins parameters (F ~ 1e-15,
+    alpha ~ 10); the analytic gradient must stay finite there."""
+    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=30, N=4)
+    F = np.array([1e-15, 1 - 1e-15, 0.5, 1e-6])
+    alpha = np.array([1e-15, 10.0, 0.3, 9.9])
+    L, gF, ga = loglik_value_and_grad(_j(F), _j(alpha), _j(e), _j(dist))
+    assert np.all(np.isfinite(np.asarray(L)))
+    assert np.all(np.isfinite(np.asarray(gF)))
+    assert np.all(np.isfinite(np.asarray(ga)))
 
 
 def test_grad_forward_loglik_finite(case):
