@@ -163,7 +163,9 @@ def time_ours(gl, pos):
     )
 
     def step(st):
-        st2, _ = em_iteration(gl_d, dist_d, st, block_size="auto")
+        st2, _ = em_iteration(
+            gl_d, dist_d, st, block_size="auto", numerics="linear"
+        )
         return st2
 
     def hard_sync(st):

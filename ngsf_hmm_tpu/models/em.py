@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.emissions import calc_emission
+from ..ops.emissions import calc_emission, emission_probs_linear
 from ..ops.hwe import check_interv
 from ..ops.maf import est_maf
 from ..utils.constants import (
@@ -42,9 +42,12 @@ from .hmm import forward_loglik, loglik_value_and_grad, posteriors, viterbi
 from .hmm_blocked import (
     block_sites,
     forward_loglik_blocked,
+    forward_loglik_blocked_lin,
     loglik_value_and_grad_blocked,
+    loglik_value_and_grad_blocked_lin,
     pick_block_size,
     posteriors_blocked,
+    posteriors_blocked_lin,
 )
 from .lbfgsb import lbfgsb_minimize
 
@@ -67,6 +70,9 @@ class EMOptions:
     # None = sequential scan kernels (f64 reference-compatible); "auto" or
     # an int = blocked depth-O(sqrt S) kernels (TPU speed path).
     block_size: object = None
+    # "log" (reference-faithful) or "linear" (scaled probability-space
+    # kernels, transcendental-free hot loops; requires block_size).
+    numerics: str = "log"
 
 
 class EMState(NamedTuple):
@@ -102,7 +108,7 @@ def init_state(gl, freq0, indF0, alpha0) -> EMState:
     jax.jit,
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
-        "block_size",
+        "block_size", "numerics",
     ),
 )
 def em_iteration(
@@ -115,6 +121,7 @@ def em_iteration(
     alpha_fixed: bool = False,
     axis_name: Optional[str] = None,
     block_size: Optional[int] = None,
+    numerics: str = "log",
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -127,20 +134,37 @@ def em_iteration(
     speed path (composed sequential scans are per-step-latency bound).
     "auto" picks the depth-minimising size; None keeps the sequential
     kernels whose float64 results are ULP-compatible with the reference.
+
+    numerics: "log" (reference-faithful log-space semiring) or "linear"
+    (scaled probability-space kernels + linear est_maf/emissions --
+    transcendental-free hot loops, ~equally accurate in f32 thanks to
+    per-site renormalisation; requires block_size). State invariants are
+    mode-independent: state.e_prob is ALWAYS log-space.
     """
     N = gl.shape[1]
     S = gl.shape[0]
     dtype = gl.dtype
     if block_size == "auto":
         block_size = pick_block_size(S)
+    if numerics not in ("log", "linear"):
+        raise ValueError(f"numerics must be 'log' or 'linear', got {numerics!r}")
+    linear = numerics == "linear"
+    if linear and not block_size:
+        raise ValueError("numerics='linear' requires block_size")
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
     if block_size:
-        e_blk, _ = block_sites(state.e_prob, block_size, 0.0)
         dist_blk, _ = block_sites(dist, block_size, 0.0)
-        p_raw, ll_f, ll_b = posteriors_blocked(
-            e_blk, dist_blk, state.indF, state.alpha, S
-        )
+        if linear:
+            e_blk, _ = block_sites(jnp.exp(state.e_prob), block_size, 1.0)
+            p_raw, ll_f, ll_b = posteriors_blocked_lin(
+                e_blk, dist_blk, state.indF, state.alpha, S
+            )
+        else:
+            e_blk, _ = block_sites(state.e_prob, block_size, 0.0)
+            p_raw, ll_f, ll_b = posteriors_blocked(
+                e_blk, dist_blk, state.indF, state.alpha, S
+            )
     else:
         p_raw, ll_f, ll_b = posteriors(
             state.e_prob, dist, state.indF, state.alpha
@@ -173,14 +197,18 @@ def em_iteration(
         )
 
         if block_size:
+            _ll = forward_loglik_blocked_lin if linear else forward_loglik_blocked
+            _vag = (
+                loglik_value_and_grad_blocked_lin
+                if linear
+                else loglik_value_and_grad_blocked
+            )
 
             def objective(x):
-                return -forward_loglik_blocked(x[:, 0], x[:, 1], e_blk, dist_blk)
+                return -_ll(x[:, 0], x[:, 1], e_blk, dist_blk)
 
             def objective_vag(x):
-                L, gF, ga = loglik_value_and_grad_blocked(
-                    x[:, 0], x[:, 1], e_blk, dist_blk
-                )
+                L, gF, ga = _vag(x[:, 0], x[:, 1], e_blk, dist_blk)
                 return -L, -jnp.stack([gF, ga], axis=-1)
 
         else:
@@ -205,9 +233,18 @@ def em_iteration(
         # branch (SURVEY.md §3.6e).
         freq, e_prob = state.freq, state.e_prob
     elif freq_est == 1:
-        freq = est_maf(gl, p_ibd, axis_name=axis_name)
+        if linear:
+            # Transcendental-free fixed point + emissions; state.e_prob
+            # stays log-space (one log pass at the end).
+            gl_lin = jnp.exp(gl)
+            freq = est_maf(gl_lin, p_ibd, axis_name=axis_name, linear=True)
+        else:
+            freq = est_maf(gl, p_ibd, axis_name=axis_name)
         if e_prob_calc == 1:
-            e_prob = calc_emission(gl, freq[:, None])
+            if linear:
+                e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
+            else:
+                e_prob = calc_emission(gl, freq[:, None])
         else:
             # e_prob_calc == 2: the reference's outer gate
             # (EM.cpp:252 `if(e_prob_calc == 1 || s == 1)`) only ever
@@ -297,6 +334,7 @@ def run_em(
             indF_fixed=opts.indF_fixed,
             alpha_fixed=opts.alpha_fixed,
             block_size=opts.block_size,
+            numerics=opts.numerics,
         )
         if opts.check_fwbw:
             d = float(stats.fwbw_maxdiff)

@@ -301,6 +301,224 @@ def posteriors_blocked(e_blk, dist_blk, F, alpha, S):
     return unblock_sites(p_blk, S), ll_f, ll_b
 
 
+# ---------------------------------------------------------------------------
+# Linear-space scaled variants ("linear" numerics mode).
+#
+# The log-semiring kernels above spend ~16 logsumexp ops (exp/exp/log each)
+# per site per individual and are transcendental-bound on the VPU. The
+# classic scaled-HMM alternative works in probability space with per-step
+# max renormalisation: 2x2 products become pure mul/add, and the only
+# transcendentals left are ONE log per (site, ind) to rebuild the total
+# log-likelihood from the accumulated scale factors (deferred and
+# vectorised), plus none at all in the gradient/posterior paths, which
+# consume per-site renormalised ratios. Emissions arrive in LINEAR space
+# (e_lin = exp(log emissions), or emission_probs_linear directly).
+# ---------------------------------------------------------------------------
+
+
+_TINY = 1e-30  # renormalisation floor: degenerate all-zero chains stay finite
+
+
+def _t_elems(F, alpha, d):
+    """Linear transition entries for a [nb] slice: four [nb, N] arrays."""
+    d = d[:, None]
+    is_break = jnp.isinf(d)
+    d_safe = jnp.where(is_break, 1.0, d)
+    x = jnp.where(is_break, 0.0, jnp.exp(-alpha[None, :] * d_safe))
+    one_m = 1.0 - x
+    t00 = one_m * (1.0 - F)[None, :] + x
+    t01 = one_m * F[None, :]
+    t10 = one_m * (1.0 - F)[None, :]
+    t11 = one_m * F[None, :] + x
+    return t00, t01, t10, t11
+
+
+def _block_transfer_lin(e_blk, dist_blk, F, alpha):
+    """Linear normalised block transfer matrices + per-step scale logs.
+
+    Returns (A [nb, N, 2, 2] with max entry 1, log_norm [nb, N] = sum of
+    log scale factors): true transfer = A * exp(log_norm). The scales are
+    emitted per step and log-summed once afterwards -- one log per
+    (site, ind) total, vs ~16 logsumexp in the log-semiring kernel.
+    """
+    nb, N = e_blk.shape[1], e_blk.shape[2]
+    dtype = e_blk.dtype
+
+    def step(c, xs):
+        e_i, d_i = xs
+        t00, t01, t10, t11 = _t_elems(F, alpha, d_i)
+        m00 = t00 * e_i[:, :, 0]
+        m01 = t01 * e_i[:, :, 1]
+        m10 = t10 * e_i[:, :, 0]
+        m11 = t11 * e_i[:, :, 1]
+        c00 = c[..., 0, 0] * m00 + c[..., 0, 1] * m10
+        c01 = c[..., 0, 0] * m01 + c[..., 0, 1] * m11
+        c10 = c[..., 1, 0] * m00 + c[..., 1, 1] * m10
+        c11 = c[..., 1, 0] * m01 + c[..., 1, 1] * m11
+        mx = jnp.maximum(jnp.maximum(c00, c01), jnp.maximum(c10, c11))
+        mx = jnp.maximum(mx, _TINY)  # degenerate all-zero guard
+        inv = 1.0 / mx
+        new = jnp.stack(
+            [
+                jnp.stack([c00 * inv, c01 * inv], -1),
+                jnp.stack([c10 * inv, c11 * inv], -1),
+            ],
+            -2,
+        )
+        return new, mx
+
+    eye = jnp.eye(2, dtype=dtype)
+    init = jnp.broadcast_to(eye, (nb, N, 2, 2))
+    A, scales = jax.lax.scan(step, init, (e_blk, dist_blk))  # scales [bs,nb,N]
+    log_norm = jnp.log(scales).sum(0)
+    return A, log_norm
+
+
+def _fw_block_starts_lin(A, log_norm, F):
+    """Linear forward carries at block starts + total log-likelihood."""
+    N = A.shape[1]
+    q = jnp.stack([1.0 - F, F], -1)  # [N, 2]
+
+    def step(carry, xs):
+        v, off = carry
+        A_j, ln_j = xs
+        r0 = v[..., 0] * A_j[..., 0, 0] + v[..., 1] * A_j[..., 1, 0]
+        r1 = v[..., 0] * A_j[..., 0, 1] + v[..., 1] * A_j[..., 1, 1]
+        m = jnp.maximum(r0, r1)
+        m = jnp.maximum(m, _TINY)
+        inv = 1.0 / m
+        return (jnp.stack([r0 * inv, r1 * inv], -1), off + jnp.log(m) + ln_j), v
+
+    init = (q, jnp.zeros((N,), A.dtype))
+    (final, off), starts = jax.lax.scan(step, init, (A, log_norm))
+    ll_f = jnp.log(final[:, 0] + final[:, 1]) + off
+    return starts, ll_f
+
+
+def _bw_block_ends_lin(A, log_norm, F):
+    """Linear backward values at block ends + backward-side loglik."""
+    nb, N = A.shape[0], A.shape[1]
+    one = jnp.ones((N, 2), A.dtype)
+
+    def step(carry, xs):
+        w, off = carry
+        A_j, ln_j = xs
+        r0 = A_j[..., 0, 0] * w[..., 0] + A_j[..., 0, 1] * w[..., 1]
+        r1 = A_j[..., 1, 0] * w[..., 0] + A_j[..., 1, 1] * w[..., 1]
+        m = jnp.maximum(r0, r1)
+        m = jnp.maximum(m, _TINY)
+        inv = 1.0 / m
+        return (jnp.stack([r0 * inv, r1 * inv], -1), off + jnp.log(m) + ln_j), w
+
+    init = (one, jnp.zeros((N,), A.dtype))
+    (bw_m1, off), ends = jax.lax.scan(step, init, (A, log_norm), reverse=True)
+    ll_b = jnp.log((1.0 - F) * bw_m1[:, 0] + F * bw_m1[:, 1]) + off
+    return ends, ll_b
+
+
+def forward_loglik_blocked_lin(F, alpha, e_blk, dist_blk):
+    """Per-individual log-likelihood; e_blk is LINEAR-space emissions."""
+    A, log_norm = _block_transfer_lin(e_blk, dist_blk, F, alpha)
+    _, ll_f = _fw_block_starts_lin(A, log_norm, F)
+    return ll_f
+
+
+def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk):
+    """Per-site max-normalised linear fw/bw vectors, blocked layout.
+
+    Returns (fw_prev, fw, bw, ll_f, ll_b) with vectors renormalised per
+    site (consumers use within-site ratios only, like the log variant).
+    """
+    A, log_norm = _block_transfer_lin(e_blk, dist_blk, F, alpha)
+    starts, ll_f = _fw_block_starts_lin(A, log_norm, F)
+    ends, ll_b = _bw_block_ends_lin(A, log_norm, F)
+
+    def fw_step(v, xs):
+        e_i, d_i = xs
+        t00, t01, t10, t11 = _t_elems(F, alpha, d_i)
+        n0 = (v[..., 0] * t00 + v[..., 1] * t10) * e_i[:, :, 0]
+        n1 = (v[..., 0] * t01 + v[..., 1] * t11) * e_i[:, :, 1]
+        m = jnp.maximum(n0, n1)
+        m = jnp.maximum(m, _TINY)
+        inv = 1.0 / m
+        new = jnp.stack([n0 * inv, n1 * inv], -1)
+        return new, (v, new)
+
+    _, (fw_prev, fw) = jax.lax.scan(fw_step, starts, (e_blk, dist_blk))
+
+    def bw_step(w, xs):
+        e_i, d_i = xs
+        t00, t01, t10, t11 = _t_elems(F, alpha, d_i)
+        b0 = t00 * e_i[:, :, 0] * w[..., 0] + t01 * e_i[:, :, 1] * w[..., 1]
+        b1 = t10 * e_i[:, :, 0] * w[..., 0] + t11 * e_i[:, :, 1] * w[..., 1]
+        m = jnp.maximum(b0, b1)
+        m = jnp.maximum(m, _TINY)
+        inv = 1.0 / m
+        new = jnp.stack([b0 * inv, b1 * inv], -1)
+        return new, w
+
+    _, bw = jax.lax.scan(bw_step, ends, (e_blk, dist_blk), reverse=True)
+    return fw_prev, fw, bw, ll_f, ll_b
+
+
+def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S):
+    """IBD posterior from linear-space blocked inputs, natural site order.
+
+    p1 = fw1*bw1 / (fw0*bw0 + fw1*bw1): per-site scales cancel in the
+    ratio; no transcendentals at all on this path.
+    """
+    _, fw, bw, ll_f, ll_b = forward_backward_blocked_lin(
+        F, alpha, e_blk, dist_blk
+    )
+    n1 = fw[..., 1] * bw[..., 1]
+    n0 = fw[..., 0] * bw[..., 0]
+    p_blk = n1 / (n0 + n1)
+    return unblock_sites(p_blk, S), ll_f, ll_b
+
+
+def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk):
+    """Analytic (loglik, dL/dF, dL/dalpha) from linear blocked inputs.
+
+    Identical math to loglik_value_and_grad_blocked with u_kl built from
+    linear products fw_prev[k]*e[l]*bw[l], renormalised per site via
+    sum_kl u_kl T_kl = 1 -- transcendental-free outside the loglik scales.
+    """
+    fw_prev, _, bw, ll_f, ll_b = forward_backward_blocked_lin(
+        F, alpha, e_blk, dist_blk
+    )
+
+    d = dist_blk[..., None]
+    is_break = jnp.isinf(d)
+    d_safe = jnp.where(is_break, 1.0, d)
+    x = jnp.where(is_break, 0.0, jnp.exp(-alpha[None, None, :] * d_safe))
+    dx = jnp.where(is_break, 0.0, d_safe * x)
+    one_m = 1.0 - x
+    Fb = F[None, None, :]
+    T00 = one_m * (1.0 - Fb) + x
+    T01 = one_m * Fb
+    T10 = one_m * (1.0 - Fb)
+    T11 = one_m * Fb + x
+
+    eb = e_blk * bw  # [bs, nb, N, 2]
+    u00 = fw_prev[..., 0] * eb[..., 0]
+    u01 = fw_prev[..., 0] * eb[..., 1]
+    u10 = fw_prev[..., 1] * eb[..., 0]
+    u11 = fw_prev[..., 1] * eb[..., 1]
+    denom = u00 * T00 + u01 * T01 + u10 * T10 + u11 * T11
+    inv = 1.0 / denom
+    u00, u01, u10, u11 = u00 * inv, u01 * inv, u10 * inv, u11 * inv
+
+    gF = (one_m * (-u00 + u01 - u10 + u11)).sum((0, 1))
+    ga = (dx * (Fb * (u01 - u00) + (1.0 - Fb) * (u10 - u11))).sum((0, 1))
+
+    eb0 = eb[0, 0]  # [N, 2]
+    w0 = T00[0, 0] * eb0[:, 0] + T01[0, 0] * eb0[:, 1]
+    w1 = T10[0, 0] * eb0[:, 0] + T11[0, 0] * eb0[:, 1]
+    tot = (1.0 - F) * w0 + F * w1
+    gF = gF + (w1 - w0) / tot
+    return ll_f, gF, ga
+
+
 def loglik_value_and_grad_blocked(F, alpha, e_blk, dist_blk):
     """Analytic (loglik, dL/dF, dL/dalpha) on blocked inputs.
 

@@ -28,11 +28,15 @@ class _MafState(NamedTuple):
     passes: jnp.ndarray  # scalar int
 
 
-def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None):
+def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
     """Per-site MAF via the damped EM fixed point.
 
-    gl_s:  [S, N, 3] normalised log genotype likelihoods (site-major)
-    indF:  [S, N] per-individual inbreeding weight at each site (the IBD
+    gl_s:  [.., N, 3] normalised genotype likelihoods (site-major; any
+           leading site shape, e.g. [S] or blocked [bs, nb]). LOG space
+           by default; LINEAR space with ``linear=True`` (the speed-mode
+           path: the per-pass prior/posterior math is then
+           transcendental-free).
+    indF:  [.., N] per-individual inbreeding weight at each site (the IBD
            posterior marg_prob[i][s][1] during EM; constants at init), or
            None for a uniform prior (gen_func.cpp:987-989).
     axis_name: mesh axis individuals are sharded over; the expected-allele
@@ -41,33 +45,51 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None):
            freq/active trajectories are identical on every shard, the
            while_loop trip count is too -- no shard can exit the loop
            early and orphan a collective.
-    Returns freq [S].
+    Returns freq [..] (leading site shape).
 
     The loop-exit test matches the reference's post-increment condition
     ``while(|prev-freq| > EPS && iters++ < 100)``: the body runs at least
     once and at most ITER_MAX+1 times.
     """
-    S, N = gl_s.shape[0], gl_s.shape[1]
+    lead = gl_s.shape[:-2]
+    N = gl_s.shape[-2]
     dtype = gl_s.dtype
 
     if ignore_miss_data:
-        present = ~miss_data(gl_s)  # [S, N]
+        if linear:
+            present = ~(
+                (jnp.abs(gl_s[..., 0] - gl_s[..., 1]) < EPSILON)
+                & (jnp.abs(gl_s[..., 1] - gl_s[..., 2]) < EPSILON)
+            )
+        else:
+            present = ~miss_data(gl_s)
     else:
-        present = jnp.ones((S, N), dtype=bool)
+        present = jnp.ones(lead + (N,), dtype=bool)
+
+    def _pp_linear(freq, F):
+        if indF is None:
+            raw = gl_s
+        else:
+            prior = calc_hwe(freq[..., None], F, log_scale=False)
+            raw = gl_s * prior
+        return raw / raw.sum(-1, keepdims=True)
 
     def body(st: _MafState) -> _MafState:
         prev = st.freq
         if indF is None:
-            pp = jnp.exp(post_prob(gl_s, None))  # [S, N, 3]
-            F = jnp.zeros((S, N), dtype=dtype)
+            F = jnp.zeros(lead + (N,), dtype=dtype)
+            pp = _pp_linear(st.freq, F) if linear else jnp.exp(post_prob(gl_s, None))
         else:
             F = indF
-            prior = calc_hwe(st.freq[:, None], F)  # [S, N, 3] log
-            pp = jnp.exp(post_prob(gl_s, prior))
+            if linear:
+                pp = _pp_linear(st.freq, F)
+            else:
+                prior = calc_hwe(st.freq[..., None], F)  # log
+                pp = jnp.exp(post_prob(gl_s, prior))
         w = present.astype(dtype)
         two_m_F = 2.0 - F
-        cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=1)
-        cd = jnp.sum(w * (2.0 * pp[..., 1] + (pp[..., 0] + pp[..., 2]) * two_m_F), axis=1)
+        cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=-1)
+        cd = jnp.sum(w * (2.0 * pp[..., 1] + (pp[..., 0] + pp[..., 2]) * two_m_F), axis=-1)
         if axis_name is not None:
             cn = jax.lax.psum(cn, axis_name)
             cd = jax.lax.psum(cd, axis_name)
@@ -79,10 +101,10 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None):
         return _MafState(freq, num, den, active, passes)
 
     init = _MafState(
-        freq=jnp.full((S,), 0.01, dtype=dtype),
-        num=jnp.zeros((S,), dtype=dtype),
-        den=jnp.zeros((S,), dtype=dtype),
-        active=jnp.ones((S,), dtype=bool),
+        freq=jnp.full(lead, 0.01, dtype=dtype),
+        num=jnp.zeros(lead, dtype=dtype),
+        den=jnp.zeros(lead, dtype=dtype),
+        active=jnp.ones(lead, dtype=bool),
         passes=jnp.zeros((), dtype=jnp.int32),
     )
     out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)

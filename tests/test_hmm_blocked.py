@@ -23,9 +23,12 @@ from ngsf_hmm_tpu.models.hmm import (
 from ngsf_hmm_tpu.models.hmm_blocked import (
     block_sites,
     forward_loglik_blocked,
+    forward_loglik_blocked_lin,
     loglik_value_and_grad_blocked,
+    loglik_value_and_grad_blocked_lin,
     pick_block_size,
     posteriors_blocked,
+    posteriors_blocked_lin,
     unblock_sites,
 )
 
@@ -96,6 +99,85 @@ def test_blocked_float32_large_magnitude():
     # gradients are O(S)-magnitude sums; demand ~3 significant digits
     np.testing.assert_allclose(np.asarray(gF32), np.asarray(gF64), rtol=5e-3)
     np.testing.assert_allclose(np.asarray(ga32), np.asarray(ga64), rtol=5e-3)
+
+
+def _blk_lin(e, dist, bs, dtype=None):
+    """Linear-space blocked emissions (pad value 1 = identity)."""
+    e_lin = np.exp(e)
+    e_lin = jnp.asarray(e_lin) if dtype is None else jnp.asarray(e_lin, dtype)
+    dist = jnp.asarray(dist) if dtype is None else jnp.asarray(dist, dtype)
+    e_blk, S = block_sites(e_lin, bs, 1.0)
+    d_blk, _ = block_sites(dist, bs, 0.0)
+    return e_blk, d_blk, S
+
+
+@pytest.mark.parametrize("S,bs", [(61, 8), (101, 16), (7, 3)])
+def test_linear_kernels_match_log(S, bs):
+    """Linear scaled kernels == log-semiring kernels (f64, ~1e-10)."""
+    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=S, N=4, chrom_break_every=23)
+    jF, ja = jnp.asarray(F), jnp.asarray(alpha)
+    el_blk, d_blk, S_ = _blk_lin(e, dist, bs)
+
+    ll_lin = forward_loglik_blocked_lin(jF, ja, el_blk, d_blk)
+    ll_log = forward_loglik(jF, ja, jnp.asarray(e), jnp.asarray(dist))
+    np.testing.assert_allclose(np.asarray(ll_lin), np.asarray(ll_log), rtol=1e-12)
+
+    p_lin, llf, llb = posteriors_blocked_lin(el_blk, d_blk, jF, ja, S_)
+    p_log, llf_s, _ = posteriors(jnp.asarray(e), jnp.asarray(dist), jF, ja)
+    np.testing.assert_allclose(np.asarray(p_lin), np.asarray(p_log), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(llf), np.asarray(llf_s), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(llb), np.asarray(llf_s), rtol=1e-12)
+
+    L_l, gF_l, ga_l = loglik_value_and_grad_blocked_lin(jF, ja, el_blk, d_blk)
+    L_s, gF_s, ga_s = loglik_value_and_grad(jF, ja, jnp.asarray(e), jnp.asarray(dist))
+    np.testing.assert_allclose(np.asarray(L_l), np.asarray(L_s), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gF_l), np.asarray(gF_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ga_l), np.asarray(ga_s), rtol=1e-9)
+
+
+def test_linear_float32_large_magnitude():
+    """Linear scaled kernels keep f32 accuracy at |loglik| ~ 5e4."""
+    S, N, bs = 40_000, 4, 164
+    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=S, N=N, chrom_break_every=9973)
+    p64, llf64, _ = posteriors(jnp.asarray(e), jnp.asarray(dist), jnp.asarray(F), jnp.asarray(alpha))
+    L64, gF64, ga64 = loglik_value_and_grad(
+        jnp.asarray(F), jnp.asarray(alpha), jnp.asarray(e), jnp.asarray(dist)
+    )
+    el32, d32, S_ = _blk_lin(e, dist, bs, dtype=jnp.float32)
+    F32, a32 = jnp.asarray(F, jnp.float32), jnp.asarray(alpha, jnp.float32)
+    p32, llf32, llb32 = posteriors_blocked_lin(el32, d32, F32, a32, S_)
+    np.testing.assert_allclose(np.asarray(p32), np.asarray(p64), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(llf32), np.asarray(llf64), rtol=1e-5)
+    L32, gF32, ga32 = loglik_value_and_grad_blocked_lin(F32, a32, el32, d32)
+    np.testing.assert_allclose(np.asarray(L32), np.asarray(L64), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gF32), np.asarray(gF64), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(ga32), np.asarray(ga64), rtol=5e-3)
+
+
+def test_linear_em_iteration_matches_log():
+    """Full EM iterations in linear mode track the f64 log-mode trajectory."""
+    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+
+    S, N = 500, 5
+    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=S, N=N)
+    gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)))  # ind-major -> site-major
+    dist_j = jnp.asarray(dist)
+    st_log = init_state(gl_j, jnp.asarray(freq), jnp.asarray(F), jnp.asarray(alpha))
+    st_lin = st_log
+    for _ in range(3):
+        st_log, _ = em_iteration(gl_j, dist_j, st_log, block_size=16)
+        st_lin, _ = em_iteration(
+            gl_j, dist_j, st_lin, block_size=16, numerics="linear"
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_lin.freq), np.asarray(st_log.freq), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_lin.indF), np.asarray(st_log.indF), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_lin.ind_lkl), np.asarray(st_log.ind_lkl), rtol=1e-10
+    )
 
 
 def test_pick_block_size():
