@@ -44,7 +44,16 @@ _OPTIONS = [
     # engine-only extensions (not in the reference):
     ("dtype", True, None),  # float64 (compat, default) | float32
     ("device", True, None),  # cpu | tpu (default: jax default backend)
-    ("kernel", True, None),  # scan (compat, default) | blocked
+    ("kernel", True, None),  # scan (compat, default) | blocked | linear
+    # multi-restart replicates on one device (the ngsF-HMM.sh protocol,
+    # ngsF-HMM.sh:9,83-116, as a vmapped axis; replicate r seeds its
+    # random inits with seed+r). 1 = plain single run.
+    ("n_rep", True, None),
+    # exact-resume checkpointing (io/checkpoint.py): --checkpoint FILE
+    # saves state+bookkeeping after every iteration (atomic); --resume
+    # continues from that file.
+    ("checkpoint", True, None),
+    ("resume", False, None),
 ]
 
 
@@ -92,6 +101,9 @@ def parse_args(argv):
         "dtype": "float64",
         "device": None,
         "kernel": "scan",
+        "n_rep": 1,
+        "checkpoint": None,
+        "resume": False,
     }
     short_map = {s: (name, has) for name, has, s in _OPTIONS if s}
     longs = [(name, has) for name, has, _ in _OPTIONS]
@@ -124,6 +136,8 @@ def parse_args(argv):
 
         if opt in ("lkl",):
             pars["lkl"] = True
+        elif opt == "resume":
+            pars["resume"] = True
         elif opt == "loglkl":
             pars["lkl"] = True
             pars["loglkl"] = True
@@ -133,7 +147,8 @@ def parse_args(argv):
             pars["log"] = int(val)
             pars["log_bin"] = True
         elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
-                     "min_iters", "max_iters", "n_threads", "verbose", "seed"):
+                     "min_iters", "max_iters", "n_threads", "verbose", "seed",
+                     "n_rep"):
             pars[opt] = int(val)
         elif opt == "min_epsilon":
             pars[opt] = float(val)
@@ -326,6 +341,8 @@ def main(argv=None):
                        jnp.asarray(alpha0, dtype=dtype))
 
     # ---- EM (EM.cpp:27-135)
+    if p["kernel"] not in ("scan", "blocked", "linear"):
+        error("main", f"invalid --kernel {p['kernel']!r} (scan|blocked|linear)")
     opts = EMOptions(
         freq_est=p["freq_est"],
         e_prob_calc=p["e_prob"],
@@ -335,6 +352,8 @@ def main(argv=None):
         max_iters=p["max_iters"],
         min_epsilon=p["min_epsilon"],
         verbose=p["verbose"],
+        block_size=None if p["kernel"] == "scan" else "auto",
+        numerics="linear" if p["kernel"] == "linear" else "log",
     )
 
     if p["verbose"] >= 5:
@@ -404,7 +423,58 @@ def main(argv=None):
                     )
             sys.stdout.flush()
 
-    result = run_em(gl_j, dist_j, state, opts, log_callback=log_cb, trace=trace)
+    ckpt_cb = None
+    resume_bk = None
+    if p["checkpoint"]:
+        from .io.checkpoint import load_checkpoint, save_checkpoint
+
+        if p["resume"]:
+            try:
+                state, resume_bk = load_checkpoint(p["checkpoint"])
+            except FileNotFoundError:
+                error("main", f'checkpoint file "{p["checkpoint"]}" not found')
+            except ValueError as e:
+                error("main", str(e))
+            if state.freq.shape[0] != p["n_sites"] or state.indF.shape[0] != p["n_ind"]:
+                error(
+                    "main",
+                    f"checkpoint shape mismatch: has {state.indF.shape[0]} ind x "
+                    f"{state.freq.shape[0]} sites, run is {p['n_ind']} x {p['n_sites']}",
+                )
+            if p["verbose"] >= 1:
+                print(
+                    f'==> Resuming from "{p["checkpoint"]}" at iteration '
+                    f"{int(resume_bk['n_iter'])}"
+                )
+
+        def ckpt_cb(n_iter, st, bk):
+            save_checkpoint(p["checkpoint"], st, bk)
+
+    elif p["resume"]:
+        error("main", "--resume requires --checkpoint FILE")
+
+    if p["n_rep"] > 1:
+        if p["checkpoint"]:
+            error("main", "--checkpoint is not supported with --n_rep > 1 yet")
+        # ngsF-HMM.sh multi-restart protocol as a vmapped axis: replicate
+        # r resolves its random inits with seed+r; best total lkl wins.
+        from .models.restart import run_em_restarts, stack_restart_states
+
+        states_r = stack_restart_states(
+            gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
+            freq_spec=p["freq"],
+        )
+        rres = run_em_restarts(gl_j, dist_j, states_r, opts)
+        if p["verbose"] >= 1:
+            for r, (lk, it) in enumerate(zip(rres.rep_lkl, rres.rep_iters)):
+                tag = "  <== best" if r == rres.best_rep else ""
+                print(f"Replicate {r + 1}: logLkl {lk:.6f} ({it} iters){tag}")
+        result = rres.best
+    else:
+        result = run_em(
+            gl_j, dist_j, state, opts, log_callback=log_cb, trace=trace,
+            checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
+        )
 
     if not result.converged:
         print(

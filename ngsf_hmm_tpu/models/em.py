@@ -290,6 +290,8 @@ def run_em(
     opts: EMOptions,
     log_callback=None,
     trace=None,
+    checkpoint_cb=None,
+    resume_bookkeeping=None,
 ) -> EMResult:
     """Full training loop (reference: EM, EM.cpp:27-135).
 
@@ -299,6 +301,10 @@ def run_em(
     including iter 0's pre-EM state).
     trace(event, **kw): optional stdout-parity hook; events "iter_start"
     and "iter_done" carry the values the reference prints at verbose 1-3.
+    checkpoint_cb(n_iter, state, bookkeeping): invoked after every
+    iteration with the host-loop bookkeeping dict needed for an exact
+    resume; resume_bookkeeping: such a dict (io/checkpoint.py) to
+    continue a run from where it stopped.
     """
     import time
 
@@ -309,6 +315,14 @@ def run_em(
     prev_ind = np.full(N, -np.inf)
     max_eps = -np.inf
     history = []
+    if resume_bookkeeping:
+        bk = resume_bookkeeping
+        n_iter = int(bk["n_iter"])
+        prev_tot = float(bk["prev_tot"])
+        tot = float(bk["tot"])
+        prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
+        max_eps = float(bk["max_eps"])
+        history = list(bk.get("history", []))
 
     def keep_going():
         return (
@@ -352,6 +366,19 @@ def run_em(
         max_eps = ind_eps[imax]
         prev_ind = ind_lkl
         history.append(tot)
+        if checkpoint_cb is not None:
+            checkpoint_cb(
+                n_iter,
+                state,
+                {
+                    "n_iter": n_iter,
+                    "prev_tot": prev_tot,
+                    "tot": tot,
+                    "prev_ind": prev_ind,
+                    "max_eps": float(max_eps),
+                    "history": history,
+                },
+            )
         if trace is not None:
             trace(
                 "iter_done",

@@ -1,0 +1,125 @@
+"""Checkpoint/resume: a run interrupted at iteration k and resumed must
+finish with results identical to an uninterrupted run (exact resume,
+including the convergence bookkeeping of the host loop)."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ngsf_hmm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ngsf_hmm_tpu.models.em import EMOptions, init_state, run_em
+from ngsf_hmm_tpu.tools.simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    simulate(n_ind=4, n_sites=250, freq="0.2", site_pos="r", indF="0.5",
+             alpha="0.01", depth="2", error=0.01, seed=7, out=str(d / "sim"))
+    from ngsf_hmm_tpu.io import readers
+    from ngsf_hmm_tpu.ops.hwe import post_prob
+
+    gl = readers.read_geno(str(d / "sim.glf.gz"), 4, 250, probs=True,
+                           log_scale=True)
+    dist = readers.read_pos_dist(str(d / "sim.pos.gz"), 250) / 1e6
+    gl_j = post_prob(jnp.asarray(gl), None)
+    return gl_j, jnp.asarray(dist), d
+
+
+def _fresh_state(gl):
+    S, N = gl.shape[0], gl.shape[1]
+    return init_state(
+        gl,
+        jnp.full((S,), 0.15, gl.dtype),
+        jnp.full((N,), 0.3, gl.dtype),
+        jnp.full((N,), 0.05, gl.dtype),
+    )
+
+
+def test_exact_resume(data, tmp_path):
+    gl, dist, _ = data
+    opts = EMOptions(min_iters=4, max_iters=15, min_epsilon=1e-4)
+    ck = str(tmp_path / "run.ckpt.npz")
+
+    # uninterrupted run
+    full = run_em(gl, dist, _fresh_state(gl), opts)
+
+    # interrupted at iteration 3 via an exception from the checkpoint cb
+    class Stop(Exception):
+        pass
+
+    saved = {}
+
+    def cb(n_iter, st, bk):
+        save_checkpoint(ck, st, bk)
+        saved["n"] = n_iter
+        if n_iter == 3:
+            raise Stop
+
+    with pytest.raises(Stop):
+        run_em(gl, dist, _fresh_state(gl), opts, checkpoint_cb=cb)
+    assert saved["n"] == 3
+
+    st, bk = load_checkpoint(ck)
+    assert bk["n_iter"] == 3
+    resumed = run_em(gl, dist, st, opts, resume_bookkeeping=bk)
+
+    assert resumed.n_iters == full.n_iters
+    assert resumed.tot_lkl == pytest.approx(full.tot_lkl, rel=1e-14)
+    np.testing.assert_array_equal(resumed.path, full.path)
+    for f in ("freq", "indF", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(resumed.state, f)),
+            np.asarray(getattr(full.state, f)),
+            rtol=1e-13,
+        )
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, __meta__=np.frombuffer(b'{"format": "nope"}', dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a ngsf-hmm-tpu-ckpt"):
+        load_checkpoint(str(bad))
+
+
+def test_cli_checkpoint_resume(data, tmp_path):
+    _, _, simdir = data
+    from ngsf_hmm_tpu.cli import main
+
+    args = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 4 --n_sites 250 "
+        "--freq 0.15 --indF 0.3,0.05 --min_iters 4 --max_iters 12 "
+        "--min_epsilon 1e-4 --checkpoint run.ck "
+    )
+    cwd = os.getcwd()
+    try:
+        os.chdir(simdir)
+        with contextlib.redirect_stdout(io.StringIO()):
+            rc = main((args + "--out a").split())
+        assert rc == 0
+        # resume from the final checkpoint: converges immediately, outputs
+        # must match the completed run's
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main((args + "--resume --out b").split())
+        assert rc == 0
+        assert "Resuming from" in buf.getvalue()
+        a = (simdir / "a.indF").read_text()
+        b = (simdir / "b.indF").read_text()
+        assert a == b
+    finally:
+        os.chdir(cwd)
+
+
+def test_cli_resume_without_checkpoint_errors(data):
+    from ngsf_hmm_tpu.cli import main
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(SystemExit):
+            main(
+                "--geno x --pos y --n_ind 2 --n_sites 10 --resume".split()
+            )
