@@ -57,6 +57,10 @@ def _numeric_tokens(line):
 def read_pos_dist(path, n_sites):
     """Positions file -> (dist_bp [S] float64). dist[0] = first coordinate,
     +inf at chromosome breaks (read_data.cpp:165-218)."""
+    from . import native
+
+    if native.available():
+        return native.read_pos_dist(path, n_sites)
     dist = np.full(n_sites, np.inf)
     prev_chr = None
     prev_pos = 0
@@ -115,6 +119,12 @@ def read_geno(path, n_ind, n_sites, binary=False, probs=False, log_scale=False):
     one called genotype.
     log_scale: text probs already in log space (--loglkl).
     """
+    from . import native
+
+    if native.available():
+        if binary:
+            return native.read_geno_binary(path, n_ind, n_sites, log_scale)
+        return native.read_geno_text(path, n_ind, n_sites, probs, log_scale)
     if binary:
         data = np.fromfile(path, dtype="<f8")
         if data.size != n_sites * n_ind * N_GENO:
