@@ -162,9 +162,13 @@ def time_ours(gl, pos):
         jnp.full((N,), 0.05, dtype),
     )
 
+    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
+
+    gl_tiles = prepare_gl_tiles(jnp.exp(gl_d))
+
     def step(st):
         st2, _ = em_iteration(
-            gl_d, dist_d, st, block_size="auto", numerics="linear"
+            gl_d, dist_d, st, numerics="pallas", gl_tiles=gl_tiles
         )
         return st2
 

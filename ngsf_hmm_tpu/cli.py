@@ -44,7 +44,7 @@ _OPTIONS = [
     # engine-only extensions (not in the reference):
     ("dtype", True, None),  # float64 (compat, default) | float32
     ("device", True, None),  # cpu | tpu (default: jax default backend)
-    ("kernel", True, None),  # scan (compat, default) | blocked | linear
+    ("kernel", True, None),  # scan (compat, default) | blocked | linear | pallas
     # multi-restart replicates on one device (the ngsF-HMM.sh protocol,
     # ngsF-HMM.sh:9,83-116, as a vmapped axis; replicate r seeds its
     # random inits with seed+r). 1 = plain single run.
@@ -341,8 +341,8 @@ def main(argv=None):
                        jnp.asarray(alpha0, dtype=dtype))
 
     # ---- EM (EM.cpp:27-135)
-    if p["kernel"] not in ("scan", "blocked", "linear"):
-        error("main", f"invalid --kernel {p['kernel']!r} (scan|blocked|linear)")
+    if p["kernel"] not in ("scan", "blocked", "linear", "pallas"):
+        error("main", f"invalid --kernel {p['kernel']!r} (scan|blocked|linear|pallas)")
     opts = EMOptions(
         freq_est=p["freq_est"],
         e_prob_calc=p["e_prob"],
@@ -352,8 +352,8 @@ def main(argv=None):
         max_iters=p["max_iters"],
         min_epsilon=p["min_epsilon"],
         verbose=p["verbose"],
-        block_size=None if p["kernel"] == "scan" else "auto",
-        numerics="linear" if p["kernel"] == "linear" else "log",
+        block_size=None if p["kernel"] in ("scan", "pallas") else "auto",
+        numerics={"linear": "linear", "pallas": "pallas"}.get(p["kernel"], "log"),
     )
 
     if p["verbose"] >= 5:

@@ -49,6 +49,7 @@ from .hmm_blocked import (
     posteriors_blocked,
     posteriors_blocked_lin,
 )
+from . import hmm_pallas
 from .lbfgsb import lbfgsb_minimize
 
 
@@ -122,6 +123,7 @@ def em_iteration(
     axis_name: Optional[str] = None,
     block_size: Optional[int] = None,
     numerics: str = "log",
+    gl_tiles=None,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -135,25 +137,44 @@ def em_iteration(
     "auto" picks the depth-minimising size; None keeps the sequential
     kernels whose float64 results are ULP-compatible with the reference.
 
-    numerics: "log" (reference-faithful log-space semiring) or "linear"
-    (scaled probability-space kernels + linear est_maf/emissions --
-    transcendental-free hot loops, ~equally accurate in f32 thanks to
-    per-site renormalisation; requires block_size). State invariants are
-    mode-independent: state.e_prob is ALWAYS log-space.
+    numerics: "log" (reference-faithful log-space semiring), "linear"
+    (scaled probability-space XLA kernels; requires block_size), or
+    "pallas" (Pallas TPU kernels with VMEM-resident carries, the fastest
+    path -- models/hmm_pallas.py; block_size is chosen by the kernel
+    module when not given). Both speed modes run transcendental-free hot
+    loops and are ~equally accurate in f32 thanks to per-site
+    renormalisation. State invariants are mode-independent: state.e_prob
+    is ALWAYS log-space.
+
+    gl_tiles: (pallas mode) ops.maf_pallas.prepare_gl_tiles(exp(gl)),
+    cached by the caller across iterations (gl is constant); routes the
+    freq M-step through the VMEM-resident est_maf kernel.
     """
     N = gl.shape[1]
     S = gl.shape[0]
     dtype = gl.dtype
+    if numerics not in ("log", "linear", "pallas"):
+        raise ValueError(
+            f"numerics must be 'log', 'linear' or 'pallas', got {numerics!r}"
+        )
+    use_pallas = numerics == "pallas"
     if block_size == "auto":
-        block_size = pick_block_size(S)
-    if numerics not in ("log", "linear"):
-        raise ValueError(f"numerics must be 'log' or 'linear', got {numerics!r}")
+        block_size = (
+            hmm_pallas.pick_block_size(S) if use_pallas else pick_block_size(S)
+        )
     linear = numerics == "linear"
     if linear and not block_size:
         raise ValueError("numerics='linear' requires block_size")
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
-    if block_size:
+    if use_pallas:
+        prep = hmm_pallas.prepare_inputs(state.e_prob, dist, bs=block_size)
+        p_raw, ll_f, ll_b = hmm_pallas.posteriors_pallas(
+            state.indF, state.alpha, prep
+        )
+        p_raw = p_raw.astype(dtype)
+        ll_f, ll_b = ll_f.astype(dtype), ll_b.astype(dtype)
+    elif block_size:
         dist_blk, _ = block_sites(dist, block_size, 0.0)
         if linear:
             e_blk, _ = block_sites(jnp.exp(state.e_prob), block_size, 1.0)
@@ -196,7 +217,28 @@ def em_iteration(
             axis=-1,
         )
 
-        if block_size:
+        objective_multi = None
+        if use_pallas:
+
+            def objective(x):
+                ll = hmm_pallas.forward_loglik_pallas(
+                    x[None, :, 0], x[None, :, 1], prep
+                )[0]
+                return -ll.astype(dtype)
+
+            def objective_multi(xs):  # [K, N, 2] line-search ladder
+                ll = hmm_pallas.forward_loglik_pallas(
+                    xs[..., 0], xs[..., 1], prep
+                )
+                return -ll.astype(dtype)
+
+            def objective_vag(x):
+                L, gF, ga = hmm_pallas.loglik_value_and_grad_pallas(
+                    x[:, 0], x[:, 1], prep
+                )
+                return -L.astype(dtype), -jnp.stack([gF, ga], axis=-1).astype(dtype)
+
+        elif block_size:
             _ll = forward_loglik_blocked_lin if linear else forward_loglik_blocked
             _vag = (
                 loglik_value_and_grad_blocked_lin
@@ -223,7 +265,8 @@ def em_iteration(
                 return -L, -jnp.stack([gF, ga], axis=-1)
 
         x_opt, _, opt_iters = lbfgsb_minimize(
-            objective, x0, lo, hi, value_and_grad=objective_vag
+            objective, x0, lo, hi, value_and_grad=objective_vag,
+            fun_multi=objective_multi,
         )
         indF, alpha = x_opt[:, 0], x_opt[:, 1]
 
@@ -233,15 +276,23 @@ def em_iteration(
         # branch (SURVEY.md §3.6e).
         freq, e_prob = state.freq, state.e_prob
     elif freq_est == 1:
-        if linear:
+        fast = linear or use_pallas
+        if fast:
             # Transcendental-free fixed point + emissions; state.e_prob
             # stays log-space (one log pass at the end).
             gl_lin = jnp.exp(gl)
-            freq = est_maf(gl_lin, p_ibd, axis_name=axis_name, linear=True)
+            if use_pallas and gl_tiles is not None and axis_name is None:
+                from ..ops.maf_pallas import est_maf_pallas
+
+                freq = est_maf_pallas(gl_tiles, p_ibd, S).astype(dtype)
+            else:
+                freq = est_maf(
+                    gl_lin, p_ibd, axis_name=axis_name, linear=True
+                )
         else:
             freq = est_maf(gl, p_ibd, axis_name=axis_name)
         if e_prob_calc == 1:
-            if linear:
+            if fast:
                 e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
             else:
                 e_prob = calc_emission(gl, freq[:, None])
@@ -324,6 +375,12 @@ def run_em(
         max_eps = float(bk["max_eps"])
         history = list(bk.get("history", []))
 
+    gl_tiles = None
+    if opts.numerics == "pallas" and opts.freq_est == 1:
+        from ..ops.maf_pallas import prepare_gl_tiles
+
+        gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant across iters
+
     def keep_going():
         return (
             prev_tot - tot > opts.min_epsilon
@@ -349,6 +406,7 @@ def run_em(
             alpha_fixed=opts.alpha_fixed,
             block_size=opts.block_size,
             numerics=opts.numerics,
+            gl_tiles=gl_tiles,
         )
         if opts.check_fwbw:
             d = float(stats.fwbw_maxdiff)

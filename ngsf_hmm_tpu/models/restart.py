@@ -75,6 +75,12 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
     R = states.indF.shape[0]
     N = gl.shape[1]
 
+    if opts.numerics == "pallas":
+        # Pallas kernels don't vmap over the replicate axis; the XLA
+        # linear kernels are the replicate-batched speed path.
+        opts = dataclasses.replace(opts, numerics="linear",
+                                   block_size=opts.block_size or "auto")
+
     step = jax.vmap(
         lambda st: em_iteration(
             gl,

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel for the est_maf damped fixed point.
+
+The XLA est_maf (ops/maf.py) re-reads the full [S, N, 3] genotype-
+likelihood tensor from HBM on every fixed-point pass (up to 101 passes,
+~12-16ms at 100k x 32). Here sites are tiled into [N, TS] lanes: each
+grid step loads its tile's GLs into VMEM ONCE and iterates the damped
+fixed point (reference: gen_func.cpp:974-1009, including the
+never-reset num/den accumulators, SURVEY.md S3.6b) entirely on-chip
+with a per-tile early exit -- cost follows the tile's own convergence,
+not the global worst site.
+
+Only the single-chip linear path runs here; the sharded path (psum over
+the individual mesh axis each pass) stays in ops/maf.py.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import EPSILON, ITER_MAX
+
+TS = 512  # sites per tile: small enough that early exit tracks per-tile
+          # convergence, large enough to fill VPU lanes
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def prepare_gl_tiles(gl_lin):
+    """[S, N, 3] linear GLs -> (gl0, gl1, gl2) [n_tiles, N, TS] f32.
+
+    Pad sites use gl = 1 (uniform likelihood): their fixed point is a
+    damped identity that converges in a few passes, so they never hold a
+    tile's early exit hostage.
+    """
+    S, N = gl_lin.shape[0], gl_lin.shape[1]
+    n_tiles = -(-S // TS)
+    pad = n_tiles * TS - S
+    if pad:
+        gl_lin = jnp.pad(
+            gl_lin, ((0, pad), (0, 0), (0, 0)), constant_values=1.0
+        )
+    # [n_tiles*TS, N, 3] -> [n_tiles, TS, N, 3] -> per-genotype [n_tiles, N, TS]
+    g = gl_lin.reshape(n_tiles, TS, N, 3).astype(jnp.float32)
+    g = jnp.transpose(g, (0, 2, 1, 3))  # [n_tiles, N, TS, 3]
+    return g[..., 0], g[..., 1], g[..., 2]
+
+
+def prepare_p_tiles(p_ibd):
+    """[S, N] IBD posteriors -> [n_tiles, N, TS] f32 (pad F = 0)."""
+    S, N = p_ibd.shape[0], p_ibd.shape[1]
+    n_tiles = -(-S // TS)
+    pad = n_tiles * TS - S
+    if pad:
+        p_ibd = jnp.pad(p_ibd, ((0, pad), (0, 0)), constant_values=0.0)
+    p = p_ibd.reshape(n_tiles, TS, N).astype(jnp.float32)
+    return jnp.transpose(p, (0, 2, 1))
+
+
+@partial(jax.jit, static_argnames=("n_ind",))
+def _run(gl0, gl1, gl2, p, n_ind):
+    n_tiles = gl0.shape[0]
+    N = n_ind
+
+    def kernel(g0_ref, g1_ref, g2_ref, p_ref, freq_ref):
+        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [N, TS]
+        F = p_ref[0]
+        two_m_F = 2.0 - F
+
+        # The active mask is carried as f32 (0/1): Mosaic cannot yet
+        # legalize i1 vectors in while_loop carries on this toolchain.
+        def cond(st):
+            return jnp.sum(st[3]) > 0.0
+
+        def body(st):
+            freq, num, den, active, passes = st
+            prev = freq
+            pq = (1.0 - freq) * freq
+            pr0 = (1.0 - freq) * (1.0 - freq) + pq * F
+            pr1 = 2.0 * pq - 2.0 * pq * F
+            pr2 = freq * freq + pq * F
+            pp0 = g0 * pr0
+            pp1 = g1 * pr1
+            pp2 = g2 * pr2
+            inv = 1.0 / (pp0 + pp1 + pp2)
+            pp0, pp1, pp2 = pp0 * inv, pp1 * inv, pp2 * inv
+            cn = jnp.sum(pp1 + pp2 * two_m_F, axis=0, keepdims=True)
+            cd = jnp.sum(
+                2.0 * pp1 + (pp0 + pp2) * two_m_F, axis=0, keepdims=True
+            )
+            num = num + active * cn
+            den = den + active * cd
+            freq = freq + active * (num / den - freq)
+            passes = passes + 1
+            moved = (jnp.abs(prev - freq) > EPSILON).astype(jnp.float32)
+            inside = jnp.float32(1.0) * (passes <= ITER_MAX)
+            active = active * moved * inside
+            return (freq, num, den, active, passes)
+
+        z = jnp.zeros((1, gl0.shape[2]), jnp.float32)
+        init = (
+            jnp.full((1, gl0.shape[2]), 0.01, jnp.float32),
+            z,
+            z,
+            jnp.ones((1, gl0.shape[2]), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        freq_ref[0] = out[0]
+
+    tile = lambda: pl.BlockSpec(
+        (1, N, TS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TS), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[tile(), tile(), tile(), tile()],
+        out_specs=pl.BlockSpec(
+            (1, 1, TS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(gl0, gl1, gl2, p)
+
+
+def est_maf_pallas(gl_tiles, p_ibd, S):
+    """Per-site MAF from pre-tiled linear GLs + current IBD posterior.
+
+    gl_tiles: prepare_gl_tiles output (cache it: gl is constant across EM
+    iterations). Returns freq [S] f32.
+    """
+    gl0, gl1, gl2 = gl_tiles
+    p = prepare_p_tiles(p_ibd)
+    freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
+    return freq.reshape(-1)[:S]

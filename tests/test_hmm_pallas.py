@@ -1,0 +1,119 @@
+"""Pallas HMM kernels vs the f64 sequential oracle kernels.
+
+Run in interpreter mode on CPU CI (identical kernel code paths to TPU);
+f32 tolerances as in the blocked-linear tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from ngsf_hmm_tpu.models.hmm import (
+    forward_loglik,
+    loglik_value_and_grad,
+    posteriors,
+)
+from ngsf_hmm_tpu.models.hmm_pallas import (
+    forward_loglik_pallas,
+    loglik_value_and_grad_pallas,
+    pick_block_size,
+    posteriors_pallas,
+    prepare_inputs,
+)
+
+RNG = np.random.default_rng(21)
+
+
+def _case(S, N, br=0):
+    gl, freq, dist, F, alpha, e = oracle.random_case(
+        RNG, S=S, N=N, chrom_break_every=br
+    )
+    return (jnp.asarray(e), jnp.asarray(dist), jnp.asarray(F),
+            jnp.asarray(alpha))
+
+
+@pytest.mark.parametrize("S,N,bs,br", [
+    (61, 4, 8, 17), (128, 8, 16, 0), (333, 5, 64, 101), (40, 3, 40, 0),
+])
+def test_pallas_loglik_matches(S, N, bs, br):
+    e, dist, F, alpha = _case(S, N, br)
+    prep = prepare_inputs(e, dist, bs=bs)
+    ll_p = forward_loglik_pallas(F[None], alpha[None], prep)[0]
+    ll_s = forward_loglik(F, alpha, e, dist)
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_s), rtol=2e-6)
+
+
+def test_pallas_loglik_candidate_batch():
+    """B>1 rows must equal independent single evaluations."""
+    e, dist, F, alpha = _case(77, 4, 13)
+    prep = prepare_inputs(e, dist, bs=16)
+    Fs = jnp.stack([F, F * 0.7, jnp.clip(F * 1.2, 0, 0.99)])
+    As = jnp.stack([alpha, alpha * 2.0, alpha * 0.5])
+    ll_b = forward_loglik_pallas(Fs, As, prep)
+    for k in range(3):
+        ll_1 = forward_loglik_pallas(Fs[k][None], As[k][None], prep)[0]
+        np.testing.assert_allclose(np.asarray(ll_b[k]), np.asarray(ll_1),
+                                   rtol=1e-6)
+        ll_s = forward_loglik(Fs[k].astype(jnp.float64),
+                              As[k].astype(jnp.float64), e, dist)
+        np.testing.assert_allclose(np.asarray(ll_b[k]), np.asarray(ll_s),
+                                   rtol=2e-6)
+
+
+@pytest.mark.parametrize("S,N,bs,br", [(61, 4, 8, 17), (200, 6, 32, 47)])
+def test_pallas_value_and_grad_matches(S, N, bs, br):
+    e, dist, F, alpha = _case(S, N, br)
+    prep = prepare_inputs(e, dist, bs=bs)
+    L_p, gF_p, ga_p = loglik_value_and_grad_pallas(F, alpha, prep)
+    L_s, gF_s, ga_s = loglik_value_and_grad(F, alpha, e, dist)
+    np.testing.assert_allclose(np.asarray(L_p), np.asarray(L_s), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(gF_p), np.asarray(gF_s), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_s), rtol=2e-3)
+
+
+@pytest.mark.parametrize("S,N,bs,br", [(61, 4, 8, 17), (150, 5, 50, 0)])
+def test_pallas_posteriors_match(S, N, bs, br):
+    e, dist, F, alpha = _case(S, N, br)
+    prep = prepare_inputs(e, dist, bs=bs)
+    p_p, llf_p, llb_p = posteriors_pallas(F, alpha, prep)
+    p_s, llf_s, llb_s = posteriors(e, dist, F, alpha)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(llf_p), np.asarray(llf_s), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(llb_p), np.asarray(llb_s), rtol=2e-6)
+
+
+def test_pick_block_size():
+    assert pick_block_size(100_000) >= 256
+    assert pick_block_size(10) == 10
+
+
+def test_pallas_em_iteration_matches_log():
+    """Full EM iterations in pallas mode track the f64 log-mode
+    trajectory (f32 kernel tolerances)."""
+    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+
+    S, N = 400, 5
+    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=S, N=N,
+                                                     chrom_break_every=113)
+    gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)))
+    dist_j = jnp.asarray(dist)
+    st_log = init_state(gl_j, jnp.asarray(freq), jnp.asarray(F),
+                        jnp.asarray(alpha))
+    st_pal = st_log
+    for _ in range(3):
+        st_log, _ = em_iteration(gl_j, dist_j, st_log, block_size=16)
+        st_pal, stats = em_iteration(
+            gl_j, dist_j, st_pal, numerics="pallas"
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.freq), np.asarray(st_log.freq), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.indF), np.asarray(st_log.indF), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.ind_lkl), np.asarray(st_log.ind_lkl), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.p_ibd), np.asarray(st_log.p_ibd), atol=5e-3
+    )

@@ -33,3 +33,25 @@ def test_est_maf_uniform_prior():
     gl -= np.log(np.exp(gl).sum(-1, keepdims=True))
     got = np.asarray(est_maf(jnp.asarray(gl), None))
     assert np.all(np.abs(got - geno.mean(axis=1) / 2) < 0.05)
+
+
+def test_est_maf_pallas_matches_xla():
+    """The VMEM-resident pallas fixed point must reproduce ops/maf.py
+    (same damped-accumulator trajectories, per-tile early exit only
+    freezes already-frozen lanes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngsf_hmm_tpu.ops.maf import est_maf
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
+
+    rng = np.random.default_rng(5)
+    S, N = 1100, 7  # crosses tile boundaries (TS=512) with a ragged tail
+    raw = rng.random((S, N, 3)) + 1e-4
+    gl_lin = jnp.asarray(raw / raw.sum(-1, keepdims=True), jnp.float32)
+    p_ibd = jnp.asarray(np.clip(rng.random((S, N)), 0.0, 1.0), jnp.float32)
+
+    want = est_maf(gl_lin, p_ibd, linear=True)
+    tiles = prepare_gl_tiles(gl_lin)
+    got = est_maf_pallas(tiles, p_ibd, S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
