@@ -374,10 +374,44 @@ def _block_transfer_lin(e_blk, dist_blk, F, alpha):
     return A, log_norm
 
 
-def _fw_block_starts_lin(A, log_norm, F):
-    """Linear forward carries at block starts + total log-likelihood."""
+def fold_transfer_lin(A, log_norm):
+    """Collapse per-block transfer matrices to ONE normalised matrix.
+
+    Returns (T [N, 2, 2] with max entry 1, log_scale [N]): the transfer
+    product of the whole segment. This is the quantity exchanged across
+    site-sharded devices (parallel/site_sharded.py): a shard's entire
+    contribution to the chain is its 2x2 transfer product.
+    """
     N = A.shape[1]
-    q = jnp.stack([1.0 - F, F], -1)  # [N, 2]
+
+    def step(carry, xs):
+        c, off = carry
+        a, ln = xs
+        n00 = c[..., 0, 0] * a[..., 0, 0] + c[..., 0, 1] * a[..., 1, 0]
+        n01 = c[..., 0, 0] * a[..., 0, 1] + c[..., 0, 1] * a[..., 1, 1]
+        n10 = c[..., 1, 0] * a[..., 0, 0] + c[..., 1, 1] * a[..., 1, 0]
+        n11 = c[..., 1, 0] * a[..., 0, 1] + c[..., 1, 1] * a[..., 1, 1]
+        m = jnp.maximum(jnp.maximum(n00, n01), jnp.maximum(n10, n11))
+        m = jnp.maximum(m, _TINY)
+        inv = 1.0 / m
+        new = jnp.stack(
+            [jnp.stack([n00 * inv, n01 * inv], -1),
+             jnp.stack([n10 * inv, n11 * inv], -1)], -2)
+        return (new, off + jnp.log(m) + ln), None
+
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=A.dtype), (N, 2, 2))
+    (T, off), _ = jax.lax.scan(step, (eye, jnp.zeros((N,), A.dtype)),
+                               (A, log_norm))
+    return T, off
+
+
+def _fw_block_starts_lin(A, log_norm, F, v0=None):
+    """Linear forward carries at block starts + total log-likelihood.
+
+    v0: optional [N, 2] normalised boundary carry entering the segment
+    (site-sharded runs; defaults to the stationary q(F))."""
+    N = A.shape[1]
+    q = jnp.stack([1.0 - F, F], -1) if v0 is None else v0  # [N, 2]
 
     def step(carry, xs):
         v, off = carry
@@ -395,10 +429,13 @@ def _fw_block_starts_lin(A, log_norm, F):
     return starts, ll_f
 
 
-def _bw_block_ends_lin(A, log_norm, F):
-    """Linear backward values at block ends + backward-side loglik."""
+def _bw_block_ends_lin(A, log_norm, F, wT=None):
+    """Linear backward values at block ends + backward-side loglik.
+
+    wT: optional [N, 2] normalised backward boundary carry entering from
+    the right (site-sharded runs; defaults to ones)."""
     nb, N = A.shape[0], A.shape[1]
-    one = jnp.ones((N, 2), A.dtype)
+    one = jnp.ones((N, 2), A.dtype) if wT is None else wT
 
     def step(carry, xs):
         w, off = carry
@@ -423,15 +460,18 @@ def forward_loglik_blocked_lin(F, alpha, e_blk, dist_blk):
     return ll_f
 
 
-def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk):
+def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk, v0=None, wT=None):
     """Per-site max-normalised linear fw/bw vectors, blocked layout.
 
     Returns (fw_prev, fw, bw, ll_f, ll_b) with vectors renormalised per
     site (consumers use within-site ratios only, like the log variant).
+    v0/wT: optional [N, 2] boundary carries for site-sharded segments
+    (ll_f/ll_b are then SEGMENT-local quantities; the caller owns the
+    global likelihood).
     """
     A, log_norm = _block_transfer_lin(e_blk, dist_blk, F, alpha)
-    starts, ll_f = _fw_block_starts_lin(A, log_norm, F)
-    ends, ll_b = _bw_block_ends_lin(A, log_norm, F)
+    starts, ll_f = _fw_block_starts_lin(A, log_norm, F, v0=v0)
+    ends, ll_b = _bw_block_ends_lin(A, log_norm, F, wT=wT)
 
     def fw_step(v, xs):
         e_i, d_i = xs
@@ -461,14 +501,15 @@ def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk):
     return fw_prev, fw, bw, ll_f, ll_b
 
 
-def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S):
+def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S, v0=None, wT=None):
     """IBD posterior from linear-space blocked inputs, natural site order.
 
     p1 = fw1*bw1 / (fw0*bw0 + fw1*bw1): per-site scales cancel in the
-    ratio; no transcendentals at all on this path.
+    ratio; no transcendentals at all on this path. v0/wT: site-sharded
+    boundary carries (see forward_backward_blocked_lin).
     """
     _, fw, bw, ll_f, ll_b = forward_backward_blocked_lin(
-        F, alpha, e_blk, dist_blk
+        F, alpha, e_blk, dist_blk, v0=v0, wT=wT
     )
     n1 = fw[..., 1] * bw[..., 1]
     n0 = fw[..., 0] * bw[..., 0]
@@ -476,15 +517,19 @@ def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S):
     return unblock_sites(p_blk, S), ll_f, ll_b
 
 
-def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk):
+def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk, v0=None,
+                                      wT=None, with_init_term=True):
     """Analytic (loglik, dL/dF, dL/dalpha) from linear blocked inputs.
 
     Identical math to loglik_value_and_grad_blocked with u_kl built from
     linear products fw_prev[k]*e[l]*bw[l], renormalised per site via
     sum_kl u_kl T_kl = 1 -- transcendental-free outside the loglik scales.
+    v0/wT/with_init_term: site-sharded segments pass boundary carries and
+    disable the initial-distribution dF term on every shard but the
+    first (it belongs to site 0 of the whole chain).
     """
     fw_prev, _, bw, ll_f, ll_b = forward_backward_blocked_lin(
-        F, alpha, e_blk, dist_blk
+        F, alpha, e_blk, dist_blk, v0=v0, wT=wT
     )
 
     d = dist_blk[..., None]
@@ -511,11 +556,12 @@ def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk):
     gF = (one_m * (-u00 + u01 - u10 + u11)).sum((0, 1))
     ga = (dx * (Fb * (u01 - u00) + (1.0 - Fb) * (u10 - u11))).sum((0, 1))
 
-    eb0 = eb[0, 0]  # [N, 2]
-    w0 = T00[0, 0] * eb0[:, 0] + T01[0, 0] * eb0[:, 1]
-    w1 = T10[0, 0] * eb0[:, 0] + T11[0, 0] * eb0[:, 1]
-    tot = (1.0 - F) * w0 + F * w1
-    gF = gF + (w1 - w0) / tot
+    if with_init_term:
+        eb0 = eb[0, 0]  # [N, 2]
+        w0 = T00[0, 0] * eb0[:, 0] + T01[0, 0] * eb0[:, 1]
+        w1 = T10[0, 0] * eb0[:, 0] + T11[0, 0] * eb0[:, 1]
+        tot = (1.0 - F) * w0 + F * w1
+        gF = gF + (w1 - w0) / tot
     return ll_f, gF, ga
 
 

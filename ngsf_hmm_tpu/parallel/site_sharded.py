@@ -1,0 +1,287 @@
+"""Site-dimension sharding: the long-context axis across chips.
+
+The reference processes sites strictly sequentially inside one thread
+(shared/HMM.cpp:13,40,104); hmm_blocked.py parallelises the site axis
+WITHIN a chip. This module shards it ACROSS chips (the context-parallel
+analog, SURVEY.md S5.7): each device owns a contiguous slab of sites and
+the only cross-chip state is each shard's 2x2 transfer product --
+ - every shard runs the local blocked linear passes on its slab;
+ - an all_gather of the P normalised [N, 2, 2] shard transfers (tiny:
+   P x N x 4 floats, rides ICI) lets every shard compute the global
+   prefix/suffix boundary carries AND the exact global likelihood
+   redundantly (so L-BFGS decisions stay lockstep without broadcasts);
+ - the freq M-step is fully LOCAL (sites sharded, individuals whole) --
+   the dual of the individual-sharded layout in sharded_em.py whose only
+   collective is the est_maf psum;
+ - the gradient is a psum of per-shard site sums, plus the initial-
+   distribution dF term on shard 0 only.
+
+Composable with the (restart, ind) mesh of mesh.py into 3-D meshes;
+here the mesh is 1-D ("site",).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.em import EMState, IterStats
+from ..models.hmm_blocked import (
+    _block_transfer_lin,
+    block_sites,
+    fold_transfer_lin,
+    forward_backward_blocked_lin,
+    loglik_value_and_grad_blocked_lin,
+    pick_block_size,
+    posteriors_blocked_lin,
+    unblock_sites,
+)
+from ..models.lbfgsb import lbfgsb_minimize
+from ..ops.emissions import emission_probs_linear
+from ..ops.hwe import check_interv
+from ..ops.maf import est_maf
+from ..utils.constants import ALPHA_MAX, ALPHA_MIN, F_MAX, F_MIN
+
+
+def make_site_mesh(n_shards=None, devices=None):
+    if devices is None:
+        devices = jax.devices()
+    if n_shards is None:
+        n_shards = len(devices)
+    arr = np.asarray(devices[:n_shards])
+    return Mesh(arr, axis_names=("site",))
+
+
+def _gather_chain(T, s, F, axis_name):
+    """All-gather shard transfers; return boundary carries + global lls.
+
+    T [N, 2, 2] (max-normalised), s [N] log scale of this shard.
+    Returns (v0 [N,2], wT [N,2], ll_f [N], ll_b [N]) where v0/wT are the
+    normalised forward/backward carries at this shard's boundaries and
+    the lls are the GLOBAL likelihoods (identical on every shard).
+    """
+    N = T.shape[0]
+    Ts = jax.lax.all_gather(T, axis_name)  # [P, N, 2, 2]
+    ss = jax.lax.all_gather(s, axis_name)  # [P, N]
+    Pn = Ts.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    q1 = F
+    q0 = 1.0 - F
+
+    def fwd(i, carry):
+        v0_, v1_, off, mine0, mine1 = carry
+        mine0 = jnp.where(i == me, v0_, mine0)
+        mine1 = jnp.where(i == me, v1_, mine1)
+        r0 = v0_ * Ts[i, :, 0, 0] + v1_ * Ts[i, :, 1, 0]
+        r1 = v0_ * Ts[i, :, 0, 1] + v1_ * Ts[i, :, 1, 1]
+        m = jnp.maximum(jnp.maximum(r0, r1), 1e-30)
+        inv = 1.0 / m
+        return (r0 * inv, r1 * inv, off + jnp.log(m) + ss[i], mine0, mine1)
+
+    z = jnp.zeros((N,), T.dtype)
+    v0_, v1_, off, m0, m1 = jax.lax.fori_loop(
+        0, Pn, fwd, (q0, q1, z, q0, q1)
+    )
+    ll_f = jnp.log(v0_ + v1_) + off
+    v0 = jnp.stack([m0, m1], -1)
+
+    def bwd(t, carry):
+        i = Pn - 1 - t
+        w0_, w1_, off, mine0, mine1 = carry
+        mine0 = jnp.where(i == me, w0_, mine0)
+        mine1 = jnp.where(i == me, w1_, mine1)
+        r0 = Ts[i, :, 0, 0] * w0_ + Ts[i, :, 0, 1] * w1_
+        r1 = Ts[i, :, 1, 0] * w0_ + Ts[i, :, 1, 1] * w1_
+        m = jnp.maximum(jnp.maximum(r0, r1), 1e-30)
+        inv = 1.0 / m
+        return (r0 * inv, r1 * inv, off + jnp.log(m) + ss[i], mine0, mine1)
+
+    one = jnp.ones((N,), T.dtype)
+    w0_, w1_, offb, n0, n1 = jax.lax.fori_loop(
+        0, Pn, bwd, (one, one, z, one, one)
+    )
+    ll_b = jnp.log(q0 * w0_ + q1 * w1_) + offb
+    wT = jnp.stack([n0, n1], -1)
+    return v0, wT, ll_f, ll_b
+
+
+def _chain(F, alpha, e_blk, d_blk, axis_name):
+    """Local transfer fold + cross-shard boundary assembly."""
+    A, ln = _block_transfer_lin(e_blk, d_blk, F, alpha)
+    T, s = fold_transfer_lin(A, ln)
+    return _gather_chain(T, s, F, axis_name)
+
+
+def site_em_iteration(
+    gl,
+    dist,
+    state: EMState,
+    freq_est: int = 1,
+    e_prob_calc: int = 1,
+    indF_fixed: bool = False,
+    alpha_fixed: bool = False,
+    axis_name: str = "site",
+    block_size=None,
+):
+    """One EM iteration on a site-sharded slab (runs under shard_map).
+
+    gl/dist/state.freq/e_prob/p_ibd hold THIS SHARD's sites; indF/alpha/
+    ind_lkl are replicated and stay identical across shards.
+    """
+    S_loc, N = gl.shape[0], gl.shape[1]
+    dtype = gl.dtype
+    if block_size is None:
+        block_size = pick_block_size(S_loc)
+    first = jax.lax.axis_index(axis_name) == 0
+
+    e_lin = jnp.exp(state.e_prob).astype(jnp.float32)
+    e_blk, _ = block_sites(e_lin, block_size, 1.0)
+    d_blk, _ = block_sites(dist.astype(jnp.float32), block_size, 0.0)
+    F32 = state.indF.astype(jnp.float32)
+    a32 = state.alpha.astype(jnp.float32)
+
+    # ---- E-step
+    v0, wT, ll_f, ll_b = _chain(F32, a32, e_blk, d_blk, axis_name)
+    p_raw, _, _ = posteriors_blocked_lin(
+        e_blk, d_blk, F32, a32, S_loc, v0=v0, wT=wT
+    )
+    p_ibd = check_interv(p_raw).astype(dtype)
+    ind_lkl = ll_f.astype(dtype)
+    fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b)).astype(dtype)
+
+    # ---- M-step 1: (F, alpha), global objective assembled per eval
+    if indF_fixed and alpha_fixed:
+        indF, alpha = state.indF, state.alpha
+        opt_iters = jnp.asarray(0, jnp.int32)
+    else:
+        x0 = jnp.stack([state.indF, state.alpha], -1)
+        lo = jnp.stack(
+            [
+                state.indF if indF_fixed else jnp.full((N,), F_MIN, dtype),
+                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MIN, dtype),
+            ],
+            -1,
+        )
+        hi = jnp.stack(
+            [
+                state.indF if indF_fixed else jnp.full((N,), F_MAX, dtype),
+                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MAX, dtype),
+            ],
+            -1,
+        )
+
+        def objective(x):
+            _, _, llf, _ = _chain(
+                x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32),
+                e_blk, d_blk, axis_name,
+            )
+            return -llf.astype(dtype)
+
+        def objective_vag(x):
+            Fx = x[:, 0].astype(jnp.float32)
+            ax = x[:, 1].astype(jnp.float32)
+            v0x, wTx, llf, _ = _chain(Fx, ax, e_blk, d_blk, axis_name)
+            Lloc, gF, ga = loglik_value_and_grad_blocked_lin(
+                Fx, ax, e_blk, d_blk, v0=v0x, wT=wTx,
+                with_init_term=False,
+            )
+            del Lloc  # segment-local; the global ll comes from the chain
+            g = jnp.stack([gF, ga], -1)
+            g = jax.lax.psum(g, axis_name)
+            # initial-distribution dF term lives on shard 0's site 0;
+            # zero elsewhere, so the psum just broadcasts it
+            g_init = _init_term(Fx, ax, e_blk, d_blk, wTx, first)
+            g = g.at[:, 0].add(jax.lax.psum(g_init, axis_name))
+            return -llf.astype(dtype), -g.astype(dtype)
+
+        x_opt, _, opt_iters = lbfgsb_minimize(
+            objective, x0, lo, hi, value_and_grad=objective_vag
+        )
+        indF, alpha = x_opt[:, 0], x_opt[:, 1]
+
+    # ---- M-step 2: freq, fully local in sites
+    if freq_est == 0:
+        freq, e_prob = state.freq, state.e_prob
+    else:
+        gl_lin = jnp.exp(gl)
+        freq = est_maf(gl_lin, p_ibd, linear=True).astype(dtype)
+        e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
+
+    new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
+    return new_state, IterStats(fwbw_maxdiff, opt_iters)
+
+
+def _init_term(F, alpha, e_blk, d_blk, wT, first):
+    """dF initial-distribution term (dq/dF = [-1, 1]) from global site 0.
+
+    Needs bw at site 0, i.e. a local backward pass; to stay cheap it
+    reuses the posterior machinery: bw(site0) is produced by
+    forward_backward_blocked_lin, but only its site-(0,0) value is used.
+    Zero on every shard but the first.
+    """
+    _, _, bw, _, _ = forward_backward_blocked_lin(
+        F, alpha, e_blk, d_blk, wT=wT
+    )
+    eb0 = e_blk[0, 0] * bw[0, 0]  # [N, 2]
+    d0 = d_blk[0, 0]
+    is_break = jnp.isinf(d0)
+    d_safe = jnp.where(is_break, 1.0, d0)
+    x = jnp.where(is_break, 0.0, jnp.exp(-alpha * d_safe))
+    onem = 1.0 - x
+    t00 = onem * (1.0 - F) + x
+    t01 = onem * F
+    t10 = onem * (1.0 - F)
+    t11 = onem * F + x
+    w0 = t00 * eb0[:, 0] + t01 * eb0[:, 1]
+    w1 = t10 * eb0[:, 0] + t11 * eb0[:, 1]
+    tot = (1.0 - F) * w0 + F * w1
+    g = (w1 - w0) / jnp.maximum(tot, 1e-30)
+    return jnp.where(first, g, jnp.zeros_like(g))
+
+
+def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
+                              indF_fixed=False, alpha_fixed=False):
+    """Jitted shard_map'd EM step over a ("site",) mesh.
+
+    gl [S, N, 3] and dist [S] sharded along sites; EMState: freq/e_prob/
+    p_ibd sharded along sites, indF/alpha/ind_lkl replicated.
+    """
+    state_specs = EMState(
+        freq=P("site"),
+        indF=P(),
+        alpha=P(),
+        e_prob=P("site", None, None),
+        p_ibd=P("site", None),
+        ind_lkl=P(),
+    )
+    core = partial(
+        site_em_iteration,
+        freq_est=freq_est,
+        e_prob_calc=e_prob_calc,
+        indF_fixed=indF_fixed,
+        alpha_fixed=alpha_fixed,
+        axis_name="site",
+    )
+    step = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P("site", None, None), P("site"), state_specs),
+        out_specs=(state_specs, IterStats(P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def shard_site_inputs(mesh, gl, dist, state):
+    dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    gl = dev(gl, P("site", None, None))
+    dist = dev(dist, P("site"))
+    specs = EMState(
+        freq=P("site"), indF=P(), alpha=P(),
+        e_prob=P("site", None, None), p_ibd=P("site", None), ind_lkl=P(),
+    )
+    state = EMState(*(dev(x, s) for x, s in zip(state, specs)))
+    return gl, dist, state
