@@ -54,6 +54,12 @@ _OPTIONS = [
     # continues from that file.
     ("checkpoint", True, None),
     ("resume", False, None),
+    # tracing/profiling (SURVEY.md S5.1): dump a JAX profiler trace of the
+    # EM loop to DIR (view with TensorBoard / xprof). The reference's
+    # equivalent is its verbose>=3 per-phase wall-clock timers
+    # (EM.cpp:277-284); on TPU a fused iteration has no host-visible
+    # phases, so the profiler trace IS the phase breakdown.
+    ("profile", True, None),
 ]
 
 
@@ -104,6 +110,7 @@ def parse_args(argv):
         "n_rep": 1,
         "checkpoint": None,
         "resume": False,
+        "profile": None,
     }
     short_map = {s: (name, has) for name, has, s in _OPTIONS if s}
     longs = [(name, has) for name, has, _ in _OPTIONS]
@@ -325,12 +332,13 @@ def main(argv=None):
             print(f'==> Reading initial frequency values from file "{fspec}".')
         else:
             print(f"==> Setting initial frequency values to: {fspec}")
-    if p["freq_est"] == 2 or p["e_prob"] == 2:
-        error(
+    if p["freq_est"] == 2:
+        warn(
             "main",
-            "the LD path (--freq_est 2 / --e_prob 2) is non-functional in "
-            "the reference (NaN haplotype frequencies; gen_func.cpp:1160) "
-            "and is not enabled here; see ngsf_hmm_tpu/ops/haplo.py",
+            "the LD path (--freq_est 2) is non-functional in the reference "
+            "(NaN haplotype frequencies; gen_func.cpp:1160); running the "
+            "CORRECTED two-site haplotype EM instead -- results will not "
+            "match the (broken) reference. See ngsf_hmm_tpu/ops/haplo.py.",
         )
     freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
 
@@ -453,6 +461,16 @@ def main(argv=None):
     elif p["resume"]:
         error("main", "--resume requires --checkpoint FILE")
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if p["profile"]:
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(p["profile"])
+        if p["verbose"] >= 1:
+            print(f'==> Profiling EM loop to "{p["profile"]}"')
+
     if p["n_rep"] > 1:
         if p["checkpoint"]:
             error("main", "--checkpoint is not supported with --n_rep > 1 yet")
@@ -464,17 +482,19 @@ def main(argv=None):
             gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
             freq_spec=p["freq"],
         )
-        rres = run_em_restarts(gl_j, dist_j, states_r, opts)
+        with profile_ctx:
+            rres = run_em_restarts(gl_j, dist_j, states_r, opts)
         if p["verbose"] >= 1:
             for r, (lk, it) in enumerate(zip(rres.rep_lkl, rres.rep_iters)):
                 tag = "  <== best" if r == rres.best_rep else ""
                 print(f"Replicate {r + 1}: logLkl {lk:.6f} ({it} iters){tag}")
         result = rres.best
     else:
-        result = run_em(
-            gl_j, dist_j, state, opts, log_callback=log_cb, trace=trace,
-            checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
-        )
+        with profile_ctx:
+            result = run_em(
+                gl_j, dist_j, state, opts, log_callback=log_cb, trace=trace,
+                checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
+            )
 
     if not result.converged:
         print(

@@ -303,12 +303,42 @@ def em_iteration(
             e0 = calc_emission(gl[0], freq[0])
             e_prob = state.e_prob.at[0].set(e0)
     else:
-        raise NotImplementedError(
-            "freq_est == 2 (LD haplotype path) is non-functional in the "
-            "reference (discarded accumulator update, gen_func.cpp:1160 -> "
-            "NaN frequencies); see ops/haplo.py. A corrected LD mode is "
-            "tracked for a later milestone."
-        )
+        # freq_est == 2: the LD haplotype path. The reference's own
+        # implementation is non-functional (a discarded accumulator
+        # update, gen_func.cpp:1160, leaves every haplotype frequency
+        # NaN), so there is no golden behaviour to match; this is the
+        # CORRECTED path: the intended two-site haplotype EM
+        # (gen_func.cpp:1027-1119) vectorised over all adjacent pairs.
+        # Documented deviation from the serial reference flow
+        # (EM.cpp:224-271): priors/inits use the previous EM iteration's
+        # freqs for every pair (Jacobi) instead of the just-updated
+        # freq[s-1] (Gauss-Seidel).
+        from ..ops.haplo import calc_emission_ld, haplo_freq
+        from ..ops.hwe import calc_hwe, post_prob
+
+        prior = calc_hwe(state.freq[:, None], p_ibd)  # [S, N, 3] log
+        pp = post_prob(gl, prior)
+        hap = haplo_freq(
+            pp[:-1], pp[1:], state.freq[:-1], state.freq[1:], compat=False
+        )  # [S-1, 4]
+        freq0 = est_maf(gl[0:1], p_ibd[0:1])  # site 0: est_maf (EM.cpp:243)
+        freq = jnp.concatenate([freq0, hap[:, 1] + hap[:, 3]])
+        e0 = calc_emission(gl[0:1], freq[0:1, None])
+        if e_prob_calc == 2:
+            e_rest = jnp.stack(
+                [
+                    calc_emission_ld(
+                        hap[:, None, :], gl[:-1], gl[1:], freq[:-1, None], k
+                    )
+                    for k in (0, 1)
+                ],
+                axis=-1,
+            )  # [S-1, N, 2]
+            e_prob = jnp.concatenate([e0, e_rest])
+        else:
+            e_prob = jnp.concatenate(
+                [e0, calc_emission(gl[1:], freq[1:, None])]
+            )
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
     return new_state, IterStats(fwbw_maxdiff, opt_iters)
