@@ -461,6 +461,10 @@ def main(argv=None):
     elif p["resume"]:
         error("main", "--resume requires --checkpoint FILE")
 
+    from .utils.signals import catch_sig
+
+    catch_sig()  # graceful SIGINT/SIGTERM stop (gen_func.cpp:40-52)
+
     import contextlib
 
     profile_ctx = contextlib.nullcontext()

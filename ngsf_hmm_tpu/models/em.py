@@ -411,12 +411,19 @@ def run_em(
 
         gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant across iters
 
+    from ..utils.signals import stop_requested
+
     def keep_going():
+        # convergence gate + SIG_COND graceful-stop check (EM.cpp:56)
         return (
-            prev_tot - tot > opts.min_epsilon
-            or max_eps > opts.min_epsilon
-            or n_iter < opts.min_iters
-        ) and n_iter < opts.max_iters
+            (
+                prev_tot - tot > opts.min_epsilon
+                or max_eps > opts.min_epsilon
+                or n_iter < opts.min_iters
+            )
+            and n_iter < opts.max_iters
+            and not stop_requested()
+        )
 
     while keep_going():
         if log_callback is not None:

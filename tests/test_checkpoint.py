@@ -123,3 +123,28 @@ def test_cli_resume_without_checkpoint_errors(data):
             main(
                 "--geno x --pos y --n_ind 2 --n_sites 10 --resume".split()
             )
+
+
+def test_graceful_stop_signal(data):
+    """SIGINT between iterations stops the loop cleanly (SIG_COND gate,
+    EM.cpp:56) but the run still produces outputs."""
+    gl, dist, _ = data
+    from ngsf_hmm_tpu.utils import signals
+
+    signals.reset()
+    opts = EMOptions(min_iters=2, max_iters=50, min_epsilon=1e-9)
+    calls = {"n": 0}
+
+    def cb(n_iter, st, bk):
+        calls["n"] = n_iter
+        if n_iter == 2:
+            import os
+            import signal as _s
+
+            signals.catch_sig()
+            os.kill(os.getpid(), _s.SIGINT)
+
+    res = run_em(gl, dist, _fresh_state(gl), opts, checkpoint_cb=cb)
+    assert res.n_iters == 2  # stopped at the boundary after iteration 2
+    assert res.path.shape[0] == gl.shape[0]  # final Viterbi still ran
+    signals.reset()
