@@ -160,7 +160,8 @@ def em_iteration(
     use_pallas = numerics == "pallas"
     if block_size == "auto":
         block_size = (
-            hmm_pallas.pick_block_size(S) if use_pallas else pick_block_size(S)
+            hmm_pallas.pick_block_size(S, N) if use_pallas
+            else pick_block_size(S)
         )
     linear = numerics == "linear"
     if linear and not block_size:

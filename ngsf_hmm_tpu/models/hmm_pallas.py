@@ -60,14 +60,22 @@ def _t_elems(F, a, d):
 # ---------------------------------------------------------------------------
 
 
-def pick_block_size(S):
+LANE_MAX = 32768  # cap on L = nb * N: the ladder kernel holds 5 scratch
+                  # arrays of [B=8, L] f32 in VMEM (5*8*L*4 <= ~5MB)
+
+
+def pick_block_size(S, N=1):
     """Grid steps are ~free here; prefer wider lanes (smaller nb) than the
-    XLA-blocked sqrt split, but keep nb >= 8 so the lane axis stays wide
-    enough to matter and the cross-block pass stays short."""
+    XLA-blocked sqrt split, but (a) keep nb >= 8 so the lane axis stays
+    wide, and (b) cap nb*N at LANE_MAX so the line-search ladder kernel's
+    VMEM scratch fits (observed OOM at 1M sites x 100 ind otherwise)."""
     import math
 
-    bs = max(64, int(math.sqrt(2.0 * max(S, 1))))
-    return min(bs, max(S, 1))
+    S = max(S, 1)
+    bs = max(64, int(math.sqrt(2.0 * S)))
+    nb_max = max(8, LANE_MAX // max(N, 1))
+    bs = max(bs, -(-S // nb_max))  # ceil(S / nb_max)
+    return min(bs, S)
 
 
 def prepare_inputs(e_prob_log, dist, bs=None):
@@ -78,7 +86,7 @@ def prepare_inputs(e_prob_log, dist, bs=None):
     """
     S, N = e_prob_log.shape[0], e_prob_log.shape[1]
     if bs is None:
-        bs = pick_block_size(S)
+        bs = pick_block_size(S, N)
     nb = -(-S // bs)
     L = nb * N
     pad = nb * bs - S
