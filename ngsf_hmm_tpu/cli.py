@@ -76,6 +76,30 @@ def warn(func, msg):
     sys.stderr.flush()
 
 
+def _apply_opt(pars, opt, val):
+    """Store one parsed option value (shared by short/long paths)."""
+    if opt == "lkl":
+        pars["lkl"] = True
+    elif opt == "resume":
+        pars["resume"] = True
+    elif opt == "loglkl":
+        pars["lkl"] = True
+        pars["loglkl"] = True
+    elif opt in ("call_geno", "indF_fixed", "alpha_fixed"):
+        pars[opt] = True
+    elif opt == "log_bin":
+        pars["log"] = int(val)
+        pars["log_bin"] = True
+    elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
+                 "min_iters", "max_iters", "n_threads", "verbose", "seed",
+                 "n_rep"):
+        pars[opt] = int(val)
+    elif opt == "min_epsilon":
+        pars[opt] = float(val)
+    else:
+        pars[opt] = val
+
+
 def parse_args(argv):
     """getopt_long_only-style parser over _OPTIONS."""
     pars = {
@@ -124,13 +148,46 @@ def parse_args(argv):
         val = None
         if "=" in name:
             name, val = name.split("=", 1)
+
+        # glibc getopt_long_only: a single-dash token whose FIRST char is
+        # a valid short option is parsed as short option(s) -- long
+        # matching only happens for "--" tokens or unknown first chars
+        # (reference optstring at parse_args.cpp:71). Handles bundling
+        # (-lL) and glued arguments (-s1000) like getopt does.
+        if (
+            not tok.startswith("--")
+            and val is None
+            and name
+            and name[0] in short_map
+        ):
+            j = 0
+            while j < len(name):
+                opt, has_arg = short_map.get(name[j], (None, None))
+                if opt is None:
+                    error("parse_cmd_args", f"unrecognized option: -{name[j]}")
+                if has_arg:
+                    if j + 1 < len(name):
+                        sval = name[j + 1 :]  # glued: -s1000
+                    else:
+                        i += 1
+                        if i >= len(argv):
+                            error(
+                                "parse_cmd_args",
+                                f"option -{name[j]} requires an argument",
+                            )
+                        sval = argv[i]
+                    _apply_opt(pars, opt, sval)
+                    break
+                _apply_opt(pars, opt, None)
+                j += 1
+            i += 1
+            continue
+
         matches = [(n, h) for n, h in longs if n == name]
         if not matches:
             matches = [(n, h) for n, h in longs if n.startswith(name)]
         if len(matches) > 1:
             error("parse_cmd_args", f"ambiguous option: {tok}")
-        if not matches and len(name) == 1 and name in short_map:
-            matches = [short_map[name]]
         if not matches:
             error("parse_cmd_args", f"unrecognized option: {tok}")
         opt, has_arg = matches[0]
@@ -140,27 +197,7 @@ def parse_args(argv):
                 error("parse_cmd_args", f"option {tok} requires an argument")
             val = argv[i]
         i += 1
-
-        if opt in ("lkl",):
-            pars["lkl"] = True
-        elif opt == "resume":
-            pars["resume"] = True
-        elif opt == "loglkl":
-            pars["lkl"] = True
-            pars["loglkl"] = True
-        elif opt in ("call_geno", "indF_fixed", "alpha_fixed"):
-            pars[opt] = True
-        elif opt == "log_bin":
-            pars["log"] = int(val)
-            pars["log_bin"] = True
-        elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
-                     "min_iters", "max_iters", "n_threads", "verbose", "seed",
-                     "n_rep"):
-            pars[opt] = int(val)
-        elif opt == "min_epsilon":
-            pars[opt] = float(val)
-        else:
-            pars[opt] = val
+        _apply_opt(pars, opt, val)
 
     # default init strings (parse_args.cpp:150-157)
     if pars["freq"] is None:
@@ -320,7 +357,10 @@ def main(argv=None):
             print(f'==> Reading initial inbreeding values from file "{spec}".')
         else:
             print(f"==> Setting initial inbreeding values to: {spec}")
-    indF0, alpha0 = init_indF_alpha(spec, p["n_ind"], rng)
+    try:
+        indF0, alpha0 = init_indF_alpha(spec, p["n_ind"], rng)
+    except ValueError as e:
+        error("init_output", str(e))
 
     fspec = p["freq"]
     if p["verbose"] >= 1:
@@ -340,13 +380,21 @@ def main(argv=None):
             "CORRECTED two-site haplotype EM instead -- results will not "
             "match the (broken) reference. See ngsf_hmm_tpu/ops/haplo.py.",
         )
-    freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
-
-    if p["verbose"] >= 1:
-        print("==> Calculating initial emission probabilities")
-    state = init_state(gl_j, jnp.asarray(freq0, dtype=dtype),
-                       jnp.asarray(indF0, dtype=dtype),
-                       jnp.asarray(alpha0, dtype=dtype))
+    state = None
+    freq0 = None
+    if p["n_rep"] == 1:
+        # multi-restart re-resolves inits per replicate (seed+r), so the
+        # single-run init (incl. the freq 'e' est_maf pass and the
+        # [S, N, 2] emission build) is only done here
+        try:
+            freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
+        except ValueError as e:
+            error("init_output", str(e))
+        if p["verbose"] >= 1:
+            print("==> Calculating initial emission probabilities")
+        state = init_state(gl_j, jnp.asarray(freq0, dtype=dtype),
+                           jnp.asarray(indF0, dtype=dtype),
+                           jnp.asarray(alpha0, dtype=dtype))
 
     # ---- EM (EM.cpp:27-135)
     if p["kernel"] not in ("scan", "blocked", "linear", "pallas"):
@@ -364,7 +412,7 @@ def main(argv=None):
         numerics={"linear": "linear", "pallas": "pallas"}.get(p["kernel"], "log"),
     )
 
-    if p["verbose"] >= 5:
+    if p["verbose"] >= 5 and freq0 is not None:
         print("==> Initial parameters:")
         for i in range(p["n_ind"]):
             print(f"\t{indF0[i]:.10f}\t{alpha0[i]:.6f}")
@@ -486,8 +534,25 @@ def main(argv=None):
             gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
             freq_spec=p["freq"],
         )
+
+        def multi_log_cb(n_iter, states, tots):
+            # --log N in multi-restart mode dumps the CURRENT BEST
+            # replicate's state (the .sh protocol has no equivalent; the
+            # single-run semantics, EM.cpp:59-63, apply to the leader)
+            if p["log"] and n_iter > 0 and (n_iter == 1 or n_iter % p["log"] == 0):
+                import jax as _jax
+
+                best = int(np.argmax(tots))
+                st_b = _jax.tree.map(lambda x: x[best], states)
+                if p["verbose"] >= 1:
+                    print("==> Printing current iteration parameters "
+                          f"(best replicate {best + 1})")
+                write_outputs(st_b, float(tots[best]), None)
+
         with profile_ctx:
-            rres = run_em_restarts(gl_j, dist_j, states_r, opts)
+            rres = run_em_restarts(
+                gl_j, dist_j, states_r, opts, log_callback=multi_log_cb
+            )
         if p["verbose"] >= 1:
             for r, (lk, it) in enumerate(zip(rres.rep_lkl, rres.rep_iters)):
                 tag = "  <== best" if r == rres.best_rep else ""

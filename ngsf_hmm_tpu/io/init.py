@@ -61,7 +61,10 @@ def init_indF_alpha(spec, n_ind, rng: GslTaus):
                         vals.append(float(x))
                     except ValueError:
                         pass
-                if i > n_ind or len(vals) != 2:
+                # >=: a file with more lines than n_ind is an error here
+                # (the reference's `i > pars->n_ind` check at
+                # parse_args.cpp:267 is off by one and silently overflows)
+                if i >= n_ind or len(vals) != 2:
                     raise ValueError("wrong INDF file format!")
                 indF[i] = min(max(vals[0], INDF_RNG_MIN), INDF_RNG_MAX)
                 alpha[i] = min(max(vals[1], ALPHA_RNG_MIN), ALPHA_RNG_MAX)

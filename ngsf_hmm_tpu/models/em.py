@@ -197,6 +197,7 @@ def em_iteration(
     if axis_name is not None:
         fwbw_maxdiff = jax.lax.pmax(fwbw_maxdiff, axis_name)
 
+
     # ---- M-step 1: per-individual (F, alpha) (EM.cpp:189-206)
     if indF_fixed and alpha_fixed:
         indF, alpha = state.indF, state.alpha
@@ -269,6 +270,10 @@ def em_iteration(
             objective, x0, lo, hi, value_and_grad=objective_vag,
             fun_multi=objective_multi,
         )
+        if axis_name is not None:
+            # each ind-shard's batched L-BFGS converges at its own pace;
+            # report the max so the replicated out-spec is truthful
+            opt_iters = jax.lax.pmax(opt_iters, axis_name)
         indF, alpha = x_opt[:, 0], x_opt[:, 1]
 
     # ---- M-step 2: per-site freq + emission recompute (EM.cpp:210-272)

@@ -460,16 +460,21 @@ def forward_loglik_blocked_lin(F, alpha, e_blk, dist_blk):
     return ll_f
 
 
-def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk, v0=None, wT=None):
+def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk, v0=None, wT=None,
+                                 A_ln=None):
     """Per-site max-normalised linear fw/bw vectors, blocked layout.
 
     Returns (fw_prev, fw, bw, ll_f, ll_b) with vectors renormalised per
     site (consumers use within-site ratios only, like the log variant).
     v0/wT: optional [N, 2] boundary carries for site-sharded segments
     (ll_f/ll_b are then SEGMENT-local quantities; the caller owns the
-    global likelihood).
+    global likelihood). A_ln: optional precomputed
+    _block_transfer_lin(e_blk, dist_blk, F, alpha) to avoid recomputing
+    the depth-bs pass when the caller already ran it for these params.
     """
-    A, log_norm = _block_transfer_lin(e_blk, dist_blk, F, alpha)
+    A, log_norm = A_ln if A_ln is not None else _block_transfer_lin(
+        e_blk, dist_blk, F, alpha
+    )
     starts, ll_f = _fw_block_starts_lin(A, log_norm, F, v0=v0)
     ends, ll_b = _bw_block_ends_lin(A, log_norm, F, wT=wT)
 
@@ -501,15 +506,17 @@ def forward_backward_blocked_lin(F, alpha, e_blk, dist_blk, v0=None, wT=None):
     return fw_prev, fw, bw, ll_f, ll_b
 
 
-def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S, v0=None, wT=None):
+def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S, v0=None, wT=None,
+                           A_ln=None):
     """IBD posterior from linear-space blocked inputs, natural site order.
 
     p1 = fw1*bw1 / (fw0*bw0 + fw1*bw1): per-site scales cancel in the
-    ratio; no transcendentals at all on this path. v0/wT: site-sharded
-    boundary carries (see forward_backward_blocked_lin).
+    ratio; no transcendentals at all on this path. v0/wT/A_ln:
+    site-sharded boundary carries / precomputed block transfers (see
+    forward_backward_blocked_lin).
     """
     _, fw, bw, ll_f, ll_b = forward_backward_blocked_lin(
-        F, alpha, e_blk, dist_blk, v0=v0, wT=wT
+        F, alpha, e_blk, dist_blk, v0=v0, wT=wT, A_ln=A_ln
     )
     n1 = fw[..., 1] * bw[..., 1]
     n0 = fw[..., 0] * bw[..., 0]
@@ -518,18 +525,21 @@ def posteriors_blocked_lin(e_blk, dist_blk, F, alpha, S, v0=None, wT=None):
 
 
 def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk, v0=None,
-                                      wT=None, with_init_term=True):
+                                      wT=None, with_init_term=True,
+                                      A_ln=None):
     """Analytic (loglik, dL/dF, dL/dalpha) from linear blocked inputs.
 
     Identical math to loglik_value_and_grad_blocked with u_kl built from
     linear products fw_prev[k]*e[l]*bw[l], renormalised per site via
     sum_kl u_kl T_kl = 1 -- transcendental-free outside the loglik scales.
-    v0/wT/with_init_term: site-sharded segments pass boundary carries and
-    disable the initial-distribution dF term on every shard but the
-    first (it belongs to site 0 of the whole chain).
+    v0/wT: site-sharded segments pass boundary carries.
+    with_init_term: the initial-distribution dF term belongs to site 0 of
+    the WHOLE chain -- site-sharded shards pass a traced 0/1 weight (only
+    shard 0's is 1) instead of a Python bool. A_ln: precomputed block
+    transfers (see forward_backward_blocked_lin).
     """
     fw_prev, _, bw, ll_f, ll_b = forward_backward_blocked_lin(
-        F, alpha, e_blk, dist_blk, v0=v0, wT=wT
+        F, alpha, e_blk, dist_blk, v0=v0, wT=wT, A_ln=A_ln
     )
 
     d = dist_blk[..., None]
@@ -556,12 +566,13 @@ def loglik_value_and_grad_blocked_lin(F, alpha, e_blk, dist_blk, v0=None,
     gF = (one_m * (-u00 + u01 - u10 + u11)).sum((0, 1))
     ga = (dx * (Fb * (u01 - u00) + (1.0 - Fb) * (u10 - u11))).sum((0, 1))
 
-    if with_init_term:
+    if with_init_term is not False:
+        weight = 1.0 if with_init_term is True else with_init_term
         eb0 = eb[0, 0]  # [N, 2]
         w0 = T00[0, 0] * eb0[:, 0] + T01[0, 0] * eb0[:, 1]
         w1 = T10[0, 0] * eb0[:, 0] + T11[0, 0] * eb0[:, 1]
         tot = (1.0 - F) * w0 + F * w1
-        gF = gF + (w1 - w0) / tot
+        gF = gF + weight * (w1 - w0) / tot
     return ll_f, gF, ga
 
 

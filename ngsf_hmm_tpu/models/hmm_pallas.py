@@ -73,7 +73,9 @@ def pick_block_size(S, N=1):
 
     S = max(S, 1)
     bs = max(64, int(math.sqrt(2.0 * S)))
-    nb_max = max(8, LANE_MAX // max(N, 1))
+    # the VMEM cap is hard: at huge N (> LANE_MAX/8 individuals) nb
+    # degrades below 8 rather than blowing the scratch budget
+    nb_max = max(1, LANE_MAX // max(N, 1))
     bs = max(bs, -(-S // nb_max))  # ceil(S / nb_max)
     return min(bs, S)
 

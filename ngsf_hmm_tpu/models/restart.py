@@ -110,7 +110,9 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
             or n_iter < opts.min_iters
         ) and n_iter < opts.max_iters
 
-    while active.any():
+    from ..utils.signals import stop_requested
+
+    while active.any() and not stop_requested():
         if log_callback is not None:
             log_callback(n_iter, states, tot)
         n_iter += 1

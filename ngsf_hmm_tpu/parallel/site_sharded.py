@@ -109,10 +109,14 @@ def _gather_chain(T, s, F, axis_name):
 
 
 def _chain(F, alpha, e_blk, d_blk, axis_name):
-    """Local transfer fold + cross-shard boundary assembly."""
+    """Local transfer fold + cross-shard boundary assembly.
+
+    Returns (v0, wT, ll_f, ll_b, A_ln); A_ln is the local block-transfer
+    pass, returned so callers never recompute it for the same params."""
     A, ln = _block_transfer_lin(e_blk, d_blk, F, alpha)
     T, s = fold_transfer_lin(A, ln)
-    return _gather_chain(T, s, F, axis_name)
+    v0, wT, ll_f, ll_b = _gather_chain(T, s, F, axis_name)
+    return v0, wT, ll_f, ll_b, (A, ln)
 
 
 def site_em_iteration(
@@ -133,6 +137,12 @@ def site_em_iteration(
     """
     S_loc, N = gl.shape[0], gl.shape[1]
     dtype = gl.dtype
+    if freq_est == 2 or e_prob_calc == 2:
+        raise NotImplementedError(
+            "the LD haplotype path (freq_est/e_prob_calc == 2) is not "
+            "implemented for site-sharded runs (pair posteriors would "
+            "cross shard boundaries); use the single-chip engine"
+        )
     if block_size is None:
         block_size = pick_block_size(S_loc)
     first = jax.lax.axis_index(axis_name) == 0
@@ -143,10 +153,10 @@ def site_em_iteration(
     F32 = state.indF.astype(jnp.float32)
     a32 = state.alpha.astype(jnp.float32)
 
-    # ---- E-step
-    v0, wT, ll_f, ll_b = _chain(F32, a32, e_blk, d_blk, axis_name)
+    # ---- E-step (A_ln reused: the block-transfer pass runs once)
+    v0, wT, ll_f, ll_b, A_ln = _chain(F32, a32, e_blk, d_blk, axis_name)
     p_raw, _, _ = posteriors_blocked_lin(
-        e_blk, d_blk, F32, a32, S_loc, v0=v0, wT=wT
+        e_blk, d_blk, F32, a32, S_loc, v0=v0, wT=wT, A_ln=A_ln
     )
     p_ibd = check_interv(p_raw).astype(dtype)
     ind_lkl = ll_f.astype(dtype)
@@ -174,7 +184,7 @@ def site_em_iteration(
         )
 
         def objective(x):
-            _, _, llf, _ = _chain(
+            _, _, llf, _, _ = _chain(
                 x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32),
                 e_blk, d_blk, axis_name,
             )
@@ -183,18 +193,18 @@ def site_em_iteration(
         def objective_vag(x):
             Fx = x[:, 0].astype(jnp.float32)
             ax = x[:, 1].astype(jnp.float32)
-            v0x, wTx, llf, _ = _chain(Fx, ax, e_blk, d_blk, axis_name)
+            v0x, wTx, llf, _, A_lnx = _chain(Fx, ax, e_blk, d_blk, axis_name)
+            # the initial-distribution dF term belongs to the whole
+            # chain's site 0: a traced 0/1 weight keeps it on shard 0
+            # only (psum broadcasts it), and A_ln reuse means ONE
+            # block-transfer pass per evaluation
             Lloc, gF, ga = loglik_value_and_grad_blocked_lin(
                 Fx, ax, e_blk, d_blk, v0=v0x, wT=wTx,
-                with_init_term=False,
+                with_init_term=first.astype(jnp.float32), A_ln=A_lnx,
             )
             del Lloc  # segment-local; the global ll comes from the chain
             g = jnp.stack([gF, ga], -1)
             g = jax.lax.psum(g, axis_name)
-            # initial-distribution dF term lives on shard 0's site 0;
-            # zero elsewhere, so the psum just broadcasts it
-            g_init = _init_term(Fx, ax, e_blk, d_blk, wTx, first)
-            g = g.at[:, 0].add(jax.lax.psum(g_init, axis_name))
             return -llf.astype(dtype), -g.astype(dtype)
 
         x_opt, _, opt_iters = lbfgsb_minimize(
@@ -212,34 +222,6 @@ def site_em_iteration(
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
     return new_state, IterStats(fwbw_maxdiff, opt_iters)
-
-
-def _init_term(F, alpha, e_blk, d_blk, wT, first):
-    """dF initial-distribution term (dq/dF = [-1, 1]) from global site 0.
-
-    Needs bw at site 0, i.e. a local backward pass; to stay cheap it
-    reuses the posterior machinery: bw(site0) is produced by
-    forward_backward_blocked_lin, but only its site-(0,0) value is used.
-    Zero on every shard but the first.
-    """
-    _, _, bw, _, _ = forward_backward_blocked_lin(
-        F, alpha, e_blk, d_blk, wT=wT
-    )
-    eb0 = e_blk[0, 0] * bw[0, 0]  # [N, 2]
-    d0 = d_blk[0, 0]
-    is_break = jnp.isinf(d0)
-    d_safe = jnp.where(is_break, 1.0, d0)
-    x = jnp.where(is_break, 0.0, jnp.exp(-alpha * d_safe))
-    onem = 1.0 - x
-    t00 = onem * (1.0 - F) + x
-    t01 = onem * F
-    t10 = onem * (1.0 - F)
-    t11 = onem * F + x
-    w0 = t00 * eb0[:, 0] + t01 * eb0[:, 1]
-    w1 = t10 * eb0[:, 0] + t11 * eb0[:, 1]
-    tot = (1.0 - F) * w0 + F * w1
-    g = (w1 - w0) / jnp.maximum(tot, 1e-30)
-    return jnp.where(first, g, jnp.zeros_like(g))
 
 
 def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,

@@ -71,8 +71,13 @@ def pos_to_bed(sites, inds, ibd_pos_file, out=sys.stdout):
             if not inds[curr]:
                 continue
             n = len(sites)
+            if len(line) > n:
+                raise ValueError(
+                    f"IBD row {curr} has {len(line)} sites but the "
+                    f"positions file has {n}"
+                )
             s = line.find("1")
-            while s != -1:
+            while s != -1 and s < n:
                 chrom = sites[s][0]
                 start = sites[s][1] - 1
                 while s < n:

@@ -122,3 +122,27 @@ def test_plotter_smoke(fixture_files):
     assert head == b"%PDF-"
     # 2 chromosomes -> at least 2 pages
     assert (tmp / "out.pdf").read_bytes().count(b"/Type /Page") >= 2
+
+
+def test_cli_short_options_parse_like_getopt():
+    """glibc getopt_long_only: single-dash single-char tokens that are
+    valid short options are SHORT options (-s = n_sites, -n = n_ind), not
+    long-prefix matches (-s must not become --seed); bundling (-lL,
+    -IA) and glued args (-s1000) work; '--se' still prefix-matches
+    --seed (reference optstring parse_args.cpp:71)."""
+    from ngsf_hmm_tpu.cli import parse_args
+
+    p = parse_args("-n 20 -s 1000 -S 7".split())
+    assert p["n_ind"] == 20
+    assert p["n_sites"] == 1000
+    assert p["seed"] == 7
+
+    p = parse_args("-s1000 -lL -IA".split())
+    assert p["n_sites"] == 1000
+    assert p["lkl"] and p["loglkl"]
+    assert p["indF_fixed"] and p["alpha_fixed"]
+
+    p = parse_args("--se 42 -m 3 -M 9".split())
+    assert p["seed"] == 42
+    assert p["min_iters"] == 3
+    assert p["max_iters"] == 9
