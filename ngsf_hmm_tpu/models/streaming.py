@@ -1,0 +1,398 @@
+"""Streaming EM: genotype likelihoods larger than HBM.
+
+The BASELINE 50M-site configs cannot hold gl [S, N, 3] (nor e_prob) on
+one chip. This runner keeps gl on the HOST (array, memmap, or a loader
+callable) and streams site-chunks through the device per pass, using the
+same boundary-carry algebra as cross-chip site sharding
+(parallel/site_sharded.py): a chunk's entire effect on the chain is its
+normalised 2x2 transfer product, so
+
+  pass A  stream chunks -> per-chunk transfer products (tiny);
+          host prefix/suffix -> per-chunk boundary carries + global ll
+  pass B  stream chunks -> posteriors (with carries) -> chunk-local
+          est_maf -> new freq; p_ibd chunks optionally written to host
+  M-step  host-driven projected L-BFGS on (F, alpha): each objective /
+          gradient evaluation re-streams the data (emissions are a
+          function of freq and are never materialised whole)
+
+Per EM iteration: 2 + ~2*lbfgs_evals full streams. On real hardware
+(h2d tens of GB/s) that is seconds per pass at 50M x 100; here it is
+validated for correctness against the monolithic engine on small data
+(tests/test_streaming.py) -- the tunnel's h2d makes large-scale timing
+meaningless in this environment.
+
+The host L-BFGS mirrors models/lbfgsb.py's semantics (projected two-loop
+recursion, backtracking-ladder Armijo, same PGTOL/FACTR stops) in NumPy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.emissions import emission_probs_linear
+from ..ops.hwe import check_interv
+from ..ops.maf import est_maf
+from ..utils.constants import ALPHA_MAX, ALPHA_MIN, F_MAX, F_MIN
+from .em import EMOptions
+from .hmm_blocked import (
+    _block_transfer_lin,
+    block_sites,
+    fold_transfer_lin,
+    loglik_value_and_grad_blocked_lin,
+    pick_block_size,
+    posteriors_blocked_lin,
+)
+from .lbfgsb import EPS_MACH, FACTR, LS_LADDER, MVAL, PGTOL
+
+
+# ---------------------------------------------------------------------------
+# jitted per-chunk kernels (compiled once per chunk shape)
+# ---------------------------------------------------------------------------
+
+
+def _prep_chunk(gl_c, freq_c, dist_c, bs, valid):
+    """Device: linear emissions from freq + blocked layout.
+
+    Sites >= valid are the last chunk's padding: their emissions are
+    forced to 1 (the identity no-op; padded GLs cannot express that --
+    uniform likelihoods give e = 1/3 and each pad site would wrongly
+    multiply the chain by 1/3)."""
+    gl_lin = jnp.exp(gl_c)
+    e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
+    pad_mask = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
+    e_lin = jnp.where(pad_mask, 1.0, e_lin)
+    e_blk, _ = block_sites(e_lin, bs, 1.0)
+    d_blk, _ = block_sites(dist_c.astype(jnp.float32), bs, 0.0)
+    return gl_lin, e_blk, d_blk
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("bs", "valid"))
+def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid):
+    """(T [N,2,2] normalised, s [N] log scale) for one chunk."""
+    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+    A, ln = _block_transfer_lin(e_blk, d_blk, F, alpha)
+    return fold_transfer_lin(A, ln)
+
+
+@partial(jax.jit, static_argnames=("bs", "S_c", "valid"))
+def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid):
+    """Posteriors with boundary carries + chunk-local freq M-step."""
+    gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+    p_raw, _, _ = posteriors_blocked_lin(
+        e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
+    )
+    p_ibd = check_interv(p_raw)
+    freq_new = est_maf(gl_lin, p_ibd, linear=True)
+    return p_ibd, freq_new
+
+
+@partial(jax.jit, static_argnames=("bs", "first", "valid"))
+def _chunk_vag(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, first, valid):
+    """Chunk (local ll is unused) gradient contribution with carries."""
+    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+    _, gF, ga = loglik_value_and_grad_blocked_lin(
+        F, alpha, e_blk, d_blk, v0=v0, wT=wT,
+        with_init_term=1.0 if first else False,
+    )
+    return gF, ga
+
+
+# ---------------------------------------------------------------------------
+# host-side chain assembly (tiny 2x2 algebra in float64)
+# ---------------------------------------------------------------------------
+
+
+def _assemble_chain(Ts, ss, F):
+    """Prefix/suffix over [C] chunk transfers -> carries + global lls.
+
+    Ts [C, N, 2, 2], ss [C, N] numpy. Returns (v0 [C, N, 2],
+    wT [C, N, 2], ll_f [N], ll_b [N]).
+    """
+    C, N = Ts.shape[0], Ts.shape[1]
+    Ts = Ts.astype(np.float64)
+    ss = ss.astype(np.float64)
+    q = np.stack([1.0 - F, F], -1)  # [N, 2]
+
+    v0 = np.empty((C, N, 2))
+    v = q.copy()
+    off = np.zeros(N)
+    for c in range(C):
+        v0[c] = v
+        r = np.einsum("nk,nkl->nl", v, Ts[c])
+        m = np.maximum(r.max(-1), 1e-300)
+        v = r / m[:, None]
+        off += np.log(m) + ss[c]
+    ll_f = np.log(v.sum(-1)) + off
+
+    wT = np.empty((C, N, 2))
+    w = np.ones((N, 2))
+    offb = np.zeros(N)
+    for c in range(C - 1, -1, -1):
+        wT[c] = w
+        r = np.einsum("nkl,nl->nk", Ts[c], w)
+        m = np.maximum(r.max(-1), 1e-300)
+        w = r / m[:, None]
+        offb += np.log(m) + ss[c]
+    ll_b = np.log((q * w).sum(-1)) + offb
+    return v0, wT, ll_f, ll_b
+
+
+# ---------------------------------------------------------------------------
+# host L-BFGS (mirror of models/lbfgsb.py semantics, NumPy)
+# ---------------------------------------------------------------------------
+
+
+def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
+                 max_iters=60, pgtol=PGTOL, factr=FACTR):
+    x = np.clip(x0, lower, upper)
+    f, g = value_and_grad(x)
+    pairs = []  # (s, y) history, oldest first
+
+    def proj(z):
+        return np.clip(z, lower, upper)
+
+    def pg_norm(z, gz):
+        return np.abs(proj(z - gz) - z).max(-1)
+
+    active = pg_norm(x, g) > pgtol
+    it = 0
+    while active.any() and it < max_iters:
+        frozen = ((x <= lower) & (g > 0)) | ((x >= upper) & (g < 0))
+        q = np.where(frozen, 0.0, g)
+        # two-loop recursion over stored pairs
+        alphas = []
+        d = q.copy()
+        for s_v, y_v in reversed(pairs):
+            sy = (s_v * y_v).sum(-1)
+            rho = np.where(sy > 1e-12, 1.0 / np.where(sy == 0, 1, sy), 0.0)
+            a = rho * (s_v * d).sum(-1)
+            d = d - a[:, None] * y_v
+            alphas.append((a, rho))
+        if pairs:
+            s_n, y_n = pairs[-1]
+            yy = (y_n * y_n).sum(-1)
+            gamma = np.where(yy > 1e-12, (s_n * y_n).sum(-1) / np.where(yy == 0, 1, yy), 1.0)
+            d = np.clip(gamma, 1e-8, 1e8)[:, None] * d
+        for (a, rho), (s_v, y_v) in zip(reversed(alphas), pairs):
+            b = rho * (y_v * d).sum(-1)
+            d = d + (a - b)[:, None] * s_v
+        d = np.where(frozen, 0.0, -d)
+        descent = (d * q).sum(-1) < 0
+        d = np.where(descent[:, None], d, -q)
+
+        # backtracking ladder (largest accepted t per row)
+        ladder = 2.0 ** -np.arange(LS_LADDER)
+        x_new, f_new = x.copy(), f.copy()
+        need = active.copy()
+        scale = np.ones(x.shape[0])
+        while need.any():
+            accepted = np.zeros_like(need)
+            for t in ladder:
+                ts = scale * t
+                cand = proj(x + ts[:, None] * d)
+                fc = fun(cand)
+                dec = (g * (cand - x)).sum(-1)
+                ok = (
+                    (fc <= f + 1e-4 * dec)
+                    & np.any(cand != x, -1)
+                    & np.isfinite(fc)
+                    & need & ~accepted
+                )
+                x_new = np.where(ok[:, None], cand, x_new)
+                f_new = np.where(ok, fc, f_new)
+                accepted |= ok
+            need &= ~accepted
+            scale = np.where(need, scale * ladder[-1] * 0.5, scale)
+            need &= scale > 1e-12
+
+        f2, g2 = value_and_grad(x_new)
+        x_new = np.where(active[:, None], x_new, x)
+        f2 = np.where(active, f2, f)
+        g2 = np.where(active[:, None], g2, g)
+        s_v, y_v = x_new - x, g2 - g
+        if ((s_v * y_v).sum(-1) > 1e-12).any():
+            pairs.append((s_v, y_v))
+            if len(pairs) > m:
+                pairs.pop(0)
+        small = pg_norm(x_new, g2) <= pgtol
+        rel = (f - f2) <= factr * EPS_MACH * np.maximum(
+            np.maximum(np.abs(f), np.abs(f2)), 1.0
+        )
+        no_move = np.all(s_v == 0, -1)
+        active = active & ~small & ~(rel | no_move)
+        x, f, g = x_new, f2, g2
+        it += 1
+    return x, f, it
+
+
+# ---------------------------------------------------------------------------
+# the streaming runner
+# ---------------------------------------------------------------------------
+
+
+class StreamingEM:
+    """EM over host-resident GLs streamed in site chunks.
+
+    gl: [S, N, 3] float array-like on host (np.ndarray / np.memmap), log
+        space, normalised (io/readers.py output).
+    dist: [S] float64 Mb distances.
+    chunk_sites: sites per device chunk (last chunk may be short but is
+        padded to the same shape so every pass reuses ONE compiled
+        kernel per function).
+    """
+
+    def __init__(self, gl, dist, chunk_sites=1 << 20):
+        self.gl = gl
+        self.S, self.N = gl.shape[0], gl.shape[1]
+        self.dist = np.asarray(dist, np.float64)
+        self.cs = int(min(chunk_sites, self.S))
+        self.C = -(-self.S // self.cs)
+        self.bs = pick_block_size(self.cs)
+
+    def _chunk(self, c):
+        """Padded chunk c: (gl_c [cs, N, 3] f32, freq slice idx, dist_c)."""
+        lo = c * self.cs
+        hi = min(lo + self.cs, self.S)
+        gl_c = np.asarray(self.gl[lo:hi], np.float32)
+        d_c = self.dist[lo:hi].astype(np.float32)
+        if hi - lo < self.cs:
+            pad = self.cs - (hi - lo)
+            # pad: uniform GLs + zero distance = identity transitions
+            gl_c = np.pad(gl_c, ((0, pad), (0, 0), (0, 0)),
+                          constant_values=np.float32(np.log(1 / 3)))
+            d_c = np.pad(d_c, (0, pad), constant_values=0.0)
+        return gl_c, lo, hi, d_c
+
+    def _freq_chunk(self, freq, lo, hi):
+        f = freq[lo:hi].astype(np.float32)
+        if hi - lo < self.cs:
+            f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
+        return f
+
+    def _transfers(self, freq, F, alpha):
+        Ts = np.empty((self.C, self.N, 2, 2), np.float32)
+        ss = np.empty((self.C, self.N), np.float32)
+        F_d = jnp.asarray(F, jnp.float32)
+        a_d = jnp.asarray(alpha, jnp.float32)
+        for c in range(self.C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            T, s = _chunk_transfer(
+                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+            )
+            Ts[c] = np.asarray(T)
+            ss[c] = np.asarray(s)
+        return Ts, ss
+
+    def run(self, freq0, indF0, alpha0, opts: EMOptions, p_ibd_out=None):
+        """Host EM loop. Returns (freq, indF, alpha, ind_lkl, n_iters).
+
+        p_ibd_out: optional host array [S, N] filled with the final
+        iteration's IBD posteriors.
+        """
+        freq = np.asarray(freq0, np.float64).copy()
+        F = np.asarray(indF0, np.float64).copy()
+        alpha = np.asarray(alpha0, np.float64).copy()
+        N = self.N
+
+        n_iter = 0
+        prev_tot, tot = 0.0, 0.0
+        prev_ind = np.full(N, -np.inf)
+        max_eps = -np.inf
+        ll_f = np.full(N, -np.inf)
+
+        from ..utils.signals import stop_requested
+
+        while (
+            (
+                prev_tot - tot > opts.min_epsilon
+                or max_eps > opts.min_epsilon
+                or n_iter < opts.min_iters
+            )
+            and n_iter < opts.max_iters
+            and not stop_requested()
+        ):
+            n_iter += 1
+            # ---- pass A: chain at current params
+            Ts, ss = self._transfers(freq, F, alpha)
+            v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
+            if opts.check_fwbw and np.abs(ll_f - ll_b).max() > opts.lkl_check_tol:
+                raise RuntimeError("Fw and Bw lkl do not match!")
+
+            # ---- pass B: posteriors + chunk-local freq M-step
+            F_d = jnp.asarray(F, jnp.float32)
+            a_d = jnp.asarray(alpha, jnp.float32)
+            new_freq = freq.copy()
+            for c in range(self.C):
+                gl_c, lo, hi, d_c = self._chunk(c)
+                p_c, f_c = _chunk_estep(
+                    jnp.asarray(gl_c),
+                    jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                    jnp.asarray(d_c), F_d, a_d,
+                    jnp.asarray(v0[c], jnp.float32),
+                    jnp.asarray(wT[c], jnp.float32),
+                    self.bs, self.cs, hi - lo,
+                )
+                if opts.freq_est == 1:
+                    new_freq[lo:hi] = np.asarray(f_c)[: hi - lo]
+                if p_ibd_out is not None:
+                    p_ibd_out[lo:hi] = np.asarray(p_c)[: hi - lo]
+
+            # ---- M-step (F, alpha): host L-BFGS over streamed evals,
+            # emissions from the PRE-update freq (iter_EM order,
+            # EM.cpp:189-271)
+            if not (opts.indF_fixed and opts.alpha_fixed):
+                lo_b = np.stack(
+                    [np.full(N, F_MIN), np.full(N, ALPHA_MIN)], -1)
+                hi_b = np.stack(
+                    [np.full(N, F_MAX), np.full(N, ALPHA_MAX)], -1)
+                if opts.indF_fixed:
+                    lo_b[:, 0] = hi_b[:, 0] = F
+                if opts.alpha_fixed:
+                    lo_b[:, 1] = hi_b[:, 1] = alpha
+
+                def fun(x):
+                    Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
+                    _, _, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
+                    return -llx
+
+                def vag(x):
+                    Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
+                    v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
+                    gF = np.zeros(N)
+                    ga = np.zeros(N)
+                    Fx = jnp.asarray(x[:, 0], jnp.float32)
+                    ax = jnp.asarray(x[:, 1], jnp.float32)
+                    for c in range(self.C):
+                        gl_c, lo, hi, d_c = self._chunk(c)
+                        gF_c, ga_c = _chunk_vag(
+                            jnp.asarray(gl_c),
+                            jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                            jnp.asarray(d_c), Fx, ax,
+                            jnp.asarray(v0x[c], jnp.float32),
+                            jnp.asarray(wTx[c], jnp.float32),
+                            self.bs, c == 0, hi - lo,
+                        )
+                        gF += np.asarray(gF_c, np.float64)
+                        ga += np.asarray(ga_c, np.float64)
+                    return -llx, -np.stack([gF, ga], -1)
+
+                x0 = np.clip(
+                    np.stack([F, alpha], -1), lo_b, hi_b
+                )
+                x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b)
+                F, alpha = x_opt[:, 0], x_opt[:, 1]
+
+            freq = new_freq
+            prev_tot, tot = tot, float(ll_f.sum())
+            with np.errstate(invalid="ignore"):
+                eps = (ll_f - prev_ind) / np.abs(prev_ind)
+            from .em import _array_max_pos
+
+            max_eps = eps[_array_max_pos(eps)]
+            prev_ind = ll_f.copy()
+
+        return freq, F, alpha, ll_f, n_iter

@@ -1,0 +1,87 @@
+"""Streaming EM (host-resident GLs in chunks) vs the monolithic engine.
+
+The boundary-carry algebra must make chunking invisible: full EM
+trajectories on chunked data (including a ragged last chunk and a
+chromosome break ON a chunk boundary) must match the monolithic linear
+engine within optimizer-endpoint tolerances (the M-step optimizer is the
+host L-BFGS mirror, so endpoints can differ at the 1e-4 level)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ngsf_hmm_tpu.models.em import EMOptions, em_iteration, init_state
+from ngsf_hmm_tpu.models.streaming import StreamingEM
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(17)
+    S, N = 1000, 5
+    raw = rng.random((S, N, 3)) + 1e-3
+    gl = np.log(raw / raw.sum(-1, keepdims=True))
+    dist = np.abs(rng.random(S)) * 0.05
+    dist[0] = 0.4
+    dist[300] = np.inf  # chromosome break ON the chunk boundary (cs=300)
+    dist[777] = np.inf  # and one mid-chunk
+    return gl, dist
+
+
+def test_streaming_matches_monolithic(data):
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    opts = EMOptions(min_iters=3, max_iters=8, min_epsilon=1e-4)
+
+    # monolithic linear engine
+    gl_j = jnp.asarray(gl, jnp.float32)
+    dist_j = jnp.asarray(dist, jnp.float32)
+    st = init_state(gl_j, jnp.asarray(freq0, jnp.float32),
+                    jnp.asarray(F0, jnp.float32), jnp.asarray(a0, jnp.float32))
+    iters_mono = 0
+    prev_tot = tot = 0.0
+    prev_ind = np.full(N, -np.inf)
+    max_eps = -np.inf
+    from ngsf_hmm_tpu.models.em import _array_max_pos
+
+    while ((prev_tot - tot > opts.min_epsilon or max_eps > opts.min_epsilon
+            or iters_mono < opts.min_iters) and iters_mono < opts.max_iters):
+        iters_mono += 1
+        st, _ = em_iteration(gl_j, dist_j, st, block_size="auto",
+                             numerics="linear")
+        ind = np.asarray(st.ind_lkl, np.float64)
+        prev_tot, tot = tot, float(ind.sum())
+        with np.errstate(invalid="ignore"):
+            eps = (ind - prev_ind) / np.abs(prev_ind)
+        max_eps = eps[_array_max_pos(eps)]
+        prev_ind = ind
+
+    # streaming engine: 4 chunks of 300 (ragged last = 100 sites)
+    p_out = np.zeros((S, N))
+    se = StreamingEM(gl, dist, chunk_sites=300)
+    assert se.C == 4
+    freq_s, F_s, a_s, ll_s, iters_s = se.run(freq0, F0, a0, opts,
+                                             p_ibd_out=p_out)
+
+    assert iters_s == iters_mono
+    np.testing.assert_allclose(ll_s, np.asarray(st.ind_lkl), rtol=2e-5)
+    np.testing.assert_allclose(freq_s, np.asarray(st.freq), atol=5e-4)
+    np.testing.assert_allclose(F_s, np.asarray(st.indF), atol=2e-3)
+    np.testing.assert_allclose(a_s, np.asarray(st.alpha), atol=2e-2)
+    np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
+
+
+def test_streaming_single_chunk_degenerate(data):
+    """chunk_sites >= S: one chunk, still correct."""
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    opts = EMOptions(min_iters=2, max_iters=4, min_epsilon=1e-3)
+    se = StreamingEM(gl, dist, chunk_sites=10_000)
+    assert se.C == 1
+    freq_s, F_s, a_s, ll_s, _ = se.run(
+        np.full(S, 0.2), np.full(N, 0.3), np.full(N, 0.05), opts
+    )
+    assert np.isfinite(ll_s).all()
+    assert (freq_s >= 0).all() and (freq_s <= 1).all()
