@@ -26,33 +26,27 @@ COMMON = (
     f"--n_sites {N_SITES} --max_iters 50"
 )
 
-# (name, geno args, config args)
+# The reference's full test matrix (examples/test.sh:26-51):
+# TYPE in {TG, GL, GL_CG} x ID in {TRUE, BEST, freq_fixed, indF_fixed,
+# normal}, with truth freq=0.2, indF=0.5, alpha=0.01 -- plus a
+# fully-fixed config per type (byte-parity anchor; not in test.sh).
+_TYPES = {
+    "TG": "--geno sim.geno.gz",
+    "GL": "--geno sim.glf.gz --loglkl",
+    "GL_CG": "--geno sim.glf.gz --loglkl --call_geno",
+}
+_IDS = {
+    "TRUE": "--freq 0.2 --freq_est 0 --indF 0.5,0.01 --indF_fixed",
+    "BEST": "--freq 0.2 --indF 0.5,0.01",
+    "freq_fixed": "--freq 0.2 --freq_est 0 --indF 0.1,0.2",
+    "indF_fixed": "--freq 0.1 --indF 0.5,0.01 --indF_fixed",
+    "normal": "--freq 0.1 --indF 0.1,0.2",
+    "FIXED": "--freq 0.2 --freq_est 0 --indF 0.5,0.01 --indF_fixed --alpha_fixed",
+}
 CONFIGS = [
-    (
-        "FIXED_GL",
-        "--geno sim.glf.gz --loglkl",
-        "--pos sim.pos.gz --freq 0.2 --freq_est 0 --indF 0.5,0.01 --indF_fixed --alpha_fixed",
-    ),
-    (
-        "TRUE_GL",
-        "--geno sim.glf.gz --loglkl",
-        "--pos sim.pos.gz --freq 0.2 --freq_est 0 --indF 0.5,0.01 --indF_fixed",
-    ),
-    (
-        "normal_GL",
-        "--geno sim.glf.gz --loglkl",
-        "--pos sim.pos.gz --freq 0.1 --indF 0.1,0.2",
-    ),
-    (
-        "normal_TG",
-        "--geno sim.geno.gz",
-        "--pos sim.pos.gz --freq 0.1 --indF 0.1,0.2",
-    ),
-    (
-        "normal_GL_CG",
-        "--geno sim.glf.gz --loglkl --call_geno",
-        "--pos sim.pos.gz --freq 0.1 --indF 0.1,0.2",
-    ),
+    (f"{i}_{t}", geno, f"--pos sim.pos.gz {cfg}")
+    for t, geno in _TYPES.items()
+    for i, cfg in _IDS.items()
 ]
 
 
@@ -136,7 +130,7 @@ def test_golden_config(name, geno, cfg, sim_dir, reference_binary):
 
     ref_ind = sim_dir / f"ref.{name}.indF"
     tpu_ind = sim_dir / f"tpu.{name}.indF"
-    fully_fixed = "alpha_fixed" in cfg and "indF_fixed" in cfg and "freq_est 0" in cfg
+    fully_fixed = name.startswith("FIXED")
 
     if fully_fixed:
         assert ref_ind.read_bytes() == tpu_ind.read_bytes(), ".indF not byte-identical"
