@@ -203,7 +203,8 @@ def posteriors(e_prob, dist, F, alpha):
 
 
 @partial(jax.jit, static_argnames=("compat",))
-def viterbi(e_prob, dist, F, alpha, compat=True):
+def viterbi(e_prob, dist, F, alpha, compat=True, init_logits=None,
+            final_state=None):
     """Most-probable state path.
 
     compat=True replicates the reference's production Viterbi
@@ -212,6 +213,12 @@ def viterbi(e_prob, dist, F, alpha, compat=True):
     state-0 score (which includes this site's state-0 emission). The
     textbook variant (compat=False) matches the unused viterbi_NEW
     (HMM.cpp:62-95).
+
+    init_logits [N, 2] / final_state [N]: boundary constraints for
+    site-sharded decoding (parallel/site_sharded.py): override the
+    stationary log q init and/or force the traceback to start from a
+    given final state (the globally-optimal state at the shard's right
+    boundary).
 
     Returns (path [S, N] int8, best score [N]).
     """
@@ -236,10 +243,16 @@ def viterbi(e_prob, dist, F, alpha, compat=True):
         new = jnp.stack([n0, n1], axis=-1)
         return new, jnp.stack([bp0, bp1], axis=-1)
 
-    init = jnp.broadcast_to(log_q(F), (F.shape[0], 2))
+    if init_logits is None:
+        init = jnp.broadcast_to(log_q(F), (F.shape[0], 2))
+    else:
+        init = init_logits
     vp, bp = jax.lax.scan(step, init, (e_prob, dist))  # bp: [S, N, 2]
 
-    last = (vp[:, 1] > vp[:, 0]).astype(jnp.int8)  # array_max_pos: strict >
+    if final_state is None:
+        last = (vp[:, 1] > vp[:, 0]).astype(jnp.int8)  # strict > tie rule
+    else:
+        last = final_state.astype(jnp.int8)
     score = jnp.where(last == 1, vp[:, 1], vp[:, 0])
 
     def traceback(carry, bp_s):

@@ -267,3 +267,116 @@ def shard_site_inputs(mesh, gl, dist, state):
     )
     state = EMState(*(dev(x, s) for x, s in zip(state, specs)))
     return gl, dist, state
+
+
+# ---------------------------------------------------------------------------
+# Site-sharded Viterbi decode
+# ---------------------------------------------------------------------------
+
+
+def _maxplus_transfer(e_prob, dist, F, alpha, compat):
+    """Local max-plus transfer matrix V [N, 2, 2]: best within-shard path
+    score entering in state k and leaving in state l.
+
+    compat folds the reference's in-place update (SURVEY.md S3.6a) into
+    the per-site max-plus matrix: M'[k,0] = lt_k0 + e0 and
+    M'[k,1] = max(M'[k,0] + lt01, lt_k1-ish) + e1 -- derived from
+    HMM.cpp:98-125's update order.
+    """
+    from ..models.hmm import _log_trans_elems
+
+    N = F.shape[0]
+
+    def step(V, xs):
+        e_s, d_s = xs
+        lt00, lt01, lt10, lt11 = _log_trans_elems(F, alpha, d_s)
+        m00 = lt00 + e_s[:, 0]
+        m10 = lt10 + e_s[:, 0]
+        if compat:
+            # state-1 goes through the updated state-0 score or directly
+            m01 = m00 + lt01 + e_s[:, 1]
+            m11 = jnp.maximum(m10 + lt01, lt11) + e_s[:, 1]
+        else:
+            m01 = lt01 + e_s[:, 1]
+            m11 = lt11 + e_s[:, 1]
+        n00 = jnp.maximum(V[:, 0, 0] + m00, V[:, 0, 1] + m10)
+        n01 = jnp.maximum(V[:, 0, 0] + m01, V[:, 0, 1] + m11)
+        n10 = jnp.maximum(V[:, 1, 0] + m00, V[:, 1, 1] + m10)
+        n11 = jnp.maximum(V[:, 1, 0] + m01, V[:, 1, 1] + m11)
+        return jnp.stack(
+            [jnp.stack([n00, n01], -1), jnp.stack([n10, n11], -1)], -2
+        ), None
+
+    neg = jnp.full((N,), -jnp.inf, e_prob.dtype)
+    zero = jnp.zeros((N,), e_prob.dtype)
+    eye = jnp.stack(
+        [jnp.stack([zero, neg], -1), jnp.stack([neg, zero], -1)], -2
+    )
+    V, _ = jax.lax.scan(step, eye, (e_prob, dist))
+    return V
+
+
+def _viterbi_shard(e_prob, dist, F, alpha, compat, axis_name):
+    """Local Viterbi with globally-consistent boundary states."""
+    from ..models.hmm import log_q, viterbi
+
+    V = _maxplus_transfer(e_prob, dist, F, alpha, compat)
+    Vs = jax.lax.all_gather(V, axis_name)  # [P, N, 2, 2]
+    Pn = Vs.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    N = F.shape[0]
+
+    # forward max-plus prefix: f_p[k] = best score reaching shard p's
+    # ENTRY in state k (f_0 = log q); suffix: g_p[k] = best completion
+    # from shard p's entry state k (through shards p..P-1).
+    def fwd(i, carry):
+        f, mine = carry
+        mine = jnp.where(i == me, f, mine)
+        nf0 = jnp.maximum(f[:, 0] + Vs[i, :, 0, 0], f[:, 1] + Vs[i, :, 1, 0])
+        nf1 = jnp.maximum(f[:, 0] + Vs[i, :, 0, 1], f[:, 1] + Vs[i, :, 1, 1])
+        return jnp.stack([nf0, nf1], -1), mine
+
+    lq = jnp.broadcast_to(log_q(F), (N, 2))
+    _, f_mine = jax.lax.fori_loop(0, Pn, fwd, (lq, lq))
+
+    def bwd(t, carry):
+        i = Pn - 1 - t
+        g, mine_next = carry
+        # g currently = completion from shard (i+1)'s entry; record it as
+        # OUR exit completion when i == me
+        mine_next = jnp.where(i == me, g, mine_next)
+        ng0 = jnp.maximum(Vs[i, :, 0, 0] + g[:, 0], Vs[i, :, 0, 1] + g[:, 1])
+        ng1 = jnp.maximum(Vs[i, :, 1, 0] + g[:, 0], Vs[i, :, 1, 1] + g[:, 1])
+        return jnp.stack([ng0, ng1], -1), mine_next
+
+    zeros = jnp.zeros((N, 2), e_prob.dtype)
+    _, g_exit = jax.lax.fori_loop(0, Pn, bwd, (zeros, zeros))
+
+    # globally-optimal state at OUR right boundary (strict > tie rule to
+    # match array_max_pos): score of exiting in state l =
+    # max_k f_mine[k] + V[k, l]  +  g_exit[l]
+    exit0 = jnp.maximum(f_mine[:, 0] + V[:, 0, 0], f_mine[:, 1] + V[:, 1, 0])
+    exit1 = jnp.maximum(f_mine[:, 0] + V[:, 0, 1], f_mine[:, 1] + V[:, 1, 1])
+    s_exit = (exit1 + g_exit[:, 1] > exit0 + g_exit[:, 0]).astype(jnp.int8)
+
+    path, _ = viterbi(
+        e_prob, dist, F, alpha, compat=compat,
+        init_logits=f_mine, final_state=s_exit,
+    )
+    return path
+
+
+def make_site_sharded_viterbi(mesh, compat=True):
+    """Jitted sharded decode: (e_prob, dist, F, alpha) -> path [S, N]."""
+
+    def body(e_prob, dist, F, alpha):
+        return _viterbi_shard(e_prob, dist, F, alpha, compat, "site")
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("site", None, None), P("site"), P(), P()),
+        out_specs=P("site", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)

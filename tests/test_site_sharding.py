@@ -91,3 +91,33 @@ def test_site_sharded_uneven_would_fail_loudly(data):
             ),
         )
         jax.block_until_ready(step(gl_d, dist_d, st_d))
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_site_sharded_viterbi_matches(data, compat):
+    """The max-plus boundary-state decomposition must reproduce the
+    monolithic Viterbi path exactly (both the compat in-place variant
+    and the textbook one)."""
+    from ngsf_hmm_tpu.models.hmm import viterbi
+    from ngsf_hmm_tpu.parallel.site_sharded import make_site_sharded_viterbi
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gl, dist, state0 = data
+    mesh = make_site_mesh(8)
+    step = make_site_sharded_em_step(mesh)
+    gl_d, dist_d, st_d = shard_site_inputs(mesh, gl, dist, state0)
+    st_d, _ = step(gl_d, dist_d, st_d)  # realistic params/emissions
+
+    e_prob = jnp.asarray(np.asarray(st_d.e_prob))
+    F = jnp.asarray(np.asarray(st_d.indF))
+    alpha = jnp.asarray(np.asarray(st_d.alpha))
+
+    want, _ = viterbi(e_prob, jnp.asarray(dist), F, alpha, compat=compat)
+
+    vit = make_site_sharded_viterbi(mesh, compat=compat)
+    dev = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    got = vit(
+        dev(e_prob, P("site", None, None)), dev(jnp.asarray(dist), P("site")),
+        dev(F, P()), dev(alpha, P()),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
