@@ -107,37 +107,33 @@ def build_reference():
 
 
 def time_reference(exe, d, glf, posf):
+    """One reference run; per-iteration time parsed from its own
+    verbose-1 timers (EM.cpp:89-95 prints "time: N (s)" per iteration) --
+    avoids a second full run, which can exceed time budgets on loaded
+    hosts. Exactly REF_ITERS iterations via min/max iters + a huge
+    epsilon (min==max is rejected, parse_args.cpp:221)."""
+    import re
+
     nthreads = min(os.cpu_count() or 1, N)
-    base = (
+    args = (
         f"--geno {glf.name} --loglkl --pos {posf.name} --n_ind {N} "
         f"--n_sites {S} --freq 0.2 --indF 0.2,0.05 --n_threads {nthreads} "
-        f"--seed 7 --verbose 0"
+        f"--seed 7 --verbose 1 --min_iters {REF_ITERS} "
+        f"--max_iters {REF_ITERS + 1} --min_epsilon 100 --out ref1"
     )
-
-    def run(iters, out):
-        # Exactly `iters` iterations: the while-gate (EM.cpp:56) stops at
-        # min_iters when both epsilon tests fail; a huge min_epsilon
-        # guarantees that (min_iters==max_iters is rejected by validation,
-        # parse_args.cpp:221).
-        args = base + (
-            f" --min_iters {iters} --max_iters {iters + 1}"
-            f" --min_epsilon 100 --out {out}"
-        )
-        t0 = time.perf_counter()
-        r = subprocess.run(
-            [str(exe)] + args.split(), cwd=d, capture_output=True, text=True,
-            timeout=3000,
-        )
-        if r.returncode != 0:
-            raise RuntimeError(r.stdout + r.stderr)
-        return time.perf_counter() - t0
-
-    t1 = run(1, "ref1")
-    t2 = run(1 + REF_ITERS, "ref2")
-    per_iter = (t2 - t1) / REF_ITERS
-    log(f"[bench] reference: {t1:.2f}s @1 iter, {t2:.2f}s @{1+REF_ITERS}, "
-        f"-> {per_iter:.3f}s/iter ({nthreads} threads)")
-    return max(per_iter, 1e-9)
+    r = subprocess.run(
+        [str(exe)] + args.split(), cwd=d, capture_output=True, text=True,
+        timeout=3000,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stdout + r.stderr)
+    times = [int(m) for m in re.findall(r"time: (\d+) \(s\)", r.stdout)]
+    if not times:
+        raise RuntimeError("no per-iteration timers in reference output")
+    per_iter = max(sum(times) / len(times), 1.0)
+    log(f"[bench] reference: per-iter times {times}s "
+        f"-> {per_iter:.1f}s/iter ({nthreads} threads)")
+    return per_iter
 
 
 def time_ours(gl, pos):

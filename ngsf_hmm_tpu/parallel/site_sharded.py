@@ -143,6 +143,12 @@ def site_em_iteration(
             "implemented for site-sharded runs (pair posteriors would "
             "cross shard boundaries); use the single-chip engine"
         )
+    if freq_est == 1 and e_prob_calc != 1:
+        raise NotImplementedError(
+            "e_prob_calc != 1 (the reference's site-1-only emission "
+            "recompute quirk, EM.cpp:252) is not implemented sharded; "
+            "use the single-chip engine"
+        )
     if block_size is None:
         block_size = pick_block_size(S_loc)
     first = jax.lax.axis_index(axis_name) == 0
