@@ -54,6 +54,10 @@ _OPTIONS = [
     # continues from that file.
     ("checkpoint", True, None),
     ("resume", False, None),
+    # streaming EM (models/streaming.py): process --stream_chunk sites per
+    # device pass so gl/e_prob never reside whole in HBM (out-of-HBM
+    # configs). Implies the linear speed kernels.
+    ("stream_chunk", True, None),
     # tracing/profiling (SURVEY.md S5.1): dump a JAX profiler trace of the
     # EM loop to DIR (view with TensorBoard / xprof). The reference's
     # equivalent is its verbose>=3 per-phase wall-clock timers
@@ -92,7 +96,7 @@ def _apply_opt(pars, opt, val):
         pars["log_bin"] = True
     elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
                  "min_iters", "max_iters", "n_threads", "verbose", "seed",
-                 "n_rep"):
+                 "n_rep", "stream_chunk"):
         pars[opt] = int(val)
     elif opt == "min_epsilon":
         pars[opt] = float(val)
@@ -135,6 +139,7 @@ def parse_args(argv):
         "checkpoint": None,
         "resume": False,
         "profile": None,
+        "stream_chunk": 0,
     }
     short_map = {s: (name, has) for name, has, s in _OPTIONS if s}
     longs = [(name, has) for name, has, _ in _OPTIONS]
@@ -522,6 +527,53 @@ def main(argv=None):
         profile_ctx = jax.profiler.trace(p["profile"])
         if p["verbose"] >= 1:
             print(f'==> Profiling EM loop to "{p["profile"]}"')
+
+    if p["stream_chunk"] > 0:
+        # ---- streaming EM: out-of-HBM path (models/streaming.py)
+        if p["n_rep"] > 1 or p["checkpoint"]:
+            error("main", "--stream_chunk is incompatible with --n_rep/--checkpoint")
+        if p["freq_est"] == 2 or p["e_prob"] == 2:
+            error("main", "--stream_chunk does not support the LD path")
+        from .io.writers import write_geno_streamed
+        from .models.streaming import StreamingEM, streaming_viterbi
+
+        if p["verbose"] >= 1:
+            print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk)")
+        se = StreamingEM(np.asarray(gl), dist, chunk_sites=p["stream_chunk"])
+        S_, N_ = gl.shape[0], gl.shape[1]
+        p_ibd = np.zeros((S_, N_), np.float32)
+        with profile_ctx:
+            freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
+                freq0, indF0, alpha0, opts, p_ibd_out=p_ibd
+            )
+        if n_iters >= p["max_iters"]:
+            print(
+                "WARN: Maximum number of iterations reached! Check if "
+                "analysis converged... "
+            )
+        if p["verbose"] >= 1:
+            print("\n==> Decoding most probable path (Viterbi)")
+            print(f"Final logLkl: {ind_lkl.sum():.6f}")
+            print("Printing final results")
+        path = streaming_viterbi(se, freq_f, F_f, a_f)
+        write_indF(p["out"] + ".indF", float(ind_lkl.sum()), F_f, a_f, freq_f)
+        write_ibd(p["out"] + ".ibd", ind_lkl, path, p_ibd)
+
+        def _geno_chunks():
+            for c in range(se.C):
+                lo = c * se.cs
+                hi = min(lo + se.cs, S_)
+                yield (
+                    np.asarray(gl[lo:hi], np.float64),
+                    freq_f[lo:hi].astype(np.float64),
+                    path[lo:hi],
+                )
+
+        write_geno_streamed(p["out"] + ".geno", _geno_chunks())
+        if p["verbose"] >= 1:
+            print("Freeing memory...")
+            print("Done!")
+        return 0
 
     if p["n_rep"] > 1:
         if p["checkpoint"]:

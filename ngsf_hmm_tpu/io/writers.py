@@ -52,14 +52,10 @@ def write_ibd(path, ind_lkl, path_states, p_ibd):
             fh.write("\t".join(fmt_f(v) for v in p_ibd[:, i]) + "\n")
 
 
-def write_geno(path, gl, freq, path_states):
-    """Genotype posteriors with Viterbi-conditioned HWE prior, binary doubles.
-
-    gl: [S, N, 3] normalised log GLs; freq: [S]; path_states: [S, N].
-    Site-major, individual-inner ordering (EM.cpp:369-376).
-    """
-    S, N = path_states.shape
-    F = path_states.astype(np.float64)  # prior F = Viterbi state (EM.cpp:372)
+def geno_posteriors(gl, freq, path_states):
+    """[S, N, 3] exp-space genotype posteriors with the Viterbi-
+    conditioned HWE prior (EM.cpp:369-376; prior F = path state)."""
+    F = path_states.astype(np.float64)
     p = freq[:, None]
     pq = (1 - p) * p
     g0 = (1 - p) ** 2 + pq * F
@@ -70,5 +66,24 @@ def write_geno(path, gl, freq, path_states):
         lpri = np.log(prior)
     lpri[np.isneginf(lpri)] = -1e15
     lpri[..., 1] = np.where(F == 1.0, -1e15, lpri[..., 1])
-    pp = np.exp(_normalise_log(gl + lpri))
+    return np.exp(_normalise_log(gl + lpri))
+
+
+def write_geno(path, gl, freq, path_states):
+    """Genotype posteriors as binary doubles, site-major (EM.cpp:358-379).
+
+    gl: [S, N, 3] normalised log GLs; freq: [S]; path_states: [S, N].
+    """
+    S, N = path_states.shape
+    pp = geno_posteriors(gl, freq, path_states)
     pp.astype("<f8").reshape(S, N * N_GENO).tofile(path)
+
+
+def write_geno_streamed(path, chunk_iter):
+    """Chunked .geno writer: chunk_iter yields (gl_c, freq_c, path_c)
+    in site order; identical bytes to write_geno on the concatenation."""
+    with open(path, "wb") as fh:
+        for gl_c, freq_c, path_c in chunk_iter:
+            pp = geno_posteriors(gl_c, freq_c, path_c)
+            S_c, N = path_c.shape
+            fh.write(pp.astype("<f8").reshape(S_c, N * N_GENO).tobytes())

@@ -396,3 +396,100 @@ class StreamingEM:
             prev_ind = ll_f.copy()
 
         return freq, F, alpha, ll_f, n_iter
+
+
+# ---------------------------------------------------------------------------
+# streamed Viterbi decode (same boundary-state algebra as
+# parallel/site_sharded.make_site_sharded_viterbi, chunk-sequential)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("valid", "compat"))
+def _chunk_maxplus(gl_c, freq_c, dist_c, F, alpha, valid, compat):
+    """Chunk's max-plus transfer matrix V [N, 2, 2] + log emissions.
+
+    Pad sites (>= valid) get e_log = 0 and d = 0: exact max-plus
+    identities."""
+    from ..parallel.site_sharded import _maxplus_transfer
+
+    gl_lin = jnp.exp(gl_c)
+    e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
+    pad = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
+    e_log = jnp.log(jnp.where(pad, 1.0, e_lin))
+    V = _maxplus_transfer(e_log, dist_c, F, alpha, compat)
+    return V, e_log
+
+
+@partial(jax.jit, static_argnames=("compat",))
+def _chunk_viterbi(e_log, dist_c, F, alpha, init_logits, final_state, compat):
+    from .hmm import viterbi
+
+    path, _ = viterbi(e_log, dist_c, F, alpha, compat=compat,
+                      init_logits=init_logits, final_state=final_state)
+    return path
+
+
+def _maxplus_chain(Vs, F):
+    """Host max-plus prefix/suffix over [C] chunk transfers.
+
+    Returns (entries [C, N, 2] entry score vectors, exits [C, N] int8
+    globally-optimal state at each chunk's last site)."""
+    C, N = Vs.shape[0], Vs.shape[1]
+    Vs = Vs.astype(np.float64)
+    f = np.stack([np.log(1.0 - F), np.log(F)], -1)  # [N, 2]
+    entries = np.empty((C, N, 2))
+    for c in range(C):
+        entries[c] = f
+        f = np.stack([
+            np.maximum(f[:, 0] + Vs[c, :, 0, 0], f[:, 1] + Vs[c, :, 1, 0]),
+            np.maximum(f[:, 0] + Vs[c, :, 0, 1], f[:, 1] + Vs[c, :, 1, 1]),
+        ], -1)
+    g = np.zeros((N, 2))
+    exits = np.empty((C, N), np.int8)
+    for c in range(C - 1, -1, -1):
+        # exit score of chunk c in state l: max_k entries[c][k]+V[c][k,l]
+        e0 = np.maximum(entries[c][:, 0] + Vs[c, :, 0, 0],
+                        entries[c][:, 1] + Vs[c, :, 1, 0])
+        e1 = np.maximum(entries[c][:, 0] + Vs[c, :, 0, 1],
+                        entries[c][:, 1] + Vs[c, :, 1, 1])
+        exits[c] = (e1 + g[:, 1] > e0 + g[:, 0]).astype(np.int8)
+        g = np.stack([
+            np.maximum(Vs[c, :, 0, 0] + g[:, 0], Vs[c, :, 0, 1] + g[:, 1]),
+            np.maximum(Vs[c, :, 1, 0] + g[:, 0], Vs[c, :, 1, 1] + g[:, 1]),
+        ], -1)
+    return entries, exits
+
+
+def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
+                      path_out=None):
+    """Streamed decode: exact global Viterbi path, chunk by chunk.
+
+    Returns path_out ([S, N] int8; allocated if None)."""
+    if path_out is None:
+        path_out = np.empty((se.S, se.N), np.int8)
+    F32 = jnp.asarray(F, jnp.float32)
+    a32 = jnp.asarray(alpha, jnp.float32)
+    Vs = np.empty((se.C, se.N, 2, 2), np.float32)
+    for c in range(se.C):
+        gl_c, lo, hi, d_c = se._chunk(c)
+        V, _ = _chunk_maxplus(
+            jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
+            jnp.asarray(d_c), F32, a32, hi - lo, compat,
+        )
+        Vs[c] = np.asarray(V)
+    entries, exits = _maxplus_chain(Vs, np.asarray(F, np.float64))
+    for c in range(se.C):
+        # e_log recomputed per chunk (not held across the pass: that is
+        # the whole point of streaming)
+        gl_c, lo, hi, d_c = se._chunk(c)
+        _, e_log = _chunk_maxplus(
+            jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
+            jnp.asarray(d_c), F32, a32, hi - lo, compat,
+        )
+        path_c = _chunk_viterbi(
+            e_log, jnp.asarray(d_c), F32, a32,
+            jnp.asarray(entries[c], jnp.float32),
+            jnp.asarray(exits[c]), compat,
+        )
+        path_out[lo:hi] = np.asarray(path_c)[: hi - lo]
+    return path_out

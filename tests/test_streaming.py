@@ -85,3 +85,27 @@ def test_streaming_single_chunk_degenerate(data):
     )
     assert np.isfinite(ll_s).all()
     assert (freq_s >= 0).all() and (freq_s <= 1).all()
+
+
+def test_streaming_viterbi_matches_monolithic(data):
+    """The chunked max-plus boundary decode reproduces the monolithic
+    Viterbi path exactly (both quirk-compat and textbook)."""
+    from ngsf_hmm_tpu.models.hmm import viterbi
+    from ngsf_hmm_tpu.models.streaming import StreamingEM, streaming_viterbi
+    from ngsf_hmm_tpu.ops.emissions import calc_emission
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq = np.clip(np.random.default_rng(0).uniform(0.05, 0.45, S), 0, 1)
+    F = np.linspace(0.2, 0.7, N)
+    a = np.linspace(0.03, 0.3, N)
+
+    e_log = calc_emission(jnp.asarray(gl, jnp.float32),
+                          jnp.asarray(freq, jnp.float32)[:, None])
+    for compat in (True, False):
+        want, _ = viterbi(e_log, jnp.asarray(dist, jnp.float32),
+                          jnp.asarray(F, jnp.float32),
+                          jnp.asarray(a, jnp.float32), compat=compat)
+        se = StreamingEM(gl, dist, chunk_sites=300)
+        got = streaming_viterbi(se, freq, F, a, compat=compat)
+        np.testing.assert_array_equal(got, np.asarray(want))
