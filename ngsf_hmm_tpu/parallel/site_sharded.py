@@ -16,8 +16,11 @@ the only cross-chip state is each shard's 2x2 transfer product --
  - the gradient is a psum of per-shard site sums, plus the initial-
    distribution dF term on shard 0 only.
 
-Composable with the (restart, ind) mesh of mesh.py into 3-D meshes;
-here the mesh is 1-D ("site",).
+The 1-D ("site",) mesh shards sites with individuals whole; the 2-D
+("ind", "site") grid mesh (make_grid_sharded_em_step) composes this
+with individual sharding -- the BASELINE 1000-ind x 10M-site layout:
+est_maf psums over "ind", the chain gathers over "site", and each
+ind-shard's (F, alpha) optimiser runs locally in lockstep.
 """
 
 from functools import partial
@@ -129,11 +132,14 @@ def site_em_iteration(
     alpha_fixed: bool = False,
     axis_name: str = "site",
     block_size=None,
+    ind_axis_name=None,
 ):
     """One EM iteration on a site-sharded slab (runs under shard_map).
 
     gl/dist/state.freq/e_prob/p_ibd hold THIS SHARD's sites; indF/alpha/
-    ind_lkl are replicated and stay identical across shards.
+    ind_lkl are replicated across site-shards (and, on a 2-D mesh,
+    sharded over ind_axis_name: the est_maf accumulators then psum over
+    that axis exactly as in sharded_em.py).
     """
     S_loc, N = gl.shape[0], gl.shape[1]
     dtype = gl.dtype
@@ -167,6 +173,11 @@ def site_em_iteration(
     p_ibd = check_interv(p_raw).astype(dtype)
     ind_lkl = ll_f.astype(dtype)
     fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b)).astype(dtype)
+    if ind_axis_name is not None:
+        # identical across site-shards by construction, but each
+        # ind-shard sees only its individuals: pmax keeps the
+        # replicated out-spec truthful on 2-D meshes
+        fwbw_maxdiff = jax.lax.pmax(fwbw_maxdiff, ind_axis_name)
 
     # ---- M-step 1: (F, alpha), global objective assembled per eval
     if indF_fixed and alpha_fixed:
@@ -216,6 +227,8 @@ def site_em_iteration(
         x_opt, _, opt_iters = lbfgsb_minimize(
             objective, x0, lo, hi, value_and_grad=objective_vag
         )
+        if ind_axis_name is not None:
+            opt_iters = jax.lax.pmax(opt_iters, ind_axis_name)
         indF, alpha = x_opt[:, 0], x_opt[:, 1]
 
     # ---- M-step 2: freq, fully local in sites
@@ -223,7 +236,9 @@ def site_em_iteration(
         freq, e_prob = state.freq, state.e_prob
     else:
         gl_lin = jnp.exp(gl)
-        freq = est_maf(gl_lin, p_ibd, linear=True).astype(dtype)
+        freq = est_maf(
+            gl_lin, p_ibd, linear=True, axis_name=ind_axis_name
+        ).astype(dtype)
         e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
@@ -386,3 +401,71 @@ def make_site_sharded_viterbi(mesh, compat=True):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Composed 2-D (ind, site) mesh: the BASELINE 1000-ind x 10M-site layout
+# ---------------------------------------------------------------------------
+
+
+def make_grid_mesh(n_ind_shards, n_site_shards, devices=None):
+    if devices is None:
+        devices = jax.devices()
+    arr = np.asarray(devices[: n_ind_shards * n_site_shards]).reshape(
+        n_ind_shards, n_site_shards
+    )
+    return Mesh(arr, axis_names=("ind", "site"))
+
+
+def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
+                              indF_fixed=False, alpha_fixed=False):
+    """EM step over a 2-D (ind, site) mesh.
+
+    Layout: gl [S, N, 3] sharded P("site", "ind"); freq sharded over
+    "site"; indF/alpha/ind_lkl sharded over "ind"; e_prob/p_ibd sharded
+    over both. Collectives per step:
+      - "site": all_gather of per-shard 2x2 transfer products (chain
+        boundary assembly) + psum of (F, alpha) gradient site-sums;
+      - "ind": psum of est_maf's expected-allele-count accumulators
+        (the same single collective as the 1-D ind mesh).
+    The (F, alpha) optimiser state is local to each ind-shard (its
+    individuals), lockstep across site-shards.
+    """
+    state_specs = EMState(
+        freq=P("site"),
+        indF=P("ind"),
+        alpha=P("ind"),
+        e_prob=P("site", "ind", None),
+        p_ibd=P("site", "ind"),
+        ind_lkl=P("ind"),
+    )
+
+    def core(gl, dist, state):
+        return site_em_iteration(
+            gl, dist, state,
+            freq_est=freq_est, e_prob_calc=e_prob_calc,
+            indF_fixed=indF_fixed, alpha_fixed=alpha_fixed,
+            axis_name="site", ind_axis_name="ind",
+        )
+
+    step = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P("site", "ind", None), P("site"), state_specs),
+        out_specs=(state_specs, IterStats(P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def shard_grid_inputs(mesh, gl, dist, state):
+    dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    gl = dev(gl, P("site", "ind", None))
+    dist = dev(dist, P("site"))
+    specs = EMState(
+        freq=P("site"), indF=P("ind"), alpha=P("ind"),
+        e_prob=P("site", "ind", None), p_ibd=P("site", "ind"),
+        ind_lkl=P("ind"),
+    )
+    state = EMState(*(dev(x, s) for x, s in zip(state, specs)))
+    return gl, dist, state

@@ -121,3 +121,38 @@ def test_site_sharded_viterbi_matches(data, compat):
         dev(F, P()), dev(alpha, P()),
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grid_mesh_2d_matches_single_device(data):
+    """Composed (ind, site) 2-D mesh (2 ind-shards x 4 site-shards):
+    full EM trajectories must match the single-device linear engine."""
+    from ngsf_hmm_tpu.parallel.site_sharded import (
+        make_grid_mesh,
+        make_grid_sharded_em_step,
+        shard_grid_inputs,
+    )
+
+    gl, dist, state0 = data  # N = 6 -> 3 individuals per ind-shard
+    mesh = make_grid_mesh(2, 4)
+    step = make_grid_sharded_em_step(mesh)
+    gl_d, dist_d, st_d = shard_grid_inputs(mesh, gl, dist, state0)
+
+    st_ref = state0
+    for _ in range(3):
+        st_d, stats = step(gl_d, dist_d, st_d)
+        st_ref, _ = em_iteration(
+            gl, dist, st_ref, block_size="auto", numerics="linear"
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(st_d.ind_lkl), np.asarray(st_ref.ind_lkl), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.indF), np.asarray(st_ref.indF), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.freq), np.asarray(st_ref.freq), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.p_ibd), np.asarray(st_ref.p_ibd), atol=5e-3
+    )
