@@ -539,8 +539,11 @@ def main(argv=None):
 
         if p["verbose"] >= 1:
             print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk)")
-        se = StreamingEM(np.asarray(gl), dist, chunk_sites=p["stream_chunk"])
-        S_, N_ = gl.shape[0], gl.shape[1]
+        # the PROCESSED likelihoods (post --call_geno + renormalisation),
+        # exactly what the monolithic path trains on
+        gl_host = np.asarray(gl_j, np.float64)
+        se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"])
+        S_, N_ = gl_host.shape[0], gl_host.shape[1]
         p_ibd = np.zeros((S_, N_), np.float32)
         with profile_ctx:
             freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
@@ -564,7 +567,7 @@ def main(argv=None):
                 lo = c * se.cs
                 hi = min(lo + se.cs, S_)
                 yield (
-                    np.asarray(gl[lo:hi], np.float64),
+                    gl_host[lo:hi],
                     freq_f[lo:hi].astype(np.float64),
                     path[lo:hi],
                 )

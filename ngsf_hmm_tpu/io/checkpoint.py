@@ -58,16 +58,26 @@ def load_checkpoint(path, dtype=None):
     dtype: optionally cast arrays (e.g. resume an f64 checkpoint in f32
     speed mode).
     """
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode())
-        if meta.get("format") != FORMAT:
-            raise ValueError(
-                f"{path}: not a {FORMAT} checkpoint (got {meta.get('format')!r})"
-            )
-        fields = {}
-        for f in EMState._fields:
-            a = z[f]
-            fields[f] = jnp.asarray(a if dtype is None else a.astype(dtype))
+    try:
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+            if meta.get("format") != FORMAT:
+                raise ValueError(
+                    f"{path}: not a {FORMAT} checkpoint "
+                    f"(got {meta.get('format')!r})"
+                )
+            fields = {}
+            for f in EMState._fields:
+                a = z[f]
+                fields[f] = jnp.asarray(
+                    a if dtype is None else a.astype(dtype)
+                )
+    except FileNotFoundError:
+        raise
+    except ValueError:
+        raise
+    except Exception as e:  # KeyError, BadZipFile, pickle errors, ...
+        raise ValueError(f"{path}: not a readable {FORMAT} checkpoint ({e})")
     bk = meta["bookkeeping"]
     for k in ("prev_ind",):
         if k in bk:

@@ -30,9 +30,8 @@ against them (tests/test_hmm_pallas.py); on non-TPU backends the kernels
 run in interpreter mode so CPU CI exercises identical code.
 """
 
-from functools import lru_cache, partial
+from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

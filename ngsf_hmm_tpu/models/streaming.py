@@ -77,6 +77,20 @@ def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid):
     return fold_transfer_lin(A, ln)
 
 
+@partial(jax.jit, static_argnames=("bs", "valid"))
+def _chunk_transfer_multi(gl_c, freq_c, dist_c, Fs, alphas, bs, valid):
+    """K-candidate transfer products in one chunk pass: Fs/alphas
+    [K, N] -> (T [K, N, 2, 2], s [K, N]). Emissions are shared; the
+    line-search ladder costs ONE data stream instead of K."""
+    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+
+    def one(F, a):
+        A, ln = _block_transfer_lin(e_blk, d_blk, F, a)
+        return fold_transfer_lin(A, ln)
+
+    return jax.vmap(one)(Fs, alphas)
+
+
 @partial(jax.jit, static_argnames=("bs", "S_c", "valid"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid):
     """Posteriors with boundary carries + chunk-local freq M-step."""
@@ -146,7 +160,9 @@ def _assemble_chain(Ts, ss, F):
 
 
 def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
-                 max_iters=60, pgtol=PGTOL, factr=FACTR):
+                 max_iters=60, pgtol=PGTOL, factr=FACTR, fun_multi=None):
+    if fun_multi is None:
+        fun_multi = lambda cands: np.stack([fun(c) for c in cands])
     x = np.clip(x0, lower, upper)
     f, g = value_and_grad(x)
     pairs = []  # (s, y) history, oldest first
@@ -174,7 +190,9 @@ def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
         if pairs:
             s_n, y_n = pairs[-1]
             yy = (y_n * y_n).sum(-1)
-            gamma = np.where(yy > 1e-12, (s_n * y_n).sum(-1) / np.where(yy == 0, 1, yy), 1.0)
+            sy = (s_n * y_n).sum(-1)
+            gamma = np.where((yy > 1e-12) & (sy > 1e-12),
+                             sy / np.where(yy == 0, 1, yy), 1.0)
             d = np.clip(gamma, 1e-8, 1e8)[:, None] * d
         for (a, rho), (s_v, y_v) in zip(reversed(alphas), pairs):
             b = rho * (y_v * d).sum(-1)
@@ -183,17 +201,21 @@ def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
         descent = (d * q).sum(-1) < 0
         d = np.where(descent[:, None], d, -q)
 
-        # backtracking ladder (largest accepted t per row)
+        # backtracking ladder: all rungs evaluated in ONE fun_multi call
+        # (for the streamed objective that is one data pass per round,
+        # not LS_LADDER passes); largest accepted t per row wins
         ladder = 2.0 ** -np.arange(LS_LADDER)
         x_new, f_new = x.copy(), f.copy()
         need = active.copy()
         scale = np.ones(x.shape[0])
         while need.any():
+            cands = np.stack([
+                proj(x + (scale * t)[:, None] * d) for t in ladder
+            ])  # [K, B, n]
+            fcs = fun_multi(cands)  # [K, B]
             accepted = np.zeros_like(need)
-            for t in ladder:
-                ts = scale * t
-                cand = proj(x + ts[:, None] * d)
-                fc = fun(cand)
+            for k in range(len(ladder)):
+                cand, fc = cands[k], fcs[k]
                 dec = (g * (cand - x)).sum(-1)
                 ok = (
                     (fc <= f + 1e-4 * dec)
@@ -213,8 +235,12 @@ def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
         f2 = np.where(active, f2, f)
         g2 = np.where(active[:, None], g2, g)
         s_v, y_v = x_new - x, g2 - g
-        if ((s_v * y_v).sum(-1) > 1e-12).any():
-            pairs.append((s_v, y_v))
+        # store per-ROW like lbfgsb.py: rows without positive curvature
+        # get zeroed pairs (rho = 0 in the two-loop; gamma falls back to
+        # 1 instead of clipping a negative estimate)
+        good = ((s_v * y_v).sum(-1) > 1e-12)[:, None]
+        if good.any():
+            pairs.append((np.where(good, s_v, 0.0), np.where(good, y_v, 0.0)))
             if len(pairs) > m:
                 pairs.pop(0)
         small = pg_norm(x_new, g2) <= pgtol
@@ -272,6 +298,24 @@ class StreamingEM:
             f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
         return f
 
+    def _transfers_multi(self, freq, Fs, alphas):
+        """[K, N] parameter candidates -> (Ts [K, C, N, 2, 2], ss [K, C, N])
+        in ONE stream over the data."""
+        K = Fs.shape[0]
+        Ts = np.empty((K, self.C, self.N, 2, 2), np.float32)
+        ss = np.empty((K, self.C, self.N), np.float32)
+        F_d = jnp.asarray(Fs, jnp.float32)
+        a_d = jnp.asarray(alphas, jnp.float32)
+        for c in range(self.C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            T, s = _chunk_transfer_multi(
+                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+            )
+            Ts[:, c] = np.asarray(T)
+            ss[:, c] = np.asarray(s)
+        return Ts, ss
+
     def _transfers(self, freq, F, alpha):
         Ts = np.empty((self.C, self.N, 2, 2), np.float32)
         ss = np.empty((self.C, self.N), np.float32)
@@ -303,6 +347,13 @@ class StreamingEM:
         prev_ind = np.full(N, -np.inf)
         max_eps = -np.inf
         ll_f = np.full(N, -np.inf)
+
+        if opts.freq_est not in (0, 1) or opts.e_prob_calc != 1:
+            raise NotImplementedError(
+                "streaming EM supports freq_est 0/1 with e_prob_calc 1 "
+                "only (the LD path and the site-1-only emission quirk "
+                "need the monolithic engine)"
+            )
 
         from ..utils.signals import stop_requested
 
@@ -359,6 +410,19 @@ class StreamingEM:
                     _, _, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
                     return -llx
 
+                def fun_multi(cands):  # [K, B, n] -> [K, B]
+                    K = cands.shape[0]
+                    Ts, ss = self._transfers_multi(
+                        freq, cands[:, :, 0], cands[:, :, 1]
+                    )
+                    out = np.empty((K, self.N))
+                    for k in range(K):
+                        _, _, llk, _ = _assemble_chain(
+                            Ts[k], ss[k], cands[k, :, 0]
+                        )
+                        out[k] = -llk
+                    return out
+
                 def vag(x):
                     Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
                     v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
@@ -383,7 +447,8 @@ class StreamingEM:
                 x0 = np.clip(
                     np.stack([F, alpha], -1), lo_b, hi_b
                 )
-                x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b)
+                x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b,
+                                           fun_multi=fun_multi)
                 F, alpha = x_opt[:, 0], x_opt[:, 1]
 
             freq = new_freq
@@ -404,20 +469,23 @@ class StreamingEM:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("valid", "compat"))
-def _chunk_maxplus(gl_c, freq_c, dist_c, F, alpha, valid, compat):
-    """Chunk's max-plus transfer matrix V [N, 2, 2] + log emissions.
-
-    Pad sites (>= valid) get e_log = 0 and d = 0: exact max-plus
-    identities."""
-    from ..parallel.site_sharded import _maxplus_transfer
-
+@partial(jax.jit, static_argnames=("valid",))
+def _chunk_elog(gl_c, freq_c, valid):
+    """Log emissions for a chunk; pad sites (>= valid) get e_log = 0
+    (exact identities in both semirings)."""
     gl_lin = jnp.exp(gl_c)
     e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
     pad = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
-    e_log = jnp.log(jnp.where(pad, 1.0, e_lin))
-    V = _maxplus_transfer(e_log, dist_c, F, alpha, compat)
-    return V, e_log
+    return jnp.log(jnp.where(pad, 1.0, e_lin))
+
+
+@partial(jax.jit, static_argnames=("valid", "compat"))
+def _chunk_maxplus(gl_c, freq_c, dist_c, F, alpha, valid, compat):
+    """Chunk's max-plus transfer matrix V [N, 2, 2]."""
+    from ..parallel.site_sharded import _maxplus_transfer
+
+    e_log = _chunk_elog(gl_c, freq_c, valid)
+    return _maxplus_transfer(e_log, dist_c, F, alpha, compat)
 
 
 @partial(jax.jit, static_argnames=("compat",))
@@ -472,19 +540,18 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
     Vs = np.empty((se.C, se.N, 2, 2), np.float32)
     for c in range(se.C):
         gl_c, lo, hi, d_c = se._chunk(c)
-        V, _ = _chunk_maxplus(
+        V = _chunk_maxplus(
             jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
             jnp.asarray(d_c), F32, a32, hi - lo, compat,
         )
         Vs[c] = np.asarray(V)
     entries, exits = _maxplus_chain(Vs, np.asarray(F, np.float64))
     for c in range(se.C):
-        # e_log recomputed per chunk (not held across the pass: that is
-        # the whole point of streaming)
+        # emissions-only recompute (no second max-plus scan)
         gl_c, lo, hi, d_c = se._chunk(c)
-        _, e_log = _chunk_maxplus(
+        e_log = _chunk_elog(
             jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
-            jnp.asarray(d_c), F32, a32, hi - lo, compat,
+            hi - lo,
         )
         path_c = _chunk_viterbi(
             e_log, jnp.asarray(d_c), F32, a32,

@@ -83,6 +83,9 @@ def _run(gl0, gl1, gl2, p, n_ind):
             pq = (1.0 - freq) * freq
             pr0 = (1.0 - freq) * (1.0 - freq) + pq * F
             pr1 = 2.0 * pq - 2.0 * pq * F
+            # calc_HWE's F==1 heterozygote floor (gen_func.cpp:946-956):
+            # without it a het-certain GL at p_ibd==1 divides by zero
+            pr1 = jnp.where(F == 1.0, 1e-15, pr1)
             pr2 = freq * freq + pq * F
             pp0 = g0 * pr0
             pp1 = g1 * pr1

@@ -36,11 +36,9 @@ from ..models.hmm_blocked import (
     _block_transfer_lin,
     block_sites,
     fold_transfer_lin,
-    forward_backward_blocked_lin,
     loglik_value_and_grad_blocked_lin,
     pick_block_size,
     posteriors_blocked_lin,
-    unblock_sites,
 )
 from ..models.lbfgsb import lbfgsb_minimize
 from ..ops.emissions import emission_probs_linear

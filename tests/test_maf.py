@@ -55,3 +55,27 @@ def test_est_maf_pallas_matches_xla():
     tiles = prepare_gl_tiles(gl_lin)
     got = est_maf_pallas(tiles, p_ibd, S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_est_maf_pallas_het_certain_at_full_ibd():
+    """A heterozygote-certain GL at p_ibd == 1 must NOT produce NaN:
+    calc_HWE's F==1 het floor (gen_func.cpp:946-956) applies in the
+    pallas kernel too (regression: missing floor divided by zero)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngsf_hmm_tpu.ops.maf import est_maf
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
+
+    S, N = 8, 3
+    gl_lin = np.full((S, N, 3), 1.0 / 3, np.float32)
+    gl_lin[2, 1] = [0.0, 1.0, 0.0]  # het-certain individual
+    p_ibd = np.zeros((S, N), np.float32)
+    p_ibd[2, :] = 1.0  # fully-IBD site
+    gl_j = jnp.asarray(gl_lin)
+    p_j = jnp.asarray(p_ibd)
+
+    want = np.asarray(est_maf(gl_j, p_j, linear=True))
+    got = np.asarray(est_maf_pallas(prepare_gl_tiles(gl_j), p_j, S))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=2e-6)
