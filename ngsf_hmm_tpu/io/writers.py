@@ -36,8 +36,11 @@ def write_indF(path, tot_lkl, indF, alpha, freq):
                 fh.write(f"{1.0:.5f}\tNA\n")
             else:
                 fh.write(f"{F:.5f}\t{a:.6f}\n")
-        for f in freq:
-            fh.write(f"{f:.6f}\n")
+        # np.char.mod uses C printf ("%f"): byte-identical to the
+        # reference's gzprintf and vectorised for multi-M-site outputs
+        fh.write("\n".join(np.char.mod("%f", np.asarray(freq))))
+        if len(freq):
+            fh.write("\n")
 
 
 def write_ibd(path, ind_lkl, path_states, p_ibd):
@@ -48,8 +51,9 @@ def write_ibd(path, ind_lkl, path_states, p_ibd):
         digits = (path_states.astype(np.uint8) + ord("0")).astype(np.uint8)
         for i in range(N):
             fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
+        post_txt = np.char.mod("%f", np.asarray(p_ibd))  # C printf, fast
         for i in range(N):
-            fh.write("\t".join(fmt_f(v) for v in p_ibd[:, i]) + "\n")
+            fh.write("\t".join(post_txt[:, i]) + "\n")
 
 
 def geno_posteriors(gl, freq, path_states):
