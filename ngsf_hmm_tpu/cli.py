@@ -615,10 +615,14 @@ def main(argv=None):
         result = rres.best
     else:
         with profile_ctx:
-            result = run_em(
-                gl_j, dist_j, state, opts, log_callback=log_cb, trace=trace,
-                checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
-            )
+            try:
+                result = run_em(
+                    gl_j, dist_j, state, opts, log_callback=log_cb,
+                    trace=trace, checkpoint_cb=ckpt_cb,
+                    resume_bookkeeping=resume_bk,
+                )
+            except RuntimeError as e:
+                error("EM", str(e))
 
     if not result.converged:
         print(

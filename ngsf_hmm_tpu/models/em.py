@@ -453,7 +453,9 @@ def run_em(
         )
         if opts.check_fwbw:
             d = float(stats.fwbw_maxdiff)
-            if d > opts.lkl_check_tol:
+            # NaN must abort too (the reference kills the run on NaN in
+            # the recursions, HMM.cpp:18-21); `d > tol` is False for NaN
+            if not np.isfinite(d) or d > opts.lkl_check_tol:
                 raise RuntimeError(
                     f"Fw and Bw lkl do not match (max diff {d:g})!"
                 )

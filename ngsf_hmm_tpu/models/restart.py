@@ -119,7 +119,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
         new_states, stats = step(states)
         if opts.check_fwbw:
             d = float(np.max(np.asarray(stats.fwbw_maxdiff)[active]))
-            if d > opts.lkl_check_tol:
+            if not np.isfinite(d) or d > opts.lkl_check_tol:
                 raise RuntimeError(
                     f"Fw and Bw lkl do not match (max diff {d:g})!"
                 )

@@ -370,8 +370,11 @@ class StreamingEM:
             # ---- pass A: chain at current params
             Ts, ss = self._transfers(freq, F, alpha)
             v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
-            if opts.check_fwbw and np.abs(ll_f - ll_b).max() > opts.lkl_check_tol:
-                raise RuntimeError("Fw and Bw lkl do not match!")
+            d = float(np.abs(ll_f - ll_b).max())
+            if opts.check_fwbw and (not np.isfinite(d) or d > opts.lkl_check_tol):
+                raise RuntimeError(
+                    f"Fw and Bw lkl do not match (max diff {d:g})!"
+                )
 
             # ---- pass B: posteriors + chunk-local freq M-step
             F_d = jnp.asarray(F, jnp.float32)

@@ -148,3 +148,17 @@ def test_graceful_stop_signal(data):
     assert res.n_iters == 2  # stopped at the boundary after iteration 2
     assert res.path.shape[0] == gl.shape[0]  # final Viterbi still ran
     signals.reset()
+
+
+def test_nan_state_aborts(data):
+    """NaN in the recursions must abort like the reference (HMM.cpp:18-21)
+    -- a plain `d > tol` comparison is False for NaN and would silently
+    continue."""
+    gl, dist, _ = data
+    import jax.numpy as jnp
+
+    bad = jnp.asarray(np.asarray(gl).copy())
+    bad = bad.at[5, 1].set(jnp.nan)
+    opts = EMOptions(min_iters=2, max_iters=4, min_epsilon=1e-3)
+    with pytest.raises(RuntimeError, match="Fw and Bw"):
+        run_em(bad, dist, _fresh_state(bad), opts)
