@@ -123,7 +123,7 @@ def time_reference(exe, d, glf, posf):
     )
     r = subprocess.run(
         [str(exe)] + args.split(), cwd=d, capture_output=True, text=True,
-        timeout=3000,
+        timeout=int(os.environ.get("NGSF_BENCH_REF_TIMEOUT", 360)),
     )
     if r.returncode != 0:
         raise RuntimeError(r.stdout + r.stderr)
