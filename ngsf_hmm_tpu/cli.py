@@ -491,17 +491,30 @@ def main(argv=None):
 
         if p["resume"]:
             try:
-                state, resume_bk = load_checkpoint(p["checkpoint"])
+                ck_state, resume_bk = load_checkpoint(p["checkpoint"])
             except FileNotFoundError:
                 error("main", f'checkpoint file "{p["checkpoint"]}" not found')
             except ValueError as e:
                 error("main", str(e))
-            if state.freq.shape[0] != p["n_sites"] or state.indF.shape[0] != p["n_ind"]:
+            ck_rep = int(resume_bk.get("n_rep", 1))
+            if ck_rep != p["n_rep"]:
                 error(
                     "main",
-                    f"checkpoint shape mismatch: has {state.indF.shape[0]} ind x "
-                    f"{state.freq.shape[0]} sites, run is {p['n_ind']} x {p['n_sites']}",
+                    f"checkpoint has {ck_rep} replicate(s), "
+                    f"run has --n_rep {p['n_rep']}",
                 )
+            # multi-restart states carry a leading [R] axis
+            want = ((p["n_rep"], p["n_sites"]), (p["n_rep"], p["n_ind"])) \
+                if p["n_rep"] > 1 else ((p["n_sites"],), (p["n_ind"],))
+            if ck_state.freq.shape != want[0] or ck_state.indF.shape != want[1]:
+                error(
+                    "main",
+                    f"checkpoint shape mismatch: has freq{ck_state.freq.shape} "
+                    f"indF{ck_state.indF.shape}, run wants freq{want[0]} "
+                    f"indF{want[1]}",
+                )
+            if p["n_rep"] == 1:
+                state = ck_state
             if p["verbose"] >= 1:
                 print(
                     f'==> Resuming from "{p["checkpoint"]}" at iteration '
@@ -509,7 +522,7 @@ def main(argv=None):
                 )
 
         def ckpt_cb(n_iter, st, bk):
-            save_checkpoint(p["checkpoint"], st, bk)
+            save_checkpoint(p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]})
 
     elif p["resume"]:
         error("main", "--resume requires --checkpoint FILE")
@@ -579,16 +592,17 @@ def main(argv=None):
         return 0
 
     if p["n_rep"] > 1:
-        if p["checkpoint"]:
-            error("main", "--checkpoint is not supported with --n_rep > 1 yet")
         # ngsF-HMM.sh multi-restart protocol as a vmapped axis: replicate
         # r resolves its random inits with seed+r; best total lkl wins.
         from .models.restart import run_em_restarts, stack_restart_states
 
-        states_r = stack_restart_states(
-            gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
-            freq_spec=p["freq"],
-        )
+        if resume_bk is not None:
+            states_r = ck_state  # stacked [R] state from the checkpoint
+        else:
+            states_r = stack_restart_states(
+                gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
+                freq_spec=p["freq"],
+            )
 
         def multi_log_cb(n_iter, states, tots):
             # --log N in multi-restart mode dumps the CURRENT BEST
@@ -605,9 +619,13 @@ def main(argv=None):
                 write_outputs(st_b, float(tots[best]), None)
 
         with profile_ctx:
-            rres = run_em_restarts(
-                gl_j, dist_j, states_r, opts, log_callback=multi_log_cb
-            )
+            try:
+                rres = run_em_restarts(
+                    gl_j, dist_j, states_r, opts, log_callback=multi_log_cb,
+                    checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
+                )
+            except RuntimeError as e:
+                error("EM", str(e))
         if p["verbose"] >= 1:
             for r, (lk, it) in enumerate(zip(rres.rep_lkl, rres.rep_iters)):
                 tag = "  <== best" if r == rres.best_rep else ""

@@ -59,7 +59,13 @@ def load_checkpoint(path, dtype=None):
     speed mode).
     """
     try:
-        with np.load(path) as z:
+        z = np.load(path)
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # BadZipFile, np's own ValueError, ...
+        raise ValueError(f"{path}: not a readable {FORMAT} checkpoint ({e})")
+    try:
+        with z:
             meta = json.loads(bytes(z["__meta__"]).decode())
             if meta.get("format") != FORMAT:
                 raise ValueError(
@@ -72,14 +78,15 @@ def load_checkpoint(path, dtype=None):
                 fields[f] = jnp.asarray(
                     a if dtype is None else a.astype(dtype)
                 )
-    except FileNotFoundError:
-        raise
     except ValueError:
         raise
-    except Exception as e:  # KeyError, BadZipFile, pickle errors, ...
+    except Exception as e:  # KeyError, json/pickle errors, ...
         raise ValueError(f"{path}: not a readable {FORMAT} checkpoint ({e})")
     bk = meta["bookkeeping"]
-    for k in ("prev_ind",):
-        if k in bk:
+    # restore array-valued bookkeeping (scalars in single-run checkpoints,
+    # [R]-shaped in multi-restart ones -- lists after the JSON round-trip)
+    for k in ("prev_ind", "prev_tot", "tot", "max_eps", "active",
+              "iters_done"):
+        if k in bk and isinstance(bk[k], list):
             bk[k] = np.asarray(bk[k])
     return EMState(**fields), bk

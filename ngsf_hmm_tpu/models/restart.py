@@ -66,11 +66,17 @@ class RestartResult:
     rep_iters: np.ndarray  # [R] iterations each replicate ran
 
 
-def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
+def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
+                    checkpoint_cb=None, resume_bookkeeping=None):
     """Run R lockstep EM replicates; return the argmax-likelihood one.
 
     states: EMState with leading [R] axis (stack_restart_states).
     Selection matches ngsF-HMM.sh:97-99 (highest total log-likelihood).
+
+    checkpoint_cb(n_iter, states, bookkeeping): invoked after every
+    lockstep iteration with the stacked states and the host-loop arrays
+    ([R]-shaped convergence bookkeeping) needed for an exact resume;
+    resume_bookkeeping: such a dict to continue from.
     """
     R = states.indF.shape[0]
     N = gl.shape[1]
@@ -102,6 +108,19 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
     max_eps = np.full(R, -np.inf)
     active = np.ones(R, dtype=bool)
     iters_done = np.zeros(R, dtype=np.int64)
+    if resume_bookkeeping:
+        bk = resume_bookkeeping
+        n_iter = int(bk["n_iter"])
+        prev_tot = np.asarray(bk["prev_tot"], dtype=np.float64)
+        tot = np.asarray(bk["tot"], dtype=np.float64)
+        prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
+        max_eps = np.asarray(bk["max_eps"], dtype=np.float64)
+        iters_done = np.asarray(bk["iters_done"], dtype=np.int64)
+        if prev_ind.shape != (R, N) or iters_done.shape != (R,):
+            raise RuntimeError(
+                f"restart checkpoint bookkeeping is {prev_ind.shape}, "
+                f"run is {R} replicates x {N} ind"
+            )
 
     def keep(r):
         return (
@@ -109,6 +128,13 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
             or max_eps[r] > opts.min_epsilon
             or n_iter < opts.min_iters
         ) and n_iter < opts.max_iters
+
+    if resume_bookkeeping:
+        # Re-derive the active set from the restored convergence stats and
+        # the CURRENT options (run_em re-evaluates its continuation
+        # predicate every loop; storing the baked decision would make a
+        # resume with a raised --max_iters / lowered --min_epsilon a no-op)
+        active = np.array([keep(r) for r in range(R)], dtype=bool)
 
     from ..utils.signals import stop_requested
 
@@ -147,6 +173,20 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None):
         for r in range(R):
             if active[r] and not keep(r):
                 active[r] = False
+        if checkpoint_cb is not None:
+            checkpoint_cb(
+                n_iter,
+                states,
+                {
+                    "n_iter": n_iter,
+                    "prev_tot": prev_tot,
+                    "tot": tot,
+                    "prev_ind": prev_ind,
+                    "max_eps": max_eps,
+                    "active": active,
+                    "iters_done": iters_done,
+                },
+            )
 
     best_rep = int(np.argmax(tot))
     best_state = jax.tree.map(lambda x: x[best_rep], states)

@@ -125,6 +125,83 @@ def test_cli_resume_without_checkpoint_errors(data):
             )
 
 
+def test_restart_exact_resume(data, tmp_path):
+    """Multi-restart run interrupted mid-flight and resumed must match an
+    uninterrupted run exactly (per-replicate bookkeeping incl. frozen
+    replicates survives the round-trip)."""
+    gl, dist, _ = data
+    from ngsf_hmm_tpu.models.restart import (
+        run_em_restarts,
+        stack_restart_states,
+    )
+
+    opts = EMOptions(min_iters=3, max_iters=12, min_epsilon=1e-4)
+    states0 = stack_restart_states(gl, 3, 11, indF_spec="r", freq_spec="0.15")
+    ck = str(tmp_path / "rep.ckpt.npz")
+
+    full = run_em_restarts(gl, dist, states0, opts)
+
+    class Stop(Exception):
+        pass
+
+    def cb(n_iter, sts, bk):
+        save_checkpoint(ck, sts, bk)
+        if n_iter == 4:
+            raise Stop
+
+    with pytest.raises(Stop):
+        run_em_restarts(gl, dist, states0, opts, checkpoint_cb=cb)
+
+    st, bk = load_checkpoint(ck)
+    assert bk["n_iter"] == 4
+    assert np.asarray(bk["active"]).shape == (3,)
+    res = run_em_restarts(gl, dist, st, opts, resume_bookkeeping=bk)
+
+    assert res.best_rep == full.best_rep
+    np.testing.assert_array_equal(res.rep_iters, full.rep_iters)
+    np.testing.assert_allclose(res.rep_lkl, full.rep_lkl, rtol=1e-13)
+    np.testing.assert_array_equal(res.best.path, full.best.path)
+    for f in ("freq", "indF", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res.best.state, f)),
+            np.asarray(getattr(full.best.state, f)),
+            rtol=1e-13,
+        )
+
+
+def test_cli_checkpoint_n_rep(data, tmp_path):
+    """--checkpoint/--resume with --n_rep > 1: resume from the final
+    checkpoint reproduces the completed run; replicate-count mismatch is
+    rejected."""
+    _, _, simdir = data
+    from ngsf_hmm_tpu.cli import main
+
+    args = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 4 --n_sites 250 "
+        "--freq 0.15 --indF r --seed 5 --n_rep 3 --min_iters 3 --max_iters 10 "
+        "--min_epsilon 1e-4 --checkpoint rep.ck "
+    )
+    cwd = os.getcwd()
+    try:
+        os.chdir(simdir)
+        with contextlib.redirect_stdout(io.StringIO()):
+            rc = main((args + "--out ra").split())
+        assert rc == 0
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main((args + "--resume --out rb").split())
+        assert rc == 0
+        assert "Resuming from" in buf.getvalue()
+        assert (simdir / "ra.indF").read_text() == (simdir / "rb.indF").read_text()
+        # replicate-count mismatch must be rejected
+        bad = args.replace("--n_rep 3", "--n_rep 2")
+        with contextlib.redirect_stdout(io.StringIO()):
+            with pytest.raises(SystemExit):
+                main((bad + "--resume --out rc").split())
+    finally:
+        os.chdir(cwd)
+
+
 def test_graceful_stop_signal(data):
     """SIGINT between iterations stops the loop cleanly (SIG_COND gate,
     EM.cpp:56) but the run still produces outputs."""
