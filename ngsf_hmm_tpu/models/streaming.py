@@ -11,11 +11,15 @@ normalised 2x2 transfer product, so
           host prefix/suffix -> per-chunk boundary carries + global ll
   pass B  stream chunks -> posteriors (with carries) -> chunk-local
           est_maf -> new freq; p_ibd chunks optionally written to host
-  M-step  host-driven projected L-BFGS on (F, alpha): each objective /
-          gradient evaluation re-streams the data (emissions are a
+  M-step  host-driven projected L-BFGS on (F, alpha): each iteration
+          streams the data once for the fused objective+gradient (the
+          chunk transfer products AND their forward-mode parameter
+          tangents come out of one pass; the host assembles carries and
+          the Fisher-identity gradient from the tiny 2x2 algebra) and
+          once for the batched line-search ladder (emissions are a
           function of freq and are never materialised whole)
 
-Per EM iteration: 2 + ~2*lbfgs_evals full streams. On real hardware
+Per EM iteration: 2 + ~2*lbfgs_iters full streams. On real hardware
 (h2d tens of GB/s) that is seconds per pass at 50M x 100; here it is
 validated for correctness against the monolithic engine on small data
 (tests/test_streaming.py) -- the tunnel's h2d makes large-scale timing
@@ -38,7 +42,6 @@ from .hmm_blocked import (
     _block_transfer_lin,
     block_sites,
     fold_transfer_lin,
-    loglik_value_and_grad_blocked_lin,
     pick_block_size,
     posteriors_blocked_lin,
 )
@@ -103,15 +106,29 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid):
     return p_ibd, freq_new
 
 
-@partial(jax.jit, static_argnames=("bs", "first", "valid"))
-def _chunk_vag(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, first, valid):
-    """Chunk (local ll is unused) gradient contribution with carries."""
+@partial(jax.jit, static_argnames=("bs", "valid"))
+def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid):
+    """ONE stream -> chunk transfer product AND its parameter tangents.
+
+    Returns (T [N,2,2], s [N], dT_F, ds_F, dT_a, ds_a): forward-mode
+    tangents of the (normalised T, log-scale s) pair w.r.t. each
+    individual's F / alpha (individuals are independent, so a single
+    all-ones tangent per parameter yields every per-ind derivative).
+    The true chunk matrix is M = T e^s, so dM = (dT + T ds) e^s -- the
+    e^s cancels in the host's Fisher-identity ratio. XLA CSEs the two
+    jvp primal traces, so this costs ~1 primal + 2 tangent sweeps, all
+    in the SAME data stream that previously only produced (T, s)."""
     _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
-    _, gF, ga = loglik_value_and_grad_blocked_lin(
-        F, alpha, e_blk, d_blk, v0=v0, wT=wT,
-        with_init_term=1.0 if first else False,
-    )
-    return gF, ga
+
+    def f(params):
+        F_, a_ = params
+        A, ln = _block_transfer_lin(e_blk, d_blk, F_, a_)
+        return fold_transfer_lin(A, ln)
+
+    ones, zeros = jnp.ones_like(F), jnp.zeros_like(F)
+    (T, s), (dT_F, ds_F) = jax.jvp(f, ((F, alpha),), ((ones, zeros),))
+    _, (dT_a, ds_a) = jax.jvp(f, ((F, alpha),), ((zeros, ones),))
+    return T, s, dT_F, ds_F, dT_a, ds_a
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +169,36 @@ def _assemble_chain(Ts, ss, F):
         offb += np.log(m) + ss[c]
     ll_b = np.log((q * w).sum(-1)) + offb
     return v0, wT, ll_f, ll_b
+
+
+def _grad_from_transfers(Ts, ss, dT_F, ds_F, dT_a, ds_a, F, v0, wT):
+    """Fisher-identity gradient from per-chunk transfer tangents.
+
+    dll/dtheta = sum_c [v0_c . (dT_c + T_c ds_c) . wT_c] /
+                       [v0_c . T_c . wT_c]
+    (per-chunk e^s and carry normalisations cancel in each ratio), plus
+    the initial-distribution term dq/dF = (-1, 1) applied to chunk 0's
+    suffix (hmm_blocked.loglik_value_and_grad_blocked_lin:569-575 is the
+    per-site form of the same identity).
+    """
+    C, N = Ts.shape[0], Ts.shape[1]
+    gF = np.zeros(N)
+    ga = np.zeros(N)
+    for c in range(C):
+        T = Ts[c].astype(np.float64)
+        v, w = v0[c], wT[c]
+        den = np.einsum("nk,nkl,nl->n", v, T, w)
+        for dT, ds, out in (
+            (dT_F[c], ds_F[c], gF),
+            (dT_a[c], ds_a[c], ga),
+        ):
+            dM = dT.astype(np.float64) + T * ds.astype(np.float64)[:, None, None]
+            out += np.einsum("nk,nkl,nl->n", v, dM, w) / den
+        if c == 0:
+            # init term: X_k = (T_0 . wT_0)_k, d log(q.X)/dF via dq
+            X = np.einsum("nkl,nl->nk", T, w)
+            gF += (X[:, 1] - X[:, 0]) / np.einsum("nk,nk->n", v0[0], X)
+    return gF, ga
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +363,28 @@ class StreamingEM:
             ss[:, c] = np.asarray(s)
         return Ts, ss
 
+    def _transfers_grad(self, freq, F, alpha):
+        """ONE stream -> per-chunk transfers + parameter tangents
+        (the fused objective+gradient pass of the streamed L-BFGS)."""
+        C, N = self.C, self.N
+        Ts = np.empty((C, N, 2, 2), np.float32)
+        ss = np.empty((C, N), np.float32)
+        dT_F = np.empty((C, N, 2, 2), np.float32)
+        ds_F = np.empty((C, N), np.float32)
+        dT_a = np.empty((C, N, 2, 2), np.float32)
+        ds_a = np.empty((C, N), np.float32)
+        F_d = jnp.asarray(F, jnp.float32)
+        a_d = jnp.asarray(alpha, jnp.float32)
+        for c in range(C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            out = _chunk_transfer_grad(
+                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+            )
+            for dst, src in zip((Ts, ss, dT_F, ds_F, dT_a, ds_a), out):
+                dst[c] = np.asarray(src)
+        return Ts, ss, dT_F, ds_F, dT_a, ds_a
+
     def _transfers(self, freq, F, alpha):
         Ts = np.empty((self.C, self.N, 2, 2), np.float32)
         ss = np.empty((self.C, self.N), np.float32)
@@ -427,24 +496,15 @@ class StreamingEM:
                     return out
 
                 def vag(x):
-                    Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
+                    # fused: ONE stream yields transfers + tangents;
+                    # carries and the gradient assemble on host
+                    Tx, sx, dTF, dsF, dTa, dsa = self._transfers_grad(
+                        freq, x[:, 0], x[:, 1]
+                    )
                     v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
-                    gF = np.zeros(N)
-                    ga = np.zeros(N)
-                    Fx = jnp.asarray(x[:, 0], jnp.float32)
-                    ax = jnp.asarray(x[:, 1], jnp.float32)
-                    for c in range(self.C):
-                        gl_c, lo, hi, d_c = self._chunk(c)
-                        gF_c, ga_c = _chunk_vag(
-                            jnp.asarray(gl_c),
-                            jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                            jnp.asarray(d_c), Fx, ax,
-                            jnp.asarray(v0x[c], jnp.float32),
-                            jnp.asarray(wTx[c], jnp.float32),
-                            self.bs, c == 0, hi - lo,
-                        )
-                        gF += np.asarray(gF_c, np.float64)
-                        ga += np.asarray(ga_c, np.float64)
+                    gF, ga = _grad_from_transfers(
+                        Tx, sx, dTF, dsF, dTa, dsa, x[:, 0], v0x, wTx
+                    )
                     return -llx, -np.stack([gF, ga], -1)
 
                 x0 = np.clip(

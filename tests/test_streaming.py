@@ -73,6 +73,38 @@ def test_streaming_matches_monolithic(data):
     np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
 
 
+def test_fused_stream_gradient_matches_oracle(data):
+    """The single-stream fused gradient (per-chunk transfer tangents +
+    host Fisher-identity assembly) must match the sequential f64 analytic
+    gradient, chromosome breaks and ragged chunks included."""
+    from ngsf_hmm_tpu.models.hmm import loglik_value_and_grad
+    from ngsf_hmm_tpu.models.streaming import (
+        _assemble_chain,
+        _grad_from_transfers,
+    )
+    from ngsf_hmm_tpu.ops.emissions import calc_emission
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq = np.clip(np.random.default_rng(3).uniform(0.05, 0.45, S), 0, 1)
+    F = np.linspace(0.1, 0.8, N)
+    a = np.linspace(0.02, 0.4, N)
+
+    e_log = calc_emission(jnp.asarray(gl), jnp.asarray(freq)[:, None])
+    ll_o, gF_o, ga_o = loglik_value_and_grad(
+        jnp.asarray(F), jnp.asarray(a), e_log, jnp.asarray(dist)
+    )
+
+    se = StreamingEM(gl, dist, chunk_sites=300)
+    Ts, ss, dTF, dsF, dTa, dsa = se._transfers_grad(freq, F, a)
+    v0, wT, ll_f, _ = _assemble_chain(Ts, ss, F)
+    gF, ga = _grad_from_transfers(Ts, ss, dTF, dsF, dTa, dsa, F, v0, wT)
+
+    np.testing.assert_allclose(ll_f, np.asarray(ll_o), rtol=2e-5)
+    np.testing.assert_allclose(gF, np.asarray(gF_o), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ga, np.asarray(ga_o), rtol=2e-3, atol=2e-3)
+
+
 def test_streaming_single_chunk_degenerate(data):
     """chunk_sites >= S: one chunk, still correct."""
     gl, dist = data
