@@ -1,0 +1,26 @@
+# Convenience targets (the reference's Makefile equivalent, C14 in
+# SURVEY.md S2; the Python package itself needs no build step).
+
+.PHONY: all test bench native demo clean
+
+all: native
+
+# build the C++ IO core (ctypes-loaded; NGSF_NO_NATIVE=1 to skip at runtime)
+native:
+	$(MAKE) -C native
+
+# the reference's `make test` runs examples/test.sh; ours runs the
+# pytest suite (incl. the golden harness vs the reference binary)
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+# end-to-end demo: simulate -> 4 inference configs -> BED -> PDF
+demo:
+	bash examples/demo.sh
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf tests/.refbin
