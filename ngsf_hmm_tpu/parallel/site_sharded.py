@@ -456,6 +456,26 @@ def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
     return jax.jit(step)
 
 
+def make_grid_sharded_viterbi(mesh, compat=True):
+    """Decode over the 2-D (ind, site) grid mesh.
+
+    Each ind-shard's chains are independent, so the 1-D site-sharded
+    decode (_viterbi_shard: max-plus boundary exchange over "site") runs
+    unchanged within every ind-shard; no "ind" collective at all."""
+
+    def body(e_prob, dist, F, alpha):
+        return _viterbi_shard(e_prob, dist, F, alpha, compat, "site")
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("site", "ind", None), P("site"), P("ind"), P("ind")),
+        out_specs=P("site", "ind"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_grid_inputs(mesh, gl, dist, state):
     dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
     gl = dev(gl, P("site", "ind", None))

@@ -156,3 +156,37 @@ def test_grid_mesh_2d_matches_single_device(data):
     np.testing.assert_allclose(
         np.asarray(st_d.p_ibd), np.asarray(st_ref.p_ibd), atol=5e-3
     )
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_grid_sharded_viterbi_matches(data, compat):
+    """Decode on the 2-D (ind, site) grid reproduces the monolithic
+    Viterbi path exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ngsf_hmm_tpu.models.hmm import viterbi
+    from ngsf_hmm_tpu.parallel.site_sharded import (
+        make_grid_mesh,
+        make_grid_sharded_em_step,
+        make_grid_sharded_viterbi,
+        shard_grid_inputs,
+    )
+
+    gl, dist, state0 = data
+    mesh = make_grid_mesh(2, 4)
+    step = make_grid_sharded_em_step(mesh)
+    gl_d, dist_d, st_d = shard_grid_inputs(mesh, gl, dist, state0)
+    st_d, _ = step(gl_d, dist_d, st_d)  # realistic params/emissions
+
+    e_prob = jnp.asarray(np.asarray(st_d.e_prob))
+    F = jnp.asarray(np.asarray(st_d.indF))
+    alpha = jnp.asarray(np.asarray(st_d.alpha))
+    want, _ = viterbi(e_prob, jnp.asarray(dist), F, alpha, compat=compat)
+
+    vit = make_grid_sharded_viterbi(mesh, compat=compat)
+    dev = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    got = vit(
+        dev(e_prob, P("site", "ind", None)),
+        dev(jnp.asarray(dist), P("site")),
+        dev(F, P("ind")), dev(alpha, P("ind")),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
