@@ -16,7 +16,9 @@ IO/init/decode overhead. If the reference cannot be built/run here, a
 fallback cells/s measured on the dev host is used (noted on stderr).
 
 Env knobs: NGSF_BENCH_SITES, NGSF_BENCH_IND, NGSF_BENCH_ITERS,
-NGSF_BENCH_SKIP_REF=1.
+NGSF_BENCH_SKIP_REF=1, NGSF_BENCH_REF_TIMEOUT (seconds, default 360:
+watchdog on the reference leg -- on expiry the bench logs the failure
+to stderr and falls back to the recorded dev-host baseline).
 """
 
 import gzip

@@ -50,9 +50,12 @@ _OPTIONS = [
     # random inits with seed+r). 1 = plain single run.
     ("n_rep", True, None),
     # exact-resume checkpointing (io/checkpoint.py): --checkpoint FILE
-    # saves state+bookkeeping after every iteration (atomic); --resume
-    # continues from that file.
+    # saves state+bookkeeping every --checkpoint_every iterations
+    # (default 1; atomic); --resume continues from that file. With
+    # --n_rep > 1 each save serialises the full stacked state, so large
+    # multi-restart runs should raise the cadence.
     ("checkpoint", True, None),
+    ("checkpoint_every", True, None),
     ("resume", False, None),
     # streaming EM (models/streaming.py): process --stream_chunk sites per
     # device pass so gl/e_prob never reside whole in HBM (out-of-HBM
@@ -80,6 +83,23 @@ def warn(func, msg):
     sys.stderr.flush()
 
 
+def _atoi(v):
+    """C atoi semantics (parse_args.cpp:87-137 uses atoi for every int
+    flag): leading integer if any, else 0 -- garbage then trips the
+    reference-style validation errors instead of a Python traceback."""
+    import re
+
+    m = re.match(r"\s*([-+]?\d+)", v or "")
+    return int(m.group(1)) if m else 0
+
+
+def _atof(v):
+    import re
+
+    m = re.match(r"\s*([-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?)", v or "")
+    return float(m.group(1)) if m else 0.0
+
+
 def _apply_opt(pars, opt, val):
     """Store one parsed option value (shared by short/long paths)."""
     if opt == "lkl":
@@ -92,14 +112,14 @@ def _apply_opt(pars, opt, val):
     elif opt in ("call_geno", "indF_fixed", "alpha_fixed"):
         pars[opt] = True
     elif opt == "log_bin":
-        pars["log"] = int(val)
+        pars["log"] = _atoi(val)
         pars["log_bin"] = True
     elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
                  "min_iters", "max_iters", "n_threads", "verbose", "seed",
-                 "n_rep", "stream_chunk"):
-        pars[opt] = int(val)
+                 "n_rep", "stream_chunk", "checkpoint_every"):
+        pars[opt] = _atoi(val)
     elif opt == "min_epsilon":
-        pars[opt] = float(val)
+        pars[opt] = _atof(val)
     else:
         pars[opt] = val
 
@@ -137,6 +157,7 @@ def parse_args(argv):
         "kernel": "scan",
         "n_rep": 1,
         "checkpoint": None,
+        "checkpoint_every": 1,
         "resume": False,
         "profile": None,
         "stream_chunk": 0,
@@ -521,8 +542,14 @@ def main(argv=None):
                     f"{int(resume_bk['n_iter'])}"
                 )
 
+        if p["checkpoint_every"] < 1:
+            error("main", "--checkpoint_every must be >= 1")
+
         def ckpt_cb(n_iter, st, bk):
-            save_checkpoint(p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]})
+            if n_iter % p["checkpoint_every"] == 0:
+                save_checkpoint(
+                    p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]}
+                )
 
     elif p["resume"]:
         error("main", "--resume requires --checkpoint FILE")

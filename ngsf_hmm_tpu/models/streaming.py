@@ -115,19 +115,22 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid):
     individual's F / alpha (individuals are independent, so a single
     all-ones tangent per parameter yields every per-ind derivative).
     The true chunk matrix is M = T e^s, so dM = (dT + T ds) e^s -- the
-    e^s cancels in the host's Fisher-identity ratio. XLA CSEs the two
-    jvp primal traces, so this costs ~1 primal + 2 tangent sweeps, all
-    in the SAME data stream that previously only produced (T, s)."""
+    e^s cancels in the host's Fisher-identity ratio. jax.linearize runs
+    the primal fold ONCE and applies the linearized scan per tangent
+    (two jvp calls would each re-run the primal: XLA cannot CSE two
+    augmented scans whose carries differ), so this costs ~1 primal + 2
+    tangent sweeps, all in the SAME data stream that previously only
+    produced (T, s)."""
     _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
 
-    def f(params):
-        F_, a_ = params
+    def f(F_, a_):
         A, ln = _block_transfer_lin(e_blk, d_blk, F_, a_)
         return fold_transfer_lin(A, ln)
 
+    (T, s), f_lin = jax.linearize(f, F, alpha)
     ones, zeros = jnp.ones_like(F), jnp.zeros_like(F)
-    (T, s), (dT_F, ds_F) = jax.jvp(f, ((F, alpha),), ((ones, zeros),))
-    _, (dT_a, ds_a) = jax.jvp(f, ((F, alpha),), ((zeros, ones),))
+    dT_F, ds_F = f_lin(ones, zeros)
+    dT_a, ds_a = f_lin(zeros, ones)
     return T, s, dT_F, ds_F, dT_a, ds_a
 
 
@@ -171,14 +174,16 @@ def _assemble_chain(Ts, ss, F):
     return v0, wT, ll_f, ll_b
 
 
-def _grad_from_transfers(Ts, ss, dT_F, ds_F, dT_a, ds_a, F, v0, wT):
+def _grad_from_transfers(Ts, dT_F, ds_F, dT_a, ds_a, v0, wT):
     """Fisher-identity gradient from per-chunk transfer tangents.
 
     dll/dtheta = sum_c [v0_c . (dT_c + T_c ds_c) . wT_c] /
                        [v0_c . T_c . wT_c]
-    (per-chunk e^s and carry normalisations cancel in each ratio), plus
-    the initial-distribution term dq/dF = (-1, 1) applied to chunk 0's
-    suffix (hmm_blocked.loglik_value_and_grad_blocked_lin:569-575 is the
+    (per-chunk e^s factors and carry normalisations cancel in each
+    ratio, so the scale logs themselves are not needed), plus the
+    initial-distribution term dq/dF = (-1, 1) applied to chunk 0's
+    suffix -- q is already baked into v0[0], so F is not needed either
+    (hmm_blocked.loglik_value_and_grad_blocked_lin:569-575 is the
     per-site form of the same identity).
     """
     C, N = Ts.shape[0], Ts.shape[1]
@@ -503,7 +508,7 @@ class StreamingEM:
                     )
                     v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
                     gF, ga = _grad_from_transfers(
-                        Tx, sx, dTF, dsF, dTa, dsa, x[:, 0], v0x, wTx
+                        Tx, dTF, dsF, dTa, dsa, v0x, wTx
                     )
                     return -llx, -np.stack([gF, ga], -1)
 

@@ -98,7 +98,7 @@ def test_fused_stream_gradient_matches_oracle(data):
     se = StreamingEM(gl, dist, chunk_sites=300)
     Ts, ss, dTF, dsF, dTa, dsa = se._transfers_grad(freq, F, a)
     v0, wT, ll_f, _ = _assemble_chain(Ts, ss, F)
-    gF, ga = _grad_from_transfers(Ts, ss, dTF, dsF, dTa, dsa, F, v0, wT)
+    gF, ga = _grad_from_transfers(Ts, dTF, dsF, dTa, dsa, v0, wT)
 
     np.testing.assert_allclose(ll_f, np.asarray(ll_o), rtol=2e-5)
     np.testing.assert_allclose(gF, np.asarray(gF_o), rtol=2e-3, atol=2e-3)
