@@ -507,7 +507,11 @@ def main(argv=None):
 
     ckpt_cb = None
     resume_bk = None
-    if p["checkpoint"]:
+    if p["resume"] and not p["checkpoint"]:
+        error("main", "--resume requires --checkpoint FILE")
+    if p["checkpoint"] and p["checkpoint_every"] < 1:
+        error("main", "--checkpoint_every must be >= 1")
+    if p["checkpoint"] and not p["stream_chunk"]:
         from .io.checkpoint import load_checkpoint, save_checkpoint
 
         if p["resume"]:
@@ -542,17 +546,12 @@ def main(argv=None):
                     f"{int(resume_bk['n_iter'])}"
                 )
 
-        if p["checkpoint_every"] < 1:
-            error("main", "--checkpoint_every must be >= 1")
-
         def ckpt_cb(n_iter, st, bk):
             if n_iter % p["checkpoint_every"] == 0:
                 save_checkpoint(
                     p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]}
                 )
 
-    elif p["resume"]:
-        error("main", "--resume requires --checkpoint FILE")
 
     from .utils.signals import catch_sig
 
@@ -570,8 +569,8 @@ def main(argv=None):
 
     if p["stream_chunk"] > 0:
         # ---- streaming EM: out-of-HBM path (models/streaming.py)
-        if p["n_rep"] > 1 or p["checkpoint"]:
-            error("main", "--stream_chunk is incompatible with --n_rep/--checkpoint")
+        if p["n_rep"] > 1:
+            error("main", "--stream_chunk is incompatible with --n_rep")
         if p["freq_est"] == 2 or p["e_prob"] == 2:
             error("main", "--stream_chunk does not support the LD path")
         from .io.writers import write_geno_streamed
@@ -585,9 +584,46 @@ def main(argv=None):
         se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"])
         S_, N_ = gl_host.shape[0], gl_host.shape[1]
         p_ibd = np.zeros((S_, N_), np.float32)
+
+        stream_ckpt_cb = None
+        stream_resume_bk = None
+        if p["checkpoint"]:
+            from .io.checkpoint import (
+                load_stream_checkpoint,
+                save_stream_checkpoint,
+            )
+
+            if p["resume"]:
+                try:
+                    (freq0, indF0, alpha0), stream_resume_bk = \
+                        load_stream_checkpoint(p["checkpoint"])
+                except FileNotFoundError:
+                    error("main",
+                          f'checkpoint file "{p["checkpoint"]}" not found')
+                except ValueError as e:
+                    error("main", str(e))
+                if freq0.shape != (S_,) or indF0.shape != (N_,):
+                    error(
+                        "main",
+                        f"checkpoint shape mismatch: has freq{freq0.shape} "
+                        f"indF{indF0.shape}, run wants freq({S_},) "
+                        f"indF({N_},)",
+                    )
+                if p["verbose"] >= 1:
+                    print(
+                        f'==> Resuming from "{p["checkpoint"]}" at iteration '
+                        f"{int(stream_resume_bk['n_iter'])}"
+                    )
+
+            def stream_ckpt_cb(n_iter, params, bk):
+                if n_iter % p["checkpoint_every"] == 0:
+                    save_stream_checkpoint(p["checkpoint"], *params, bk)
+
         with profile_ctx:
             freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
-                freq0, indF0, alpha0, opts, p_ibd_out=p_ibd
+                freq0, indF0, alpha0, opts, p_ibd_out=p_ibd,
+                checkpoint_cb=stream_ckpt_cb,
+                resume_bookkeeping=stream_resume_bk,
             )
         if n_iters >= p["max_iters"]:
             print(

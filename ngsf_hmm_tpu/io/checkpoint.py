@@ -26,19 +26,18 @@ from ..utils.constants import VERSION
 from ..models.em import EMState
 
 FORMAT = "ngsf-hmm-tpu-ckpt-v1"
+STREAM_FORMAT = "ngsf-hmm-tpu-stream-ckpt-v1"
 
 
-def save_checkpoint(path, state: EMState, bookkeeping: dict):
-    """Write state + host-loop bookkeeping atomically to ``path`` (.npz)."""
+def _atomic_savez(path, fmt, arrays, bookkeeping):
     meta = {
-        "format": FORMAT,
+        "format": fmt,
         "version": VERSION,
         "bookkeeping": {
             k: (v.tolist() if isinstance(v, np.ndarray) else v)
             for k, v in bookkeeping.items()
         },
     }
-    arrays = {f: np.asarray(getattr(state, f)) for f in EMState._fields}
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
     try:
@@ -52,36 +51,37 @@ def save_checkpoint(path, state: EMState, bookkeeping: dict):
         raise
 
 
-def load_checkpoint(path, dtype=None):
-    """Read (EMState, bookkeeping dict) from ``path``.
+def save_checkpoint(path, state: EMState, bookkeeping: dict):
+    """Write state + host-loop bookkeeping atomically to ``path`` (.npz)."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in EMState._fields}
+    _atomic_savez(path, FORMAT, arrays, bookkeeping)
 
-    dtype: optionally cast arrays (e.g. resume an f64 checkpoint in f32
-    speed mode).
-    """
+
+def _load_npz(path, fmt, field_names, dtype=None, as_jax=True):
     try:
         z = np.load(path)
     except FileNotFoundError:
         raise
     except Exception as e:  # BadZipFile, np's own ValueError, ...
-        raise ValueError(f"{path}: not a readable {FORMAT} checkpoint ({e})")
+        raise ValueError(f"{path}: not a readable {fmt} checkpoint ({e})")
     try:
         with z:
             meta = json.loads(bytes(z["__meta__"]).decode())
-            if meta.get("format") != FORMAT:
+            if meta.get("format") != fmt:
                 raise ValueError(
-                    f"{path}: not a {FORMAT} checkpoint "
+                    f"{path}: not a {fmt} checkpoint "
                     f"(got {meta.get('format')!r})"
                 )
             fields = {}
-            for f in EMState._fields:
+            for f in field_names:
                 a = z[f]
-                fields[f] = jnp.asarray(
-                    a if dtype is None else a.astype(dtype)
-                )
+                if dtype is not None:
+                    a = a.astype(dtype)
+                fields[f] = jnp.asarray(a) if as_jax else a
     except ValueError:
         raise
     except Exception as e:  # KeyError, json/pickle errors, ...
-        raise ValueError(f"{path}: not a readable {FORMAT} checkpoint ({e})")
+        raise ValueError(f"{path}: not a readable {fmt} checkpoint ({e})")
     bk = meta["bookkeeping"]
     # restore array-valued bookkeeping (scalars in single-run checkpoints,
     # [R]-shaped in multi-restart ones -- lists after the JSON round-trip)
@@ -89,4 +89,39 @@ def load_checkpoint(path, dtype=None):
               "iters_done"):
         if k in bk and isinstance(bk[k], list):
             bk[k] = np.asarray(bk[k])
+    return fields, bk
+
+
+def load_checkpoint(path, dtype=None):
+    """Read (EMState, bookkeeping dict) from ``path``.
+
+    dtype: optionally cast arrays (e.g. resume an f64 checkpoint in f32
+    speed mode).
+    """
+    fields, bk = _load_npz(path, FORMAT, EMState._fields, dtype=dtype)
     return EMState(**fields), bk
+
+
+_STREAM_FIELDS = ("freq", "indF", "alpha")
+
+
+def save_stream_checkpoint(path, freq, indF, alpha, bookkeeping: dict):
+    """Streaming-EM checkpoint: (freq, indF, alpha) + bookkeeping.
+
+    Emissions are a function of freq in the streaming engine (never
+    materialised whole), so this tiny state is sufficient for an exact
+    resume of models/streaming.StreamingEM.run."""
+    arrays = {
+        "freq": np.asarray(freq),
+        "indF": np.asarray(indF),
+        "alpha": np.asarray(alpha),
+    }
+    _atomic_savez(path, STREAM_FORMAT, arrays, bookkeeping)
+
+
+def load_stream_checkpoint(path):
+    """Read ((freq, indF, alpha) as float64 numpy, bookkeeping dict)."""
+    fields, bk = _load_npz(
+        path, STREAM_FORMAT, _STREAM_FIELDS, dtype=np.float64, as_jax=False
+    )
+    return (fields["freq"], fields["indF"], fields["alpha"]), bk

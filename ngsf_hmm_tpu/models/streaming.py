@@ -405,11 +405,16 @@ class StreamingEM:
             ss[c] = np.asarray(s)
         return Ts, ss
 
-    def run(self, freq0, indF0, alpha0, opts: EMOptions, p_ibd_out=None):
+    def run(self, freq0, indF0, alpha0, opts: EMOptions, p_ibd_out=None,
+            checkpoint_cb=None, resume_bookkeeping=None):
         """Host EM loop. Returns (freq, indF, alpha, ind_lkl, n_iters).
 
         p_ibd_out: optional host array [S, N] filled with the final
-        iteration's IBD posteriors.
+        iteration's IBD posteriors. checkpoint_cb(n_iter, (freq, F,
+        alpha), bookkeeping): called after every iteration (the tiny
+        parameter state is all an exact resume needs -- emissions are a
+        function of freq); resume_bookkeeping: such a dict to continue
+        from (pass the checkpointed freq/F/alpha as freq0/indF0/alpha0).
         """
         freq = np.asarray(freq0, np.float64).copy()
         F = np.asarray(indF0, np.float64).copy()
@@ -421,6 +426,14 @@ class StreamingEM:
         prev_ind = np.full(N, -np.inf)
         max_eps = -np.inf
         ll_f = np.full(N, -np.inf)
+        if resume_bookkeeping:
+            bk = resume_bookkeeping
+            n_iter = int(bk["n_iter"])
+            prev_tot = float(bk["prev_tot"])
+            tot = float(bk["tot"])
+            prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
+            max_eps = float(bk["max_eps"])
+            ll_f = prev_ind.copy()
 
         if opts.freq_est not in (0, 1) or opts.e_prob_calc != 1:
             raise NotImplementedError(
@@ -527,6 +540,18 @@ class StreamingEM:
 
             max_eps = eps[_array_max_pos(eps)]
             prev_ind = ll_f.copy()
+            if checkpoint_cb is not None:
+                checkpoint_cb(
+                    n_iter,
+                    (freq, F, alpha),
+                    {
+                        "n_iter": n_iter,
+                        "prev_tot": prev_tot,
+                        "tot": tot,
+                        "prev_ind": prev_ind,
+                        "max_eps": float(max_eps),
+                    },
+                )
 
         return freq, F, alpha, ll_f, n_iter
 

@@ -141,3 +141,43 @@ def test_streaming_viterbi_matches_monolithic(data):
         se = StreamingEM(gl, dist, chunk_sites=300)
         got = streaming_viterbi(se, freq, F, a, compat=compat)
         np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_streaming_exact_resume(data, tmp_path):
+    """Streaming run interrupted at iteration 3 and resumed from the
+    (freq, F, alpha) checkpoint finishes identically to an uninterrupted
+    run -- emissions regenerate from freq, so the tiny state suffices."""
+    from ngsf_hmm_tpu.io.checkpoint import (
+        load_stream_checkpoint,
+        save_stream_checkpoint,
+    )
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    opts = EMOptions(min_iters=3, max_iters=8, min_epsilon=1e-4)
+    ck = str(tmp_path / "stream.ckpt.npz")
+
+    se = StreamingEM(gl, dist, chunk_sites=300)
+    full = se.run(freq0, F0, a0, opts)
+
+    class Stop(Exception):
+        pass
+
+    def cb(n_iter, params, bk):
+        save_stream_checkpoint(ck, *params, bk)
+        if n_iter == 3:
+            raise Stop
+
+    with pytest.raises(Stop):
+        se.run(freq0, F0, a0, opts, checkpoint_cb=cb)
+
+    (freq_r, F_r, a_r), bk = load_stream_checkpoint(ck)
+    assert bk["n_iter"] == 3
+    res = se.run(freq_r, F_r, a_r, opts, resume_bookkeeping=bk)
+
+    assert res[4] == full[4]  # same total iteration count
+    for got, want in zip(res[:4], full[:4]):
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
