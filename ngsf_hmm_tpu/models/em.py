@@ -350,14 +350,7 @@ def em_iteration(
     return new_state, IterStats(fwbw_maxdiff, opt_iters)
 
 
-def _array_max_pos(a: np.ndarray) -> int:
-    """First index of the strict maximum, NaN-insensitive like the
-    reference's array_max_pos (gen_func.cpp:73-84)."""
-    res, best = 0, -np.inf
-    for i, v in enumerate(a):
-        if v > best:
-            res, best = i, v
-    return res
+from .driver import array_max_pos as _array_max_pos  # noqa: E402 (back-compat)
 
 
 @dataclasses.dataclass
@@ -393,56 +386,20 @@ def run_em(
     resume; resume_bookkeeping: such a dict (io/checkpoint.py) to
     continue a run from where it stopped.
     """
-    import time
+    from .driver import convergence_loop
 
-    n_iter = 0
-    prev_tot = 0.0
-    tot = 0.0
     N = gl.shape[1]
-    prev_ind = np.full(N, -np.inf)
-    max_eps = -np.inf
-    history = []
-    if resume_bookkeeping:
-        bk = resume_bookkeeping
-        n_iter = int(bk["n_iter"])
-        prev_tot = float(bk["prev_tot"])
-        tot = float(bk["tot"])
-        prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
-        max_eps = float(bk["max_eps"])
-        history = list(bk.get("history", []))
-
     gl_tiles = None
     if opts.numerics == "pallas" and opts.freq_est == 1:
         from ..ops.maf_pallas import prepare_gl_tiles
 
         gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant across iters
 
-    from ..utils.signals import stop_requested
-
-    def keep_going():
-        # convergence gate + SIG_COND graceful-stop check (EM.cpp:56)
-        return (
-            (
-                prev_tot - tot > opts.min_epsilon
-                or max_eps > opts.min_epsilon
-                or n_iter < opts.min_iters
-            )
-            and n_iter < opts.max_iters
-            and not stop_requested()
-        )
-
-    while keep_going():
-        if log_callback is not None:
-            log_callback(n_iter, state, tot)
-        t0 = time.time()
-        n_iter += 1
-        if trace is not None:
-            trace("iter_start", n_iter=n_iter)
-
-        state, stats = em_iteration(
+    def step(st, active):
+        st2, stats = em_iteration(
             gl,
             dist,
-            state,
+            st,
             freq_est=opts.freq_est,
             e_prob_calc=opts.e_prob_calc,
             indF_fixed=opts.indF_fixed,
@@ -451,51 +408,21 @@ def run_em(
             numerics=opts.numerics,
             gl_tiles=gl_tiles,
         )
-        if opts.check_fwbw:
-            d = float(stats.fwbw_maxdiff)
-            # NaN must abort too (the reference kills the run on NaN in
-            # the recursions, HMM.cpp:18-21); `d > tol` is False for NaN
-            if not np.isfinite(d) or d > opts.lkl_check_tol:
-                raise RuntimeError(
-                    f"Fw and Bw lkl do not match (max diff {d:g})!"
-                )
+        return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
-        ind_lkl = np.asarray(state.ind_lkl)
-        prev_tot = tot
-        tot = float(ind_lkl.sum())
-        with np.errstate(invalid="ignore"):
-            ind_eps = (ind_lkl - prev_ind) / np.abs(prev_ind)
-        imax = _array_max_pos(ind_eps)
-        max_eps = ind_eps[imax]
-        prev_ind = ind_lkl
-        history.append(tot)
-        if checkpoint_cb is not None:
-            checkpoint_cb(
-                n_iter,
-                state,
-                {
-                    "n_iter": n_iter,
-                    "prev_tot": prev_tot,
-                    "tot": tot,
-                    "prev_ind": prev_ind,
-                    "max_eps": float(max_eps),
-                    "history": history,
-                },
-            )
-        if trace is not None:
-            trace(
-                "iter_done",
-                n_iter=n_iter,
-                tot_lkl=tot,
-                max_eps=max_eps,
-                dt=time.time() - t0,
-                ind_lkl=ind_lkl,
-                ind_eps=ind_eps,
-                imax=imax,
-                state=state,
-            )
-
-    converged = n_iter < opts.max_iters
+    state, bk, _ = convergence_loop(
+        step,
+        state,
+        opts,
+        n_ind=N,
+        log_callback=log_callback,
+        trace=trace,
+        checkpoint_cb=checkpoint_cb,
+        resume_bookkeeping=resume_bookkeeping,
+        track_history=True,
+    )
+    tot = float(bk.tot[0])
+    converged = bk.n_iter < opts.max_iters
 
     # ---- Final Viterbi decode (EM.cpp:110-116)
     path, _ = viterbi(
@@ -505,7 +432,7 @@ def run_em(
         state=state,
         path=np.asarray(path),
         tot_lkl=tot,
-        n_iters=n_iter,
+        n_iters=bk.n_iter,
         converged=converged,
-        lkl_history=history,
+        lkl_history=bk.history,
     )

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..io.gsl_rng import GslTaus
 from ..io.init import init_freq, init_indF_alpha
-from .em import EMOptions, EMResult, _array_max_pos, em_iteration, init_state
+from .em import EMOptions, EMResult, em_iteration, init_state
 from .hmm import viterbi
 
 
@@ -67,7 +67,7 @@ class RestartResult:
 
 
 def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
-                    checkpoint_cb=None, resume_bookkeeping=None):
+                    checkpoint_cb=None, resume_bookkeeping=None, trace=None):
     """Run R lockstep EM replicates; return the argmax-likelihood one.
 
     states: EMState with leading [R] axis (stack_restart_states).
@@ -76,8 +76,12 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
     checkpoint_cb(n_iter, states, bookkeeping): invoked after every
     lockstep iteration with the stacked states and the host-loop arrays
     ([R]-shaped convergence bookkeeping) needed for an exact resume;
-    resume_bookkeeping: such a dict to continue from.
+    resume_bookkeeping: such a dict to continue from.  The convergence
+    gate, freeze semantics and checkpoint schema live in
+    models/driver.convergence_loop (one loop for every mode).
     """
+    from .driver import convergence_loop
+
     R = states.indF.shape[0]
     N = gl.shape[1]
 
@@ -87,7 +91,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
         opts = dataclasses.replace(opts, numerics="linear",
                                    block_size=opts.block_size or "auto")
 
-    step = jax.vmap(
+    vstep = jax.vmap(
         lambda st: em_iteration(
             gl,
             dist,
@@ -101,92 +105,34 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
         )
     )
 
-    n_iter = 0
-    prev_tot = np.zeros(R)
-    tot = np.zeros(R)
-    prev_ind = np.full((R, N), -np.inf)
-    max_eps = np.full(R, -np.inf)
-    active = np.ones(R, dtype=bool)
-    iters_done = np.zeros(R, dtype=np.int64)
-    if resume_bookkeeping:
-        bk = resume_bookkeeping
-        n_iter = int(bk["n_iter"])
-        prev_tot = np.asarray(bk["prev_tot"], dtype=np.float64)
-        tot = np.asarray(bk["tot"], dtype=np.float64)
-        prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
-        max_eps = np.asarray(bk["max_eps"], dtype=np.float64)
-        iters_done = np.asarray(bk["iters_done"], dtype=np.int64)
-        if prev_ind.shape != (R, N) or iters_done.shape != (R,):
-            raise RuntimeError(
-                f"restart checkpoint bookkeeping is {prev_ind.shape}, "
-                f"run is {R} replicates x {N} ind"
-            )
+    def step(st, active):
+        st2, stats = vstep(st)
+        return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
-    def keep(r):
-        return (
-            prev_tot[r] - tot[r] > opts.min_epsilon
-            or max_eps[r] > opts.min_epsilon
-            or n_iter < opts.min_iters
-        ) and n_iter < opts.max_iters
-
-    if resume_bookkeeping:
-        # Re-derive the active set from the restored convergence stats and
-        # the CURRENT options (run_em re-evaluates its continuation
-        # predicate every loop; storing the baked decision would make a
-        # resume with a raised --max_iters / lowered --min_epsilon a no-op)
-        active = np.array([keep(r) for r in range(R)], dtype=bool)
-
-    from ..utils.signals import stop_requested
-
-    while active.any() and not stop_requested():
-        if log_callback is not None:
-            log_callback(n_iter, states, tot)
-        n_iter += 1
-        new_states, stats = step(states)
-        if opts.check_fwbw:
-            d = float(np.max(np.asarray(stats.fwbw_maxdiff)[active]))
-            if not np.isfinite(d) or d > opts.lkl_check_tol:
-                raise RuntimeError(
-                    f"Fw and Bw lkl do not match (max diff {d:g})!"
-                )
-        # freeze converged replicates (their stepped state is discarded,
-        # like an independent run that already exited its loop)
+    def freeze(new_states, old_states, active):
+        # converged replicates' stepped state is discarded, like an
+        # independent run that already exited its loop
         mask = jnp.asarray(active)
 
         def sel(new, old):
             m = mask.reshape((R,) + (1,) * (new.ndim - 1))
             return jnp.where(m, new, old)
 
-        states = jax.tree.map(sel, new_states, states)
+        return jax.tree.map(sel, new_states, old_states)
 
-        ind_lkl = np.asarray(states.ind_lkl)  # [R, N]
-        for r in range(R):
-            if not active[r]:
-                continue
-            iters_done[r] = n_iter
-            prev_tot[r] = tot[r]
-            tot[r] = float(ind_lkl[r].sum())
-            with np.errstate(invalid="ignore"):
-                eps = (ind_lkl[r] - prev_ind[r]) / np.abs(prev_ind[r])
-            max_eps[r] = eps[_array_max_pos(eps)]
-            prev_ind[r] = ind_lkl[r]
-        for r in range(R):
-            if active[r] and not keep(r):
-                active[r] = False
-        if checkpoint_cb is not None:
-            checkpoint_cb(
-                n_iter,
-                states,
-                {
-                    "n_iter": n_iter,
-                    "prev_tot": prev_tot,
-                    "tot": tot,
-                    "prev_ind": prev_ind,
-                    "max_eps": max_eps,
-                    "active": active,
-                    "iters_done": iters_done,
-                },
-            )
+    states, bk, _ = convergence_loop(
+        step,
+        states,
+        opts,
+        n_ind=N,
+        n_rep=R,
+        freeze=freeze,
+        log_callback=log_callback,
+        trace=trace,
+        checkpoint_cb=checkpoint_cb,
+        resume_bookkeeping=resume_bookkeeping,
+    )
+    tot, iters_done = bk.tot, bk.iters_done
 
     best_rep = int(np.argmax(tot))
     best_state = jax.tree.map(lambda x: x[best_rep], states)

@@ -405,8 +405,87 @@ class StreamingEM:
             ss[c] = np.asarray(s)
         return Ts, ss
 
+    def _stream_iteration(self, freq, F, alpha, opts, p_ibd_out=None):
+        """One streamed EM iteration: chain pass, posterior/freq pass,
+        and the host-L-BFGS (F, alpha) M-step.  Returns
+        (freq', F', alpha', ll_f, fwbw_maxdiff)."""
+        N = self.N
+        # ---- pass A: chain at current params
+        Ts, ss = self._transfers(freq, F, alpha)
+        v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
+        fwbw = float(np.abs(ll_f - ll_b).max())
+
+        # ---- pass B: posteriors + chunk-local freq M-step
+        F_d = jnp.asarray(F, jnp.float32)
+        a_d = jnp.asarray(alpha, jnp.float32)
+        new_freq = freq.copy()
+        for c in range(self.C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            p_c, f_c = _chunk_estep(
+                jnp.asarray(gl_c),
+                jnp.asarray(self._freq_chunk(freq, lo, hi)),
+                jnp.asarray(d_c), F_d, a_d,
+                jnp.asarray(v0[c], jnp.float32),
+                jnp.asarray(wT[c], jnp.float32),
+                self.bs, self.cs, hi - lo,
+            )
+            if opts.freq_est == 1:
+                new_freq[lo:hi] = np.asarray(f_c)[: hi - lo]
+            if p_ibd_out is not None:
+                p_ibd_out[lo:hi] = np.asarray(p_c)[: hi - lo]
+
+        # ---- M-step (F, alpha): host L-BFGS over streamed evals,
+        # emissions from the PRE-update freq (iter_EM order,
+        # EM.cpp:189-271)
+        if not (opts.indF_fixed and opts.alpha_fixed):
+            lo_b = np.stack(
+                [np.full(N, F_MIN), np.full(N, ALPHA_MIN)], -1)
+            hi_b = np.stack(
+                [np.full(N, F_MAX), np.full(N, ALPHA_MAX)], -1)
+            if opts.indF_fixed:
+                lo_b[:, 0] = hi_b[:, 0] = F
+            if opts.alpha_fixed:
+                lo_b[:, 1] = hi_b[:, 1] = alpha
+
+            def fun(x):
+                Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
+                _, _, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
+                return -llx
+
+            def fun_multi(cands):  # [K, B, n] -> [K, B]
+                K = cands.shape[0]
+                Tsm, ssm = self._transfers_multi(
+                    freq, cands[:, :, 0], cands[:, :, 1]
+                )
+                out = np.empty((K, self.N))
+                for k in range(K):
+                    _, _, llk, _ = _assemble_chain(
+                        Tsm[k], ssm[k], cands[k, :, 0]
+                    )
+                    out[k] = -llk
+                return out
+
+            def vag(x):
+                # fused: ONE stream yields transfers + tangents;
+                # carries and the gradient assemble on host
+                Tx, sx, dTF, dsF, dTa, dsa = self._transfers_grad(
+                    freq, x[:, 0], x[:, 1]
+                )
+                v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
+                gF, ga = _grad_from_transfers(
+                    Tx, dTF, dsF, dTa, dsa, v0x, wTx
+                )
+                return -llx, -np.stack([gF, ga], -1)
+
+            x0 = np.clip(np.stack([F, alpha], -1), lo_b, hi_b)
+            x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b,
+                                       fun_multi=fun_multi)
+            F, alpha = x_opt[:, 0], x_opt[:, 1]
+
+        return new_freq, F, alpha, ll_f, fwbw
+
     def run(self, freq0, indF0, alpha0, opts: EMOptions, p_ibd_out=None,
-            checkpoint_cb=None, resume_bookkeeping=None):
+            checkpoint_cb=None, resume_bookkeeping=None, trace=None):
         """Host EM loop. Returns (freq, indF, alpha, ind_lkl, n_iters).
 
         p_ibd_out: optional host array [S, N] filled with the final
@@ -415,25 +494,10 @@ class StreamingEM:
         parameter state is all an exact resume needs -- emissions are a
         function of freq); resume_bookkeeping: such a dict to continue
         from (pass the checkpointed freq/F/alpha as freq0/indF0/alpha0).
+        The convergence gate/bookkeeping live in
+        models/driver.convergence_loop (one loop for every mode).
         """
-        freq = np.asarray(freq0, np.float64).copy()
-        F = np.asarray(indF0, np.float64).copy()
-        alpha = np.asarray(alpha0, np.float64).copy()
-        N = self.N
-
-        n_iter = 0
-        prev_tot, tot = 0.0, 0.0
-        prev_ind = np.full(N, -np.inf)
-        max_eps = -np.inf
-        ll_f = np.full(N, -np.inf)
-        if resume_bookkeeping:
-            bk = resume_bookkeeping
-            n_iter = int(bk["n_iter"])
-            prev_tot = float(bk["prev_tot"])
-            tot = float(bk["tot"])
-            prev_ind = np.asarray(bk["prev_ind"], dtype=np.float64)
-            max_eps = float(bk["max_eps"])
-            ll_f = prev_ind.copy()
+        from .driver import convergence_loop
 
         if opts.freq_est not in (0, 1) or opts.e_prob_calc != 1:
             raise NotImplementedError(
@@ -442,118 +506,40 @@ class StreamingEM:
                 "need the monolithic engine)"
             )
 
-        from ..utils.signals import stop_requested
+        state0 = (
+            np.asarray(freq0, np.float64).copy(),
+            np.asarray(indF0, np.float64).copy(),
+            np.asarray(alpha0, np.float64).copy(),
+            np.full(self.N, -np.inf),  # ll_f of the last iteration
+        )
 
-        while (
-            (
-                prev_tot - tot > opts.min_epsilon
-                or max_eps > opts.min_epsilon
-                or n_iter < opts.min_iters
+        def step(st, active):
+            freq, F, alpha, _ = st
+            freq, F, alpha, ll_f, fwbw = self._stream_iteration(
+                freq, F, alpha, opts, p_ibd_out=p_ibd_out
             )
-            and n_iter < opts.max_iters
-            and not stop_requested()
-        ):
-            n_iter += 1
-            # ---- pass A: chain at current params
-            Ts, ss = self._transfers(freq, F, alpha)
-            v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
-            d = float(np.abs(ll_f - ll_b).max())
-            if opts.check_fwbw and (not np.isfinite(d) or d > opts.lkl_check_tol):
-                raise RuntimeError(
-                    f"Fw and Bw lkl do not match (max diff {d:g})!"
-                )
+            return (freq, F, alpha, ll_f), ll_f, np.asarray([fwbw])
 
-            # ---- pass B: posteriors + chunk-local freq M-step
-            F_d = jnp.asarray(F, jnp.float32)
-            a_d = jnp.asarray(alpha, jnp.float32)
-            new_freq = freq.copy()
-            for c in range(self.C):
-                gl_c, lo, hi, d_c = self._chunk(c)
-                p_c, f_c = _chunk_estep(
-                    jnp.asarray(gl_c),
-                    jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                    jnp.asarray(d_c), F_d, a_d,
-                    jnp.asarray(v0[c], jnp.float32),
-                    jnp.asarray(wT[c], jnp.float32),
-                    self.bs, self.cs, hi - lo,
-                )
-                if opts.freq_est == 1:
-                    new_freq[lo:hi] = np.asarray(f_c)[: hi - lo]
-                if p_ibd_out is not None:
-                    p_ibd_out[lo:hi] = np.asarray(p_c)[: hi - lo]
-
-            # ---- M-step (F, alpha): host L-BFGS over streamed evals,
-            # emissions from the PRE-update freq (iter_EM order,
-            # EM.cpp:189-271)
-            if not (opts.indF_fixed and opts.alpha_fixed):
-                lo_b = np.stack(
-                    [np.full(N, F_MIN), np.full(N, ALPHA_MIN)], -1)
-                hi_b = np.stack(
-                    [np.full(N, F_MAX), np.full(N, ALPHA_MAX)], -1)
-                if opts.indF_fixed:
-                    lo_b[:, 0] = hi_b[:, 0] = F
-                if opts.alpha_fixed:
-                    lo_b[:, 1] = hi_b[:, 1] = alpha
-
-                def fun(x):
-                    Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
-                    _, _, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
-                    return -llx
-
-                def fun_multi(cands):  # [K, B, n] -> [K, B]
-                    K = cands.shape[0]
-                    Ts, ss = self._transfers_multi(
-                        freq, cands[:, :, 0], cands[:, :, 1]
-                    )
-                    out = np.empty((K, self.N))
-                    for k in range(K):
-                        _, _, llk, _ = _assemble_chain(
-                            Ts[k], ss[k], cands[k, :, 0]
-                        )
-                        out[k] = -llk
-                    return out
-
-                def vag(x):
-                    # fused: ONE stream yields transfers + tangents;
-                    # carries and the gradient assemble on host
-                    Tx, sx, dTF, dsF, dTa, dsa = self._transfers_grad(
-                        freq, x[:, 0], x[:, 1]
-                    )
-                    v0x, wTx, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
-                    gF, ga = _grad_from_transfers(
-                        Tx, dTF, dsF, dTa, dsa, v0x, wTx
-                    )
-                    return -llx, -np.stack([gF, ga], -1)
-
-                x0 = np.clip(
-                    np.stack([F, alpha], -1), lo_b, hi_b
-                )
-                x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b,
-                                           fun_multi=fun_multi)
-                F, alpha = x_opt[:, 0], x_opt[:, 1]
-
-            freq = new_freq
-            prev_tot, tot = tot, float(ll_f.sum())
-            with np.errstate(invalid="ignore"):
-                eps = (ll_f - prev_ind) / np.abs(prev_ind)
-            from .em import _array_max_pos
-
-            max_eps = eps[_array_max_pos(eps)]
-            prev_ind = ll_f.copy()
+        def ckpt(n_iter, st, bk):
             if checkpoint_cb is not None:
-                checkpoint_cb(
-                    n_iter,
-                    (freq, F, alpha),
-                    {
-                        "n_iter": n_iter,
-                        "prev_tot": prev_tot,
-                        "tot": tot,
-                        "prev_ind": prev_ind,
-                        "max_eps": float(max_eps),
-                    },
-                )
+                bk = dict(bk)
+                bk.pop("history", None)  # stream schema stores no history
+                checkpoint_cb(n_iter, (st[0], st[1], st[2]), bk)
 
-        return freq, F, alpha, ll_f, n_iter
+        state, bk, _ = convergence_loop(
+            step,
+            state0,
+            opts,
+            n_ind=self.N,
+            trace=trace,
+            checkpoint_cb=ckpt if checkpoint_cb is not None else None,
+            resume_bookkeeping=resume_bookkeeping,
+        )
+        freq, F, alpha, ll_f = state
+        if bk.n_iter == 0 and resume_bookkeeping:
+            # resumed run already converged: report the restored lkl
+            ll_f = np.asarray(resume_bookkeeping["prev_ind"], np.float64)
+        return freq, F, alpha, ll_f, bk.n_iter
 
 
 # ---------------------------------------------------------------------------

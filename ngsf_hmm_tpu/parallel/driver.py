@@ -1,0 +1,323 @@
+"""End-to-end multi-chip EM runs: the sharded product path.
+
+Round 1 shipped jitted sharded *step* functions (sharded_em.py,
+site_sharded.py); this module drives them to convergence with the same
+host loop as every other engine mode (models/driver.convergence_loop --
+the EM.cpp:56 gate, Fw/Bw check, --log rewrites, checkpoint/resume) and
+finishes with the matching sharded Viterbi decode, so a mesh run is a
+full reference-equivalent run (reference: EM.cpp:27-135), not one step.
+
+Mesh specs (the CLI's --mesh flag):
+  "ind=8"            individuals data-parallel over 8 devices
+  "restart=2,ind=4"  2-way replicate sharding x 4-way individuals
+  "site=8"           sites sharded (context-parallel analog)
+  "ind=2,site=4"     the 2-D grid (BASELINE 1000 x 10M layout)
+  "2x4"              shorthand: restart=2, ind=4
+  "1x2x4"            shorthand: restart=1, ind=2, site=4
+
+Divisibility: the individual axis must divide n_ind evenly (individuals
+cannot be padded -- a pad individual would perturb the est_maf psum);
+the site axis pads transparently (pad sites enter the chain as exact
+identities, see site_em_iteration).
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.driver import convergence_loop
+from ..models.em import EMOptions, EMResult, EMState
+from ..models.restart import RestartResult
+from .mesh import make_mesh
+from .sharded_em import (
+    make_sharded_em_step,
+    make_sharded_viterbi,
+    shard_inputs,
+)
+from .site_sharded import (
+    make_grid_mesh,
+    make_grid_sharded_em_step,
+    make_grid_sharded_viterbi,
+    make_site_mesh,
+    make_site_sharded_em_step,
+    make_site_sharded_viterbi,
+    shard_grid_inputs,
+    shard_site_inputs,
+)
+
+
+def parse_mesh_spec(spec: str) -> dict:
+    """Parse a --mesh value into {"restart": r, "ind": i, "site": s}.
+
+    Accepts "AxB" (restart x ind), "AxBxC" (restart x ind x site), or
+    named comma-separated pairs "ind=4,site=2" (any order, missing axes
+    default to 1).  Raises ValueError on malformed specs.
+    """
+    spec = spec.strip()
+    out = {"restart": 1, "ind": 1, "site": 1}
+    if re.fullmatch(r"\d+(x\d+){1,2}", spec):
+        parts = [int(x) for x in spec.split("x")]
+        out["restart"] = parts[0]
+        out["ind"] = parts[1]
+        if len(parts) == 3:
+            out["site"] = parts[2]
+    else:
+        for item in spec.split(","):
+            if "=" not in item:
+                raise ValueError(
+                    f"bad mesh spec {spec!r}: expected AxB[xC] or "
+                    "axis=N pairs (axes: restart, ind, site)"
+                )
+            k, v = item.split("=", 1)
+            k = k.strip()
+            if k not in out:
+                raise ValueError(
+                    f"bad mesh spec {spec!r}: unknown axis {k!r} "
+                    "(axes: restart, ind, site)"
+                )
+            try:
+                out[k] = int(v)
+            except ValueError:
+                raise ValueError(f"bad mesh spec {spec!r}: {v!r} not an int")
+    if any(v < 1 for v in out.values()):
+        raise ValueError(f"bad mesh spec {spec!r}: axis sizes must be >= 1")
+    if out["restart"] > 1 and out["site"] > 1:
+        raise ValueError(
+            "mesh axes restart and site cannot both be sharded "
+            "(replicated site-sharded chains are not implemented)"
+        )
+    return out
+
+
+def _work_dtype_for(opts: EMOptions):
+    """Site-sharded kernels are the blocked-linear tier; opts.numerics
+    'log' (compat) keeps them in the input dtype (f64 under x64) so big
+    runs can be validated against the f64 oracle; the speed tiers run
+    float32."""
+    return None if opts.numerics == "log" else jnp.float32
+
+
+def _pad_sites(gl, dist, state: EMState, S_pad: int):
+    """Pad the site axis to S_pad with exact-identity sites:
+    uniform GLs (discarded), dist 0 (delta transitions), e_prob 0
+    (emission 1), p_ibd 0, freq 0.25 (discarded)."""
+    S = gl.shape[0]
+    pad = S_pad - S
+    if pad == 0:
+        return gl, dist, state
+    gl = jnp.concatenate(
+        [gl, jnp.full((pad,) + gl.shape[1:], jnp.log(1.0 / 3.0), gl.dtype)]
+    )
+    dist = jnp.concatenate([dist, jnp.zeros((pad,), dist.dtype)])
+    state = state._replace(
+        freq=jnp.concatenate(
+            [state.freq, jnp.full((pad,), 0.25, state.freq.dtype)]
+        ),
+        e_prob=jnp.concatenate(
+            [
+                state.e_prob,
+                jnp.zeros((pad,) + state.e_prob.shape[1:], state.e_prob.dtype),
+            ]
+        ),
+        p_ibd=jnp.concatenate(
+            [state.p_ibd, jnp.zeros((pad,) + state.p_ibd.shape[1:],
+                                    state.p_ibd.dtype)]
+        ),
+    )
+    return gl, dist, state
+
+
+def _unpad_state(state: EMState, S: int) -> EMState:
+    return state._replace(
+        freq=state.freq[:S], e_prob=state.e_prob[:S], p_ibd=state.p_ibd[:S]
+    )
+
+
+def run_em_sharded(
+    gl,
+    dist,
+    state,
+    opts: EMOptions,
+    mesh_spec: dict,
+    devices=None,
+    log_callback=None,
+    trace=None,
+    checkpoint_cb=None,
+    resume_bookkeeping=None,
+):
+    """Full sharded training run: EM to convergence + Viterbi decode.
+
+    gl [S, N, 3], dist [S] host/JAX arrays; state: EMState (n_rep == 1)
+    or an EMState with a leading [R] replicate axis (the multi-restart
+    protocol; mesh_spec["restart"] must divide R).  Returns EMResult, or
+    RestartResult when state carries a replicate axis.
+
+    The callbacks follow models/em.run_em; checkpoint payloads receive
+    the UNPADDED gathered state, so checkpoints interoperate with the
+    single-device engine (same io/checkpoint.py schema).
+    """
+    r, i, s = mesh_spec["restart"], mesh_spec["ind"], mesh_spec["site"]
+    S, N = int(gl.shape[-3]), int(gl.shape[-2])
+    with_restart = state.indF.ndim == 2
+    R = int(state.indF.shape[0]) if with_restart else None
+
+    if devices is None:
+        devices = jax.devices()
+    n_dev = r * i * s
+    if n_dev > len(devices):
+        raise ValueError(
+            f"mesh {r}x{i}x{s} needs {n_dev} devices, have {len(devices)}"
+        )
+    devices = list(devices)[:n_dev]
+    if N % i != 0:
+        raise ValueError(
+            f"n_ind {N} not divisible by mesh ind axis {i} (individuals "
+            "cannot be padded: they would perturb the est_maf reduction)"
+        )
+    if with_restart and R % r != 0:
+        raise ValueError(
+            f"--n_rep {R} not divisible by mesh restart axis {r}"
+        )
+    if not with_restart and r > 1:
+        raise ValueError("mesh restart axis > 1 requires --n_rep > 1")
+    if with_restart and s > 1:
+        raise ValueError("site mesh does not compose with --n_rep")
+    if opts.freq_est == 2 or opts.e_prob_calc == 2:
+        raise NotImplementedError(
+            "the LD path (freq_est/e_prob 2) is not implemented on "
+            "meshes; use the single-chip engine"
+        )
+
+    S_pad = -(-S // s) * s  # site axis pads to a shard multiple
+    compat = opts.viterbi_compat
+
+    if s == 1:
+        mesh = make_mesh(r, i, devices=devices)
+        step_fn = make_sharded_em_step(
+            mesh,
+            freq_est=opts.freq_est,
+            e_prob_calc=opts.e_prob_calc,
+            indF_fixed=opts.indF_fixed,
+            alpha_fixed=opts.alpha_fixed,
+            with_restart=with_restart,
+            block_size=opts.block_size,
+            numerics=opts.numerics,
+        )
+        vit_fn = make_sharded_viterbi(
+            mesh, compat=compat, with_restart=with_restart
+        )
+        gl_d, dist_d, state_d = shard_inputs(
+            mesh, gl, dist, state, with_restart=with_restart
+        )
+    else:
+        wdt = _work_dtype_for(opts)
+        S_total = S if S_pad != S else None
+        gl, dist, state = _pad_sites(gl, dist, state, S_pad)
+        if i == 1:
+            mesh = make_site_mesh(s, devices=devices)
+            step_fn = make_site_sharded_em_step(
+                mesh,
+                freq_est=opts.freq_est,
+                e_prob_calc=opts.e_prob_calc,
+                indF_fixed=opts.indF_fixed,
+                alpha_fixed=opts.alpha_fixed,
+                work_dtype=wdt,
+                S_total=S_total,
+            )
+            vit_fn = make_site_sharded_viterbi(mesh, compat=compat)
+            gl_d, dist_d, state_d = shard_site_inputs(mesh, gl, dist, state)
+        else:
+            mesh = make_grid_mesh(i, s, devices=devices)
+            step_fn = make_grid_sharded_em_step(
+                mesh,
+                freq_est=opts.freq_est,
+                e_prob_calc=opts.e_prob_calc,
+                indF_fixed=opts.indF_fixed,
+                alpha_fixed=opts.alpha_fixed,
+                work_dtype=wdt,
+                S_total=S_total,
+            )
+            vit_fn = make_grid_sharded_viterbi(mesh, compat=compat)
+            gl_d, dist_d, state_d = shard_grid_inputs(mesh, gl, dist, state)
+
+    def step(st, active):
+        st2, stats = step_fn(gl_d, dist_d, st)
+        return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
+
+    def freeze(new_st, old_st, active):
+        mask = jnp.asarray(active)
+
+        def sel(new, old):
+            m = mask.reshape((R,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return jax.tree.map(sel, new_st, old_st)
+
+    def adapt_state(st):
+        """Gathered, unpadded host view for callbacks/results."""
+        host = EMState(*(np.asarray(x) for x in st))
+        if S_pad != S:
+            host = EMState(
+                freq=host.freq[..., :S],
+                indF=host.indF,
+                alpha=host.alpha,
+                e_prob=host.e_prob[..., :S, :, :],
+                p_ibd=host.p_ibd[..., :S, :],
+                ind_lkl=host.ind_lkl,
+            )
+        return host
+
+    cb = None
+    if checkpoint_cb is not None:
+        cb = lambda n_iter, st, bk: checkpoint_cb(n_iter, adapt_state(st), bk)
+    lg = None
+    if log_callback is not None:
+        lg = lambda n_iter, st, tot: log_callback(n_iter, adapt_state(st), tot)
+
+    state_d, bk, _ = convergence_loop(
+        step,
+        state_d,
+        opts,
+        n_ind=N,
+        n_rep=R,
+        freeze=freeze if with_restart else None,
+        log_callback=lg,
+        trace=trace,
+        checkpoint_cb=cb,
+        resume_bookkeeping=resume_bookkeeping,
+        track_history=not with_restart,
+    )
+
+    # ---- final sharded Viterbi decode (EM.cpp:110-116)
+    path_d = vit_fn(state_d.e_prob, dist_d, state_d.indF, state_d.alpha)
+    path = np.asarray(path_d)
+    final = adapt_state(state_d)
+
+    if with_restart:
+        best_rep = int(np.argmax(bk.tot))
+        best_state = EMState(*(x[best_rep] for x in final))
+        best = EMResult(
+            state=best_state,
+            path=path[best_rep][:S],
+            tot_lkl=float(bk.tot[best_rep]),
+            n_iters=int(bk.iters_done[best_rep]),
+            converged=bool(bk.iters_done[best_rep] < opts.max_iters),
+            lkl_history=[],
+        )
+        return RestartResult(
+            best=best,
+            best_rep=best_rep,
+            rep_lkl=bk.tot.copy(),
+            rep_iters=bk.iters_done.copy(),
+        )
+
+    return EMResult(
+        state=final,
+        path=path[:S],
+        tot_lkl=float(bk.tot[0]),
+        n_iters=bk.n_iter,
+        converged=bk.n_iter < opts.max_iters,
+        lkl_history=bk.history,
+    )

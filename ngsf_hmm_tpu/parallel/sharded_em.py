@@ -31,13 +31,20 @@ def make_sharded_em_step(
     indF_fixed=False,
     alpha_fixed=False,
     with_restart=False,
+    block_size=None,
+    numerics="log",
 ):
     """Returns a jitted sharded step: (gl, dist, state) -> (state', stats).
 
     Without restart: gl [S, N, 3], state fields as in models/em.py.
     With restart: every EMState field gains a leading [R] axis sharded over
     the "restart" mesh axis; gl stays [S, N, 3] (same data per replicate).
+    block_size/numerics: kernel tier of the per-shard em_iteration
+    ("log" sequential/blocked, "linear" blocked speed kernels; pallas
+    does not compose with shard_map -- models/em.py docstring).
     """
+    if numerics == "pallas":
+        numerics, block_size = "linear", block_size or "auto"
     gl_spec, dist_spec, st = data_specs(with_restart)
     state_specs = EMState(**st)
 
@@ -48,6 +55,8 @@ def make_sharded_em_step(
         indF_fixed=indF_fixed,
         alpha_fixed=alpha_fixed,
         axis_name="ind",
+        block_size=block_size,
+        numerics=numerics,
     )
 
     if with_restart:

@@ -131,6 +131,8 @@ def site_em_iteration(
     axis_name: str = "site",
     block_size=None,
     ind_axis_name=None,
+    work_dtype=jnp.float32,
+    S_total=None,
 ):
     """One EM iteration on a site-sharded slab (runs under shard_map).
 
@@ -138,6 +140,19 @@ def site_em_iteration(
     ind_lkl are replicated across site-shards (and, on a 2-D mesh,
     sharded over ind_axis_name: the est_maf accumulators then psum over
     that axis exactly as in sharded_em.py).
+
+    work_dtype: precision of the chain/gradient kernels (float32 is the
+    speed default; None follows gl.dtype so f64 compat validation of
+    sharded runs is possible).
+    S_total: logical number of sites when the global site axis was
+    padded up to a multiple of the shard count. Pad sites (global index
+    >= S_total, i.e. the tail of the LAST shard) must enter with
+    e_prob = 0 (log 1) and dist = 0 -- then their chain transfer is an
+    exact identity (d=0 collapses the transition to delta_kl,
+    HMM.cpp:130-139, independent of F/alpha, so likelihood, gradients
+    and posteriors are untouched) -- and this keeps them that way: the
+    emission recompute and freq update are masked back to identity on
+    the pad rows.
     """
     S_loc, N = gl.shape[0], gl.shape[1]
     dtype = gl.dtype
@@ -156,12 +171,17 @@ def site_em_iteration(
     if block_size is None:
         block_size = pick_block_size(S_loc)
     first = jax.lax.axis_index(axis_name) == 0
+    wdt = work_dtype if work_dtype is not None else dtype
+    pad_mask = None
+    if S_total is not None:
+        start = jax.lax.axis_index(axis_name) * S_loc
+        pad_mask = (start + jnp.arange(S_loc)) >= S_total
 
-    e_lin = jnp.exp(state.e_prob).astype(jnp.float32)
+    e_lin = jnp.exp(state.e_prob).astype(wdt)
     e_blk, _ = block_sites(e_lin, block_size, 1.0)
-    d_blk, _ = block_sites(dist.astype(jnp.float32), block_size, 0.0)
-    F32 = state.indF.astype(jnp.float32)
-    a32 = state.alpha.astype(jnp.float32)
+    d_blk, _ = block_sites(dist.astype(wdt), block_size, 0.0)
+    F32 = state.indF.astype(wdt)
+    a32 = state.alpha.astype(wdt)
 
     # ---- E-step (A_ln reused: the block-transfer pass runs once)
     v0, wT, ll_f, ll_b, A_ln = _chain(F32, a32, e_blk, d_blk, axis_name)
@@ -200,14 +220,14 @@ def site_em_iteration(
 
         def objective(x):
             _, _, llf, _, _ = _chain(
-                x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32),
+                x[:, 0].astype(wdt), x[:, 1].astype(wdt),
                 e_blk, d_blk, axis_name,
             )
             return -llf.astype(dtype)
 
         def objective_vag(x):
-            Fx = x[:, 0].astype(jnp.float32)
-            ax = x[:, 1].astype(jnp.float32)
+            Fx = x[:, 0].astype(wdt)
+            ax = x[:, 1].astype(wdt)
             v0x, wTx, llf, _, A_lnx = _chain(Fx, ax, e_blk, d_blk, axis_name)
             # the initial-distribution dF term belongs to the whole
             # chain's site 0: a traced 0/1 weight keeps it on shard 0
@@ -215,7 +235,7 @@ def site_em_iteration(
             # block-transfer pass per evaluation
             Lloc, gF, ga = loglik_value_and_grad_blocked_lin(
                 Fx, ax, e_blk, d_blk, v0=v0x, wT=wTx,
-                with_init_term=first.astype(jnp.float32), A_ln=A_lnx,
+                with_init_term=first.astype(wdt), A_ln=A_lnx,
             )
             del Lloc  # segment-local; the global ll comes from the chain
             g = jnp.stack([gF, ga], -1)
@@ -238,17 +258,26 @@ def site_em_iteration(
             gl_lin, p_ibd, linear=True, axis_name=ind_axis_name
         ).astype(dtype)
         e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
+        if pad_mask is not None:
+            # pad rows stay exact identities (e = 1); their est_maf
+            # output is garbage-from-uniform-GLs and is discarded
+            freq = jnp.where(pad_mask, state.freq, freq)
+            e_prob = jnp.where(pad_mask[:, None, None], 0.0, e_prob)
+    if pad_mask is not None:
+        p_ibd = jnp.where(pad_mask[:, None], 0.0, p_ibd)
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
     return new_state, IterStats(fwbw_maxdiff, opt_iters)
 
 
 def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
-                              indF_fixed=False, alpha_fixed=False):
+                              indF_fixed=False, alpha_fixed=False,
+                              work_dtype=jnp.float32, S_total=None):
     """Jitted shard_map'd EM step over a ("site",) mesh.
 
     gl [S, N, 3] and dist [S] sharded along sites; EMState: freq/e_prob/
     p_ibd sharded along sites, indF/alpha/ind_lkl replicated.
+    work_dtype/S_total: see site_em_iteration.
     """
     state_specs = EMState(
         freq=P("site"),
@@ -265,6 +294,8 @@ def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
         indF_fixed=indF_fixed,
         alpha_fixed=alpha_fixed,
         axis_name="site",
+        work_dtype=work_dtype,
+        S_total=S_total,
     )
     step = shard_map(
         core,
@@ -416,7 +447,8 @@ def make_grid_mesh(n_ind_shards, n_site_shards, devices=None):
 
 
 def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
-                              indF_fixed=False, alpha_fixed=False):
+                              indF_fixed=False, alpha_fixed=False,
+                              work_dtype=jnp.float32, S_total=None):
     """EM step over a 2-D (ind, site) mesh.
 
     Layout: gl [S, N, 3] sharded P("site", "ind"); freq sharded over
@@ -444,6 +476,7 @@ def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
             freq_est=freq_est, e_prob_calc=e_prob_calc,
             indF_fixed=indF_fixed, alpha_fixed=alpha_fixed,
             axis_name="site", ind_axis_name="ind",
+            work_dtype=work_dtype, S_total=S_total,
         )
 
     step = shard_map(

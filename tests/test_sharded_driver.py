@@ -1,0 +1,146 @@
+"""End-to-end sharded runs (parallel/driver.run_em_sharded) vs the
+single-device engine: same converged parameters, paths and outputs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ngsf_hmm_tpu.models.em import EMOptions, init_state, run_em
+from ngsf_hmm_tpu.models.restart import stack_restart_states
+from ngsf_hmm_tpu.parallel.driver import parse_mesh_spec, run_em_sharded
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(33)
+    S, N = 150, 16  # S deliberately NOT divisible by 8 (site padding)
+    gl = np.log(rng.dirichlet(np.ones(3), size=(S, N)))
+    dist = rng.uniform(0.01, 0.3, size=S)
+    dist[0] = 1.0
+    freq0 = rng.uniform(0.05, 0.45, size=S)
+    indF0 = rng.uniform(0.05, 0.9, size=N)
+    alpha0 = rng.uniform(0.01, 0.5, size=N)
+    gl_j = jnp.asarray(gl)
+    state = init_state(
+        gl_j, jnp.asarray(freq0), jnp.asarray(indF0), jnp.asarray(alpha0)
+    )
+    return gl_j, jnp.asarray(dist), state
+
+
+OPTS = EMOptions(min_iters=3, max_iters=12, min_epsilon=1e-4)
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("2x4") == {"restart": 2, "ind": 4, "site": 1}
+    assert parse_mesh_spec("1x2x4") == {"restart": 1, "ind": 2, "site": 4}
+    assert parse_mesh_spec("ind=8") == {"restart": 1, "ind": 8, "site": 1}
+    assert parse_mesh_spec("site=4,ind=2") == {
+        "restart": 1, "ind": 2, "site": 4,
+    }
+    with pytest.raises(ValueError):
+        parse_mesh_spec("foo=3")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("2x0")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("restart=2,site=4")
+
+
+@pytest.mark.parametrize(
+    "spec", ["ind=8", "site=8", "ind=2,site=4"], ids=["ind", "site", "grid"]
+)
+def test_full_run_matches_single_device(case, spec):
+    gl, dist, state = case
+    ref = run_em(gl, dist, state, OPTS)
+    got = run_em_sharded(gl, dist, state, OPTS, parse_mesh_spec(spec))
+
+    assert got.n_iters == ref.n_iters
+    assert got.converged == ref.converged
+    tol = 1e-8 if spec == "ind=8" else 2e-3
+    np.testing.assert_allclose(got.tot_lkl, ref.tot_lkl, rtol=tol)
+    np.testing.assert_allclose(
+        np.asarray(got.state.indF), np.asarray(ref.state.indF), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.alpha), np.asarray(ref.state.alpha), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.freq), np.asarray(ref.state.freq), atol=5e-4
+    )
+    mism = int((got.path != ref.path).sum())
+    assert mism <= 0.002 * got.path.size
+    assert got.path.shape == ref.path.shape
+
+
+def test_site_mesh_f64_compat_is_exact(case):
+    """opts.numerics='log' keeps the site-sharded kernels in f64
+    (work_dtype follows the input dtype): per-iteration results should
+    then agree with the single-device blocked-linear engine to f64
+    accuracy, padding included."""
+    gl, dist, state = case
+    import dataclasses
+
+    opts = dataclasses.replace(OPTS, max_iters=4, min_iters=2)
+    ref = run_em(
+        gl, dist, state,
+        dataclasses.replace(opts, numerics="linear", block_size="auto"),
+    )
+    got = run_em_sharded(gl, dist, state, opts, parse_mesh_spec("site=8"))
+    np.testing.assert_allclose(got.tot_lkl, ref.tot_lkl, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(got.state.indF), np.asarray(ref.state.indF), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.freq), np.asarray(ref.state.freq), atol=1e-8
+    )
+
+
+def test_restart_mesh_matches_host_restarts(case):
+    gl, dist, _ = case
+    R = 4
+    states = stack_restart_states(gl, R, seed=99)
+    from ngsf_hmm_tpu.models.restart import run_em_restarts
+
+    ref = run_em_restarts(gl, dist, states, OPTS)
+    got = run_em_sharded(
+        gl, dist, states, OPTS, parse_mesh_spec("restart=2,ind=4")
+    )
+    assert got.best_rep == ref.best_rep
+    np.testing.assert_allclose(got.rep_lkl, ref.rep_lkl, rtol=1e-9)
+    np.testing.assert_array_equal(got.rep_iters, ref.rep_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.best.state.indF),
+        np.asarray(ref.best.state.indF),
+        atol=1e-9,
+    )
+    np.testing.assert_array_equal(got.best.path, ref.best.path)
+
+
+def test_sharded_checkpoint_resume(case, tmp_path):
+    """A sharded run checkpointed mid-way resumes to the same answer,
+    and its checkpoints interoperate with io/checkpoint.py."""
+    gl, dist, state = case
+    from ngsf_hmm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    spec = parse_mesh_spec("ind=8")
+    full = run_em_sharded(gl, dist, state, OPTS, spec)
+
+    path = tmp_path / "ck.npz"
+
+    class Stop(Exception):
+        pass
+
+    def cb(n_iter, st, bk):
+        save_checkpoint(str(path), st, bk)
+        if n_iter == 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        run_em_sharded(gl, dist, state, OPTS, spec, checkpoint_cb=cb)
+
+    st, bk = load_checkpoint(str(path))
+    resumed = run_em_sharded(
+        gl, dist, st, OPTS, spec, resume_bookkeeping=bk
+    )
+    assert resumed.n_iters == full.n_iters
+    np.testing.assert_allclose(resumed.tot_lkl, full.tot_lkl, rtol=1e-12)
+    np.testing.assert_array_equal(resumed.path, full.path)
