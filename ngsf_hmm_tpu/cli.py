@@ -61,6 +61,11 @@ _OPTIONS = [
     # device pass so gl/e_prob never reside whole in HBM (out-of-HBM
     # configs). Implies the linear speed kernels.
     ("stream_chunk", True, None),
+    # multi-chip runs (parallel/driver.py): "--mesh ind=8",
+    # "--mesh restart=2,ind=4", "--mesh ind=2,site=4", or "RxI[xS]"
+    # shorthand. Shards the full EM run (convergence loop + Viterbi +
+    # outputs) over a jax.sharding.Mesh of that shape.
+    ("mesh", True, None),
     # tracing/profiling (SURVEY.md S5.1): dump a JAX profiler trace of the
     # EM loop to DIR (view with TensorBoard / xprof). The reference's
     # equivalent is its verbose>=3 per-phase wall-clock timers
@@ -161,6 +166,7 @@ def parse_args(argv):
         "resume": False,
         "profile": None,
         "stream_chunk": 0,
+        "mesh": None,
     }
     short_map = {s: (name, has) for name, has, s in _OPTIONS if s}
     longs = [(name, has) for name, has, _ in _OPTIONS]
@@ -553,6 +559,32 @@ def main(argv=None):
                 )
 
 
+    mesh_spec = None
+    if p["mesh"]:
+        from .parallel.driver import parse_mesh_spec
+
+        try:
+            mesh_spec = parse_mesh_spec(p["mesh"])
+        except ValueError as e:
+            error("main", str(e))
+        if p["stream_chunk"]:
+            error(
+                "main",
+                "--mesh does not compose with --stream_chunk "
+                "(stream within one chip OR shard across chips)",
+            )
+        if p["verbose"] >= 1:
+            import jax as _jax
+
+            n_need = (
+                mesh_spec["restart"] * mesh_spec["ind"] * mesh_spec["site"]
+            )
+            print(
+                f"==> Mesh run: restart={mesh_spec['restart']} x "
+                f"ind={mesh_spec['ind']} x site={mesh_spec['site']} "
+                f"({n_need} of {len(_jax.devices())} devices)"
+            )
+
     from .utils.signals import catch_sig
 
     catch_sig()  # graceful SIGINT/SIGTERM stop (gen_func.cpp:40-52)
@@ -683,11 +715,21 @@ def main(argv=None):
 
         with profile_ctx:
             try:
-                rres = run_em_restarts(
-                    gl_j, dist_j, states_r, opts, log_callback=multi_log_cb,
-                    checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
-                )
-            except RuntimeError as e:
+                if mesh_spec is not None:
+                    from .parallel.driver import run_em_sharded
+
+                    rres = run_em_sharded(
+                        gl_j, dist_j, states_r, opts, mesh_spec,
+                        log_callback=multi_log_cb, checkpoint_cb=ckpt_cb,
+                        resume_bookkeeping=resume_bk,
+                    )
+                else:
+                    rres = run_em_restarts(
+                        gl_j, dist_j, states_r, opts,
+                        log_callback=multi_log_cb,
+                        checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
+                    )
+            except (RuntimeError, ValueError, NotImplementedError) as e:
                 error("EM", str(e))
         if p["verbose"] >= 1:
             for r, (lk, it) in enumerate(zip(rres.rep_lkl, rres.rep_iters)):
@@ -697,12 +739,22 @@ def main(argv=None):
     else:
         with profile_ctx:
             try:
-                result = run_em(
-                    gl_j, dist_j, state, opts, log_callback=log_cb,
-                    trace=trace, checkpoint_cb=ckpt_cb,
-                    resume_bookkeeping=resume_bk,
-                )
-            except RuntimeError as e:
+                if mesh_spec is not None:
+                    from .parallel.driver import run_em_sharded
+
+                    result = run_em_sharded(
+                        gl_j, dist_j, state, opts, mesh_spec,
+                        log_callback=log_cb, trace=trace,
+                        checkpoint_cb=ckpt_cb,
+                        resume_bookkeeping=resume_bk,
+                    )
+                else:
+                    result = run_em(
+                        gl_j, dist_j, state, opts, log_callback=log_cb,
+                        trace=trace, checkpoint_cb=ckpt_cb,
+                        resume_bookkeeping=resume_bk,
+                    )
+            except (RuntimeError, ValueError, NotImplementedError) as e:
                 error("EM", str(e))
 
     if not result.converged:

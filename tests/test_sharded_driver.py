@@ -144,3 +144,59 @@ def test_sharded_checkpoint_resume(case, tmp_path):
     assert resumed.n_iters == full.n_iters
     np.testing.assert_allclose(resumed.tot_lkl, full.tot_lkl, rtol=1e-12)
     np.testing.assert_array_equal(resumed.path, full.path)
+
+
+def test_cli_mesh_run(tmp_path):
+    """`python -m ngsf_hmm_tpu --mesh ...` produces outputs matching the
+    single-device CLI run (VERDICT item 1's done-criterion)."""
+    import contextlib
+    import io
+    import os
+    import pathlib
+
+    from ngsf_hmm_tpu.cli import main
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    d = tmp_path
+    simulate(n_ind=8, n_sites=220, freq="0.2", indF="0.5", alpha="0.01",
+             depth="2", error=0.01, seed=7, out=str(d / "sim"))
+    base = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 8 "
+        "--n_sites 220 --freq 0.2 --indF 0.2,0.05 --seed 5 "
+        "--max_iters 20 --verbose 1"
+    )
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(d)
+        for extra, out in (("", "plain"), ("--mesh ind=4,site=2", "mesh")):
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = main((base + f" {extra} --out {out}").split())
+            assert rc == 0
+    finally:
+        os.chdir(cwd)
+
+    # .indF: parsed comparison (psum/collective reduction order makes
+    # byte-identity too strict for live-M-step runs)
+    def read_indf(p):
+        lines = pathlib.Path(p).read_text().splitlines()
+        return (
+            float(lines[0]),
+            np.array([[float(x) if x != "NA" else np.nan for x in l.split("\t")]
+                      for l in lines[1:9]]),
+            np.array([float(x) for x in lines[9:]]),
+        )
+
+    tot_p, Fa_p, fr_p = read_indf(d / "plain.indF")
+    tot_m, Fa_m, fr_m = read_indf(d / "mesh.indF")
+    assert tot_m == pytest.approx(tot_p, rel=1e-4)
+    np.testing.assert_allclose(Fa_m, Fa_p, atol=5e-3)
+    np.testing.assert_allclose(fr_m, fr_p, atol=1e-3)
+
+    ibd_p = (d / "plain.ibd").read_text().splitlines()
+    ibd_m = (d / "mesh.ibd").read_text().splitlines()
+    # viterbi path rows: identical
+    assert ibd_m[1:9] == ibd_p[1:9]
+    geno_p = np.fromfile(d / "plain.geno")
+    geno_m = np.fromfile(d / "mesh.geno")
+    np.testing.assert_allclose(geno_m, geno_p, atol=5e-3)
