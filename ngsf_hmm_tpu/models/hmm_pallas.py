@@ -21,9 +21,10 @@ Kernel inventory:
   _k_block_combine:  grid (1,)   cross-block fwd/bwd pass: block starts,
                                  block ends, ll_f, ll_b
   _k_bw_sites:       grid (bs,)  reversed stream emitting per-site bw
-  _k_fw_grad:        grid (bs,)  forward stream accumulating the Fisher-
-                                 identity gradient terms (hmm.py docstring)
   _k_fw_post:        grid (bs,)  forward stream emitting the IBD posterior
+  _k_block_transfer_grad: grid (bs,)  fused transfer products + (F, alpha)
+                                 forward-mode tangents (the 2-launch
+                                 value-and-grad; no per-site bw needed)
 
 Public API mirrors hmm_blocked's linear functions and is validated
 against them (tests/test_hmm_pallas.py); on non-TPU backends the kernels
@@ -38,6 +39,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TINY = 1e-30
+
+
+def _imap_fwd(i):
+    """Stream index map; explicit i32 so the map stays legal under
+    jax_enable_x64 (bare 0s trace as i64 and Mosaic rejects the map)."""
+    z = jnp.int32(0)
+    return (i, z, z)
+
+
+def _imap_rev(bs):
+    def imap(i):
+        z = jnp.int32(0)
+        return (jnp.int32(bs - 1) - i, z, z)
+
+    return imap
+
+
+def _full(*shape):
+    """Whole-array VMEM block with an explicit i32 zero index map (the
+    default map pallas builds uses bare ints -> i64 under x64)."""
+
+    def imap(i):
+        z = jnp.int32(0)
+        return (z,) * len(shape)
+
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
 
 def _interpret():
@@ -163,16 +190,15 @@ def _k_block_transfer(B, L, bs):
             out_ref[4] = off[:]
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((5, B, L), jnp.float32),
         grid=(bs,),
         in_specs=[stream(), stream(), stream(),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                  _full(B, L), _full(B, L)],
+        out_specs=_full(5, B, L),
         scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)] * 5,
         interpret=_interpret(),
     )
@@ -201,12 +227,17 @@ def _k_block_combine(B, N, nb):
             inv = 1.0 / m
             return (r0 * inv, r1 * inv, off + jnp.log(m) + a[4])
 
+        # i32 loop bounds: under jax_enable_x64 bare Python ints give the
+        # loop an i64 counter, which Mosaic fails to legalize
+        lo, hi = jnp.int32(0), jnp.int32(nb)
         z = jnp.zeros((B, N), jnp.float32)
-        v0, v1, off = jax.lax.fori_loop(0, nb, fwd, (q0, q1, z))
+        v0, v1, off = jax.lax.fori_loop(lo, hi, fwd, (q0, q1, z))
         lls_ref[0] = jnp.log(v0 + v1) + off
 
         def bwd(t, carry):
-            j = nb - 1 - t
+            # jnp.int32: under jax_enable_x64 the bare Python constant
+            # traces as i64 and Mosaic rejects the i64-i32 subtraction
+            j = jnp.int32(nb - 1) - t
             w0, w1, off = carry
             ends_ref[j, 0] = w0
             ends_ref[j, 1] = w1
@@ -218,7 +249,7 @@ def _k_block_combine(B, N, nb):
             return (r0 * inv, r1 * inv, off + jnp.log(m) + a[4])
 
         o = jnp.ones((B, N), jnp.float32)
-        w0, w1, off = jax.lax.fori_loop(0, nb, bwd, (o, o, z))
+        w0, w1, off = jax.lax.fori_loop(lo, hi, bwd, (o, o, z))
         lls_ref[1] = jnp.log(q0 * w0 + q1 * w1) + off
 
     return pl.pallas_call(
@@ -264,7 +295,7 @@ def _k_bw_sites(B, L, bs):
         w1s[:] = b1 * inv
 
     rev = lambda: pl.BlockSpec(
-        (1, 1, L), lambda i: (bs - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L), _imap_rev(bs), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
@@ -273,89 +304,121 @@ def _k_bw_sites(B, L, bs):
             jax.ShapeDtypeStruct((bs, 1, L), jnp.float32),
         ),
         grid=(bs,),
-        in_specs=[rev(), rev(), rev()]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[rev(), rev(), rev()] + [_full(1, L)] * 4,
         out_specs=(rev(), rev()),
         scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)] * 2,
         interpret=_interpret(),
     )
 
 
-def _k_fw_grad(L, bs):
-    """Forward stream accumulating dL/dF and dL/dalpha lane sums.
+def _k_block_transfer_grad(L, bs):
+    """ONE stream -> per-block transfer products AND their forward-mode
+    (F, alpha) tangents, sharing the primal's per-step normalisation.
 
-    Per site (Fisher identity, division-free form -- see
-    hmm.loglik_value_and_grad): u_kl = fw_prev[k] e[l] bw[l] renormalised
-    by sum_kl u_kl T_kl; gF += (1-x)(-u00+u01-u10+u11),
-    ga += dx (F (u01-u00) + (1-F)(u10-u11)).
+    Maintains c = M_prod/gamma, D_F = dM_prod/dF/gamma, D_a =
+    dM_prod/dalpha/gamma with the SAME running scale gamma (each step
+    divides primal and tangents by the primal's max), so downstream
+    Fisher-identity ratios [v . D . w] / [v . c . w] equal the true
+    dll/dtheta block terms with every scale cancelling (the per-site
+    form of the same identity is hmm.loglik_value_and_grad; the
+    per-chunk host form is streaming._grad_from_transfers).
+
+    Output [13, 1, L]: c(4 rows), D_F(4), D_a(4), off(1).
+    This single launch replaces the round-1 4-launch pipeline
+    (block_transfer -> combine -> bw_sites -> fw_grad): the gradient no
+    longer needs per-site backward vectors at all, so the emission slabs
+    are read ONCE per evaluation and nothing site-sized is written.
     """
 
-    def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, starts0_ref,
-               starts1_ref, bw0_ref, bw1_ref, gF_ref, ga_ref, v0s, v1s,
-               gFs, gas):
+    def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, out_ref, c_s, DF_s,
+               Da_s, off_s):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            v0s[:] = starts0_ref[:]
-            v1s[:] = starts1_ref[:]
-            gFs[:] = jnp.zeros((1, L), jnp.float32)
-            gas[:] = jnp.zeros((1, L), jnp.float32)
+            ident = jnp.stack(
+                [jnp.ones((1, L), jnp.float32), jnp.zeros((1, L), jnp.float32),
+                 jnp.zeros((1, L), jnp.float32), jnp.ones((1, L), jnp.float32)]
+            )
+            c_s[:] = ident
+            DF_s[:] = jnp.zeros((4, 1, L), jnp.float32)
+            Da_s[:] = jnp.zeros((4, 1, L), jnp.float32)
+            off_s[:] = jnp.zeros((1, L), jnp.float32)
 
         e0, e1, d = e0_ref[0], e1_ref[0], d_ref[0]
         F, a = Fr_ref[:], ar_ref[:]
         x = jnp.exp(-a * d)
-        # chromosome breaks: d = inf, x = 0 -> d*x must be 0, not NaN
-        dx = jnp.where(x > 0.0, d * x, 0.0)
         onem = 1.0 - x
-        t00 = onem * (1.0 - F) + x
-        t01 = onem * F
-        t10 = onem * (1.0 - F)
-        t11 = onem * F + x
+        # d = inf at chromosome breaks: x = 0 there, d*x must be 0
+        dxp = jnp.where(x > 0.0, d * x, 0.0)
 
-        b0 = e0 * bw0_ref[0]
-        b1 = e1 * bw1_ref[0]
-        u00 = v0s[:] * b0
-        u01 = v0s[:] * b1
-        u10 = v1s[:] * b0
-        u11 = v1s[:] * b1
-        denom = u00 * t00 + u01 * t01 + u10 * t10 + u11 * t11
-        inv = 1.0 / jnp.maximum(denom, _TINY)
-        u00 = u00 * inv
-        u01 = u01 * inv
-        u10 = u10 * inv
-        u11 = u11 * inv
-        gFs[:] = gFs[:] + onem * (-u00 + u01 - u10 + u11)
-        gas[:] = gas[:] + dx * (F * (u01 - u00) + (1.0 - F) * (u10 - u11))
+        m00 = (onem * (1.0 - F) + x) * e0
+        m01 = (onem * F) * e1
+        m10 = (onem * (1.0 - F)) * e0
+        m11 = (onem * F + x) * e1
+        # dm/dF  (dt00 = -onem, dt01 = +onem, dt10 = -onem, dt11 = +onem)
+        oe0 = onem * e0
+        oe1 = onem * e1
+        # dm/dalpha (dt00 = -F d x, dt01 = +F d x,
+        #            dt10 = +(1-F) d x, dt11 = -(1-F) d x)
+        fd = F * dxp
+        gd = (1.0 - F) * dxp
 
-        # forward update (emissions absorbed, renormalised)
-        n0 = (v0s[:] * t00 + v1s[:] * t10) * e0
-        n1 = (v0s[:] * t01 + v1s[:] * t11) * e1
-        m = jnp.maximum(jnp.maximum(n0, n1), _TINY)
-        minv = 1.0 / m
-        v0s[:] = n0 * minv
-        v1s[:] = n1 * minv
+        c00, c01, c10, c11 = c_s[0], c_s[1], c_s[2], c_s[3]
+        n00 = c00 * m00 + c01 * m10
+        n01 = c00 * m01 + c01 * m11
+        n10 = c10 * m00 + c11 * m10
+        n11 = c10 * m01 + c11 * m11
+
+        DF00, DF01, DF10, DF11 = DF_s[0], DF_s[1], DF_s[2], DF_s[3]
+        nF00 = DF00 * m00 + DF01 * m10 + c00 * (-oe0) + c01 * (-oe0)
+        nF01 = DF00 * m01 + DF01 * m11 + c00 * oe1 + c01 * oe1
+        nF10 = DF10 * m00 + DF11 * m10 + c10 * (-oe0) + c11 * (-oe0)
+        nF11 = DF10 * m01 + DF11 * m11 + c10 * oe1 + c11 * oe1
+
+        Da00, Da01, Da10, Da11 = Da_s[0], Da_s[1], Da_s[2], Da_s[3]
+        na00 = Da00 * m00 + Da01 * m10 + c00 * (-fd * e0) + c01 * (gd * e0)
+        na01 = Da00 * m01 + Da01 * m11 + c00 * (fd * e1) + c01 * (-gd * e1)
+        na10 = Da10 * m00 + Da11 * m10 + c10 * (-fd * e0) + c11 * (gd * e0)
+        na11 = Da10 * m01 + Da11 * m11 + c10 * (fd * e1) + c11 * (-gd * e1)
+
+        mx = jnp.maximum(jnp.maximum(n00, n01), jnp.maximum(n10, n11))
+        mx = jnp.maximum(mx, _TINY)
+        inv = 1.0 / mx
+        c_s[0], c_s[1], c_s[2], c_s[3] = (
+            n00 * inv, n01 * inv, n10 * inv, n11 * inv
+        )
+        DF_s[0], DF_s[1], DF_s[2], DF_s[3] = (
+            nF00 * inv, nF01 * inv, nF10 * inv, nF11 * inv
+        )
+        Da_s[0], Da_s[1], Da_s[2], Da_s[3] = (
+            na00 * inv, na01 * inv, na10 * inv, na11 * inv
+        )
+        off_s[:] = off_s[:] + jnp.log(mx)
 
         @pl.when(i == bs - 1)
         def _():
-            gF_ref[:] = gFs[:]
-            ga_ref[:] = gas[:]
+            out_ref[0:4] = c_s[:]
+            out_ref[4:8] = DF_s[:]
+            out_ref[8:12] = Da_s[:]
+            out_ref[12] = off_s[:]
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, L), jnp.float32),
-            jax.ShapeDtypeStruct((1, L), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((13, 1, L), jnp.float32),
         grid=(bs,),
-        in_specs=[stream(), stream(), stream()]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-        + [stream(), stream()],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)] * 4,
+        in_specs=[stream(), stream(), stream(),
+                  _full(1, L), _full(1, L)],
+        out_specs=_full(13, 1, L),
+        scratch_shapes=[
+            pltpu.VMEM((4, 1, L), jnp.float32),
+            pltpu.VMEM((4, 1, L), jnp.float32),
+            pltpu.VMEM((4, 1, L), jnp.float32),
+            pltpu.VMEM((1, L), jnp.float32),
+        ],
         interpret=_interpret(),
     )
 
@@ -386,14 +449,14 @@ def _k_fw_post(L, bs):
         p_ref[0] = x1 / jnp.maximum(x0 + x1, _TINY)
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bs, 1, L), jnp.float32),
         grid=(bs,),
         in_specs=[stream(), stream(), stream()]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [_full(1, L)] * 4
         + [stream(), stream()],
         out_specs=stream(),
         scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)] * 2,
@@ -445,28 +508,49 @@ def _starts_flat(starts, prep):
 
 
 def loglik_value_and_grad_pallas(F, alpha, prep):
-    """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N]."""
-    N, nb, bs, L, S = prep["N"], prep["nb"], prep["bs"], prep["L"], prep["S"]
-    F2, a2 = F[None, :], alpha[None, :]
-    starts, ends, lls, reps = _block_pipeline(F2, a2, prep)
-    bw0, bw1 = _bw_sites(F2, a2, prep, ends, reps)
-    s0, s1 = _starts_flat(starts, prep)
-    gF_l, ga_l = _k_fw_grad(L, bs)(
-        prep["e0"], prep["e1"], prep["d"], reps[0], reps[1], s0, s1, bw0, bw1
-    )
-    gF = gF_l.reshape(nb, N).sum(0)
-    ga = ga_l.reshape(nb, N).sum(0)
+    """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N].
 
-    # Initial-distribution term from site 0 (block 0 lanes), on host:
-    # w_k = sum_l T0[k,l] e0[l] bw0[l], normalised via q0 w0 + q1 w1 = 1.
-    eb0 = prep["e0"][0, 0, :N] * bw0[0, 0, :N]
-    eb1 = prep["e1"][0, 0, :N] * bw1[0, 0, :N]
-    d0 = prep["d"][0, 0, :N]
-    t00, t01, t10, t11 = _t_elems(F, alpha, d0)
-    w0 = t00 * eb0 + t01 * eb1
-    w1 = t10 * eb0 + t11 * eb1
-    tot = (1.0 - F) * w0 + F * w1
-    gF = gF + (w1 - w0) / jnp.maximum(tot, _TINY)
+    TWO launches: the fused transfer+tangent stream
+    (_k_block_transfer_grad, one pass over the emission slabs, nothing
+    site-sized written) and the tiny cross-block combine; the gradient
+    assembles from per-block Fisher-identity ratios
+      dll/dtheta = sum_j [v_j . dM_j . w_j] / [v_j . M_j . w_j]
+    plus the initial-distribution dq/dF term on block 0 (round 1's
+    4-launch bw-materialising pipeline is gone)."""
+    N, nb, bs, L = prep["N"], prep["nb"], prep["bs"], prep["L"]
+    f32 = jnp.float32
+    F2, a2 = F[None, :].astype(f32), alpha[None, :].astype(f32)
+    Fr, ar = _rep_params(F2, a2, nb)
+    out = _k_block_transfer_grad(L, bs)(
+        prep["e0"], prep["e1"], prep["d"], Fr, ar
+    )
+    # [13, 1, L] -> [nb, 13, 1, N] per-block blocks
+    A_r = jnp.transpose(out.reshape(13, 1, nb, N), (2, 0, 1, 3))
+    A_prim = jnp.concatenate([A_r[:, 0:4], A_r[:, 12:13]], axis=1)
+    starts, ends, lls = _k_block_combine(1, N, nb)(A_prim, F2)
+
+    v0, v1 = starts[:, 0, 0], starts[:, 1, 0]  # [nb, N] entering block j
+    w0, w1 = ends[:, 0, 0], ends[:, 1, 0]  # [nb, N] at block j's end
+    T = A_r[:, 0:4, 0]  # [nb, 4, N] (c, shared normalisation with D)
+    DF = A_r[:, 4:8, 0]
+    Da = A_r[:, 8:12, 0]
+
+    def quad(M):
+        return v0 * (M[:, 0] * w0 + M[:, 1] * w1) + v1 * (
+            M[:, 2] * w0 + M[:, 3] * w1
+        )
+
+    inv = 1.0 / jnp.maximum(quad(T), _TINY)
+    gF = (quad(DF) * inv).sum(0)
+    ga = (quad(Da) * inv).sum(0)
+
+    # Initial-distribution term (block 0): X_k = (T_0 . w_0)_k,
+    # d log(q . X)/dF with dq/dF = (-1, +1); scales cancel in the ratio.
+    X0 = T[0, 0] * w0[0] + T[0, 1] * w1[0]
+    X1 = T[0, 2] * w0[0] + T[0, 3] * w1[0]
+    q1 = F2[0]
+    tot = (1.0 - q1) * X0 + q1 * X1
+    gF = gF + (X1 - X0) / jnp.maximum(tot, _TINY)
     return lls[0, 0], gF, ga
 
 

@@ -31,6 +31,13 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _imap_fwd(i):
+    """Tile index map; explicit i32 so the map stays legal under
+    jax_enable_x64 (bare 0s trace as i64 and Mosaic rejects the map)."""
+    z = jnp.int32(0)
+    return (i, z, z)
+
+
 def prepare_gl_tiles(gl_lin):
     """[S, N, 3] linear GLs -> (gl0, gl1, gl2) [n_tiles, N, TS] f32.
 
@@ -85,7 +92,9 @@ def _run(gl0, gl1, gl2, p, n_ind):
             pr1 = 2.0 * pq - 2.0 * pq * F
             # calc_HWE's F==1 heterozygote floor (gen_func.cpp:946-956):
             # without it a het-certain GL at p_ibd==1 divides by zero
-            pr1 = jnp.where(F == 1.0, 1e-15, pr1)
+            # jnp.float32: a bare 1e-15 commits to f64 under
+            # jax_enable_x64 and Mosaic cannot legalize the f64->f32 trunc
+            pr1 = jnp.where(F == 1.0, jnp.float32(1e-15), pr1)
             pr2 = freq * freq + pq * F
             pp0 = g0 * pr0
             pp1 = g1 * pr1
@@ -117,7 +126,7 @@ def _run(gl0, gl1, gl2, p, n_ind):
         freq_ref[0] = out[0]
 
     tile = lambda: pl.BlockSpec(
-        (1, N, TS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, N, TS), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
@@ -125,7 +134,7 @@ def _run(gl0, gl1, gl2, p, n_ind):
         grid=(n_tiles,),
         in_specs=[tile(), tile(), tile(), tile()],
         out_specs=pl.BlockSpec(
-            (1, 1, TS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, TS), _imap_fwd, memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
     )(gl0, gl1, gl2, p)
