@@ -210,17 +210,24 @@ def main():
                     vs = t_ref / t_ours
             except Exception as e:  # noqa: BLE001
                 log(f"[bench] reference run failed: {e}")
-    if vs is None:
+    fallback = vs is None
+    if fallback:
         vs = ours_cps / REF_FALLBACK_CELLS_PER_S
-        log("[bench] using fallback reference throughput "
-            f"{REF_FALLBACK_CELLS_PER_S:.3g} cells/s")
+        log("[bench] WARNING: reference leg did not run; vs_baseline uses "
+            f"the canned fallback {REF_FALLBACK_CELLS_PER_S:.3g} cells/s "
+            "measured once on the dev host -- treat it as indicative only")
 
-    print(json.dumps({
+    out = {
         "metric": "em_cells_per_s",
         "value": round(ours_cps, 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),
-    }))
+        "config": f"{S}x{N}",
+        "ms_per_em_iter": round(t_ours * 1e3, 2),
+    }
+    if fallback:
+        out["vs_baseline_is_fallback"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

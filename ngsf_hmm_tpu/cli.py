@@ -496,8 +496,35 @@ def main(argv=None):
         elif event == "iter_done":
             if v >= 4:
                 st = kw["state"]
+                # streaming mode carries (freq, indF, alpha, ll) tuples
+                indF_a, alpha_a = (
+                    (st.indF, st.alpha) if hasattr(st, "indF")
+                    else (st[1], st[2])
+                )
                 for i in range(p["n_ind"]):
-                    print(f"\t{float(st.indF[i]):.10f}\t{float(st.alpha[i]):.6f}")
+                    print(f"\t{float(indF_a[i]):.10f}\t{float(alpha_a[i]):.6f}")
+            if v >= 7 and p["freq_est"] != 0 and hasattr(kw["state"], "e_prob"):
+                # per-site freq/emission dump (EM.cpp:265-270); printed
+                # once per iteration from the updated state (the
+                # reference prints during its per-site freq loop)
+                st = kw["state"]
+                freq = np.asarray(st.freq, dtype=np.float64)
+                em = np.exp(np.asarray(st.e_prob, dtype=np.float64))
+                for s in range(p["n_sites"]):
+                    row = "".join(
+                        f"\t{em[s, i, 0]:f}/{em[s, i, 1]:f}"
+                        for i in range(p["n_ind"])
+                    )
+                    print(f"Site {s + 1}; freq: {freq[s]:f}; emission: {row}")
+            if v >= 3:
+                # per-phase timer block (EM.cpp:277-284). The iteration
+                # is one fused XLA computation here, so the whole step's
+                # wall time is reported on the Fw line and the other
+                # phases as 0.0 (documented delta; cli.py header notes)
+                print(
+                    f"\nFw: {kw['dt']:.1f}\nBw: 0.0\nMP: 0.0\n"
+                    "indF: 0.0\nfreqs: 0.0"
+                )
             print(
                 f"\tLogLkl: {kw['tot_lkl']:.15f}\t max lkl epsilon: "
                 f"{kw['max_eps']:.15f}\ttime: {kw['dt']:.0f} (s)"
@@ -655,7 +682,7 @@ def main(argv=None):
             freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
                 freq0, indF0, alpha0, opts, p_ibd_out=p_ibd,
                 checkpoint_cb=stream_ckpt_cb,
-                resume_bookkeeping=stream_resume_bk,
+                resume_bookkeeping=stream_resume_bk, trace=trace,
             )
         if n_iters >= p["max_iters"]:
             print(
@@ -699,6 +726,40 @@ def main(argv=None):
                 freq_spec=p["freq"],
             )
 
+        def multi_trace(event, **kw):
+            # lockstep-replicate analog of the single-run trace: the
+            # .sh protocol runs N sequential full runs, each with its
+            # own stdout; here one fused iteration advances all
+            # replicates, so the per-iteration lines report the current
+            # best replicate (v >= 3 adds the per-replicate table)
+            v = p["verbose"]
+            if v < 1:
+                return
+            if event == "iter_start":
+                trace(event, **kw)
+                return
+            if event != "iter_done":
+                return
+            tots = np.asarray(kw["tot_lkl"], np.float64)
+            eps = np.asarray(kw["max_eps"], np.float64)
+            best = int(np.argmax(tots))
+            print(
+                f"\tLogLkl (best replicate {best + 1}): {tots[best]:.15f}"
+                f"\t max lkl epsilon: {eps[best]:.15f}"
+                f"\ttime: {kw['dt']:.0f} (s)"
+            )
+            if v >= 3:
+                active = kw.get("active")
+                for r in range(len(tots)):
+                    tag = " (best)" if r == best else ""
+                    if active is not None and not active[r]:
+                        tag += " [converged]"
+                    print(
+                        f"\tReplicate {r + 1}: {tots[r]:.15f}\t "
+                        f"lkl epsilon: {eps[r]:.15f}{tag}"
+                    )
+            sys.stdout.flush()
+
         def multi_log_cb(n_iter, states, tots):
             # --log N in multi-restart mode dumps the CURRENT BEST
             # replicate's state (the .sh protocol has no equivalent; the
@@ -720,13 +781,14 @@ def main(argv=None):
 
                     rres = run_em_sharded(
                         gl_j, dist_j, states_r, opts, mesh_spec,
-                        log_callback=multi_log_cb, checkpoint_cb=ckpt_cb,
+                        log_callback=multi_log_cb, trace=multi_trace,
+                        checkpoint_cb=ckpt_cb,
                         resume_bookkeeping=resume_bk,
                     )
                 else:
                     rres = run_em_restarts(
                         gl_j, dist_j, states_r, opts,
-                        log_callback=multi_log_cb,
+                        log_callback=multi_log_cb, trace=multi_trace,
                         checkpoint_cb=ckpt_cb, resume_bookkeeping=resume_bk,
                     )
             except (RuntimeError, ValueError, NotImplementedError) as e:
