@@ -195,3 +195,146 @@ def test_seeded_random_init_parity(sim_dir, reference_binary):
         assert indF[i] == pytest.approx(F_r, abs=5e-11)
         assert alpha[i] == pytest.approx(a_r, abs=5e-7)
     np.testing.assert_allclose(freq, ref_freqs, atol=5e-7)
+
+
+# ---------------------------------------------------------------------------
+# Beagle-text leg: ANGSD-style beagle file (marker/allele1/allele2 columns
+# + header row) through the last-N-tokens tokenizer of both engines
+# (reference: shared/read_data.cpp:63-81 via split(), gen_func.cpp:389-416,
+# which drops non-numeric tokens; examples/test.sh:65-77 is the ANGSD leg).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def beagle_file(sim_dir):
+    """sim.beagle.gz: linear-space GLs with the Beagle 3-column prefix."""
+    import gzip
+
+    with gzip.open(sim_dir / "sim.glf.gz", "rt") as fh:
+        rows = [
+            [float(x) for x in ln.split()] for ln in fh if ln.strip()
+        ]
+    with gzip.open(sim_dir / "sim.pos.gz", "rt") as fh:
+        pos = [ln.split()[1] for ln in fh]
+    with gzip.open(sim_dir / "sim.beagle.gz", "wt") as fh:
+        head = ["marker", "allele1", "allele2"]
+        for i in range(N_IND):
+            head += [f"Ind{i}"] * 3
+        fh.write("\t".join(head) + "\n")
+        for s, row in enumerate(rows):
+            gl = ["%.10g" % np.exp(v) for v in row]
+            fh.write("\t".join([f"chrSIM_{pos[s]}", "0", "1"] + gl) + "\n")
+    return "sim.beagle.gz"
+
+
+def test_golden_beagle_fixed(beagle_file, sim_dir, reference_binary):
+    """Byte parity on the fully-fixed config read from Beagle text."""
+    args = f"{COMMON} --geno {beagle_file} --lkl --pos sim.pos.gz {_IDS['FIXED']}"
+    run_ref(reference_binary, sim_dir, args, "ref.beagle_FIXED")
+    run_ours(sim_dir, args, "tpu.beagle_FIXED")
+    for ext in (".indF", ".ibd"):
+        assert (sim_dir / f"ref.beagle_FIXED{ext}").read_bytes() == (
+            sim_dir / f"tpu.beagle_FIXED{ext}"
+        ).read_bytes(), f"{ext} not byte-identical (beagle input)"
+    a = np.fromfile(sim_dir / "ref.beagle_FIXED.geno")
+    b = np.fromfile(sim_dir / "tpu.beagle_FIXED.geno")
+    np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+def test_golden_beagle_estimated(beagle_file, sim_dir, reference_binary):
+    """Live-M-step agreement on the Beagle leg (both engines read the
+    same text, so the input quantisation cancels)."""
+    args = f"{COMMON} --geno {beagle_file} --lkl --pos sim.pos.gz {_IDS['BEST']}"
+    run_ref(reference_binary, sim_dir, args, "ref.beagle_BEST")
+    run_ours(sim_dir, args, "tpu.beagle_BEST")
+    tot_r, F_r, al_r, fr_r = _read_indf(sim_dir / "ref.beagle_BEST.indF")
+    tot_t, F_t, al_t, fr_t = _read_indf(sim_dir / "tpu.beagle_BEST.indF")
+    assert tot_t == pytest.approx(tot_r, rel=1e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=2e-3)
+    np.testing.assert_allclose(fr_t, fr_r, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale leg: the reference's own simulated gate runs 10 ind x
+# 10k sites (examples/test.sh:10-16); byte-parity must hold there too,
+# not just at the fast 6 x 500 matrix above.
+# ---------------------------------------------------------------------------
+
+N_IND_10K = 10
+N_SITES_10K = 10_000
+
+
+@pytest.fixture(scope="session")
+def sim10k_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden10k")
+    sys.path.insert(0, str(REPO))
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    simulate(
+        n_ind=N_IND_10K,
+        n_sites=N_SITES_10K,
+        freq="0.2",
+        site_pos="r",
+        indF="0.5",
+        alpha="0.01",
+        depth="2",
+        error=0.01,
+        seed=12345,
+        out=str(d / "sim"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("typ", list(_TYPES))
+def test_golden_10k_fixed(typ, sim10k_dir, reference_binary):
+    geno = _TYPES[typ]
+    args = (
+        f"--verbose 1 --n_threads {N_IND_10K} --seed 12345 "
+        f"--n_ind {N_IND_10K} --n_sites {N_SITES_10K} --max_iters 50 "
+        f"{geno} --pos sim.pos.gz {_IDS['FIXED']}"
+    )
+    run_ref(reference_binary, sim10k_dir, args, f"ref.10k_{typ}")
+    run_ours(sim10k_dir, args, f"tpu.10k_{typ}")
+    for ext in (".indF", ".ibd"):
+        assert (sim10k_dir / f"ref.10k_{typ}{ext}").read_bytes() == (
+            sim10k_dir / f"tpu.10k_{typ}{ext}"
+        ).read_bytes(), f"{ext} not byte-identical at 10x10k"
+    a = np.fromfile(sim10k_dir / f"ref.10k_{typ}.geno")
+    b = np.fromfile(sim10k_dir / f"tpu.10k_{typ}.geno")
+    np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+def test_golden_log_dumps(sim_dir, reference_binary):
+    """--log 1 parity: print_iter opens its outputs with truncating "w"
+    modes (EM.cpp:296,325,361), so the final dump is what survives --
+    final artifacts must be byte-identical on the fully-fixed config."""
+    args = (
+        f"{COMMON} --geno sim.glf.gz --loglkl --pos sim.pos.gz "
+        f"{_IDS['FIXED']} --log 1"
+    )
+    run_ref(reference_binary, sim_dir, args, "ref.log1")
+    run_ours(sim_dir, args, "tpu.log1")
+    for ext in (".indF", ".ibd"):
+        assert (sim_dir / f"ref.log1{ext}").read_bytes() == (
+            sim_dir / f"tpu.log1{ext}"
+        ).read_bytes(), f"{ext} not byte-identical with --log 1"
+
+
+def test_golden_max_iters_warning(sim_dir, reference_binary):
+    """max_iters-reached path: both engines print the WARN line and
+    still write full outputs (EM.cpp:97-98)."""
+    args = (
+        f"--verbose 1 --n_threads {N_IND} --seed 12345 --n_ind {N_IND} "
+        f"--n_sites {N_SITES} --geno sim.glf.gz --loglkl --pos sim.pos.gz "
+        f"--freq 0.1 --indF 0.1,0.2 --min_iters 2 --max_iters 3 "
+        f"--min_epsilon 1e-15"
+    )
+    out_r = run_ref(reference_binary, sim_dir, args, "ref.warn")
+    out_t = run_ours(sim_dir, args, "tpu.warn")
+    warn = "WARN: Maximum number of iterations reached!"
+    assert warn in out_r
+    assert warn in out_t
+    tot_r, F_r, _, _ = _read_indf(sim_dir / "ref.warn.indF")
+    tot_t, F_t, _, _ = _read_indf(sim_dir / "tpu.warn.indF")
+    assert tot_t == pytest.approx(tot_r, rel=1e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=2e-3)
