@@ -109,7 +109,7 @@ def init_state(gl, freq0, indF0, alpha0) -> EMState:
     jax.jit,
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
-        "block_size", "numerics",
+        "block_size", "numerics", "n_rep",
     ),
 )
 def em_iteration(
@@ -124,6 +124,7 @@ def em_iteration(
     block_size: Optional[int] = None,
     numerics: str = "log",
     gl_tiles=None,
+    n_rep: int = 1,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -149,13 +150,28 @@ def em_iteration(
     gl_tiles: (pallas mode) ops.maf_pallas.prepare_gl_tiles(exp(gl)),
     cached by the caller across iterations (gl is constant); routes the
     freq M-step through the VMEM-resident est_maf kernel.
+
+    n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
+    individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
+    (shared), state.indF/alpha/ind_lkl are [R*N], state.e_prob/p_ibd are
+    [S, R*N, ..] with column r*N+i = (replicate r, individual i), and
+    state.freq is [R, S]. The per-individual work (HMM kernels, batched
+    L-BFGS) is replicate-oblivious on the widened lane axis; only the
+    per-site freq M-step segments by replicate. stats.fwbw_maxdiff is
+    then [R]. Requires freq_est in (0, 1) and e_prob_calc == 1.
     """
     N = gl.shape[1]
     S = gl.shape[0]
+    # the state's column count: N, or R*N with flattened replicates
+    NC = state.indF.shape[0]
     dtype = gl.dtype
     if numerics not in ("log", "linear", "pallas"):
         raise ValueError(
             f"numerics must be 'log', 'linear' or 'pallas', got {numerics!r}"
+        )
+    if n_rep > 1 and (freq_est not in (0, 1) or e_prob_calc != 1):
+        raise NotImplementedError(
+            "flattened replicates support freq_est 0/1 with e_prob_calc 1"
         )
     use_pallas = numerics == "pallas"
     if block_size == "auto":
@@ -193,7 +209,12 @@ def em_iteration(
         )
     p_ibd = check_interv(p_raw)
     ind_lkl = ll_f
-    fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b))
+    if n_rep > 1:
+        fwbw_maxdiff = jnp.max(
+            jnp.abs(ll_f - ll_b).reshape(n_rep, -1), axis=1
+        )
+    else:
+        fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b))
     if axis_name is not None:
         fwbw_maxdiff = jax.lax.pmax(fwbw_maxdiff, axis_name)
 
@@ -206,15 +227,17 @@ def em_iteration(
         x0 = jnp.stack([state.indF, state.alpha], axis=-1)
         lo = jnp.stack(
             [
-                state.indF if indF_fixed else jnp.full((N,), F_MIN, dtype),
-                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MIN, dtype),
+                state.indF if indF_fixed else jnp.full((NC,), F_MIN, dtype),
+                state.alpha if alpha_fixed
+                else jnp.full((NC,), ALPHA_MIN, dtype),
             ],
             axis=-1,
         )
         hi = jnp.stack(
             [
-                state.indF if indF_fixed else jnp.full((N,), F_MAX, dtype),
-                state.alpha if alpha_fixed else jnp.full((N,), ALPHA_MAX, dtype),
+                state.indF if indF_fixed else jnp.full((NC,), F_MAX, dtype),
+                state.alpha if alpha_fixed
+                else jnp.full((NC,), ALPHA_MAX, dtype),
             ],
             axis=-1,
         )
@@ -281,6 +304,21 @@ def em_iteration(
         # Emissions frozen too: the recompute lives inside the freq-est
         # branch (SURVEY.md §3.6e).
         freq, e_prob = state.freq, state.e_prob
+    elif n_rep > 1:
+        # Flattened replicates: per-replicate est_maf fixed points over
+        # the SHARED gl (vmap closes over gl so it is not materialised
+        # R times), then per-replicate emissions re-flattened to lanes.
+        gl_lin = jnp.exp(gl)
+        p_r = jnp.transpose(
+            p_ibd.reshape(S, n_rep, N), (1, 0, 2)
+        )  # [R, S, N]
+        freq = jax.vmap(lambda p: est_maf(gl_lin, p, linear=True))(p_r)
+        e_r = jax.vmap(
+            lambda f: emission_probs_linear(gl_lin, f[:, None])
+        )(freq)  # [R, S, N, 2]
+        e_prob = jnp.log(
+            jnp.transpose(e_r, (1, 0, 2, 3)).reshape(S, n_rep * N, 2)
+        )
     elif freq_est == 1:
         fast = linear or use_pallas
         if fast:

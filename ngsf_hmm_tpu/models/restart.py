@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..io.gsl_rng import GslTaus
 from ..io.init import init_freq, init_indF_alpha
-from .em import EMOptions, EMResult, em_iteration, init_state
+from .em import EMOptions, EMResult, EMState, em_iteration, init_state
 from .hmm import viterbi
 
 
@@ -85,25 +85,72 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
     R = states.indF.shape[0]
     N = gl.shape[1]
 
-    if opts.numerics == "pallas":
-        # Pallas kernels don't vmap over the replicate axis; the XLA
-        # linear kernels are the replicate-batched speed path.
+    if opts.numerics == "pallas" and not (
+        opts.freq_est in (0, 1) and opts.e_prob_calc == 1
+    ):
+        # The LD/quirk modes have no flattened-replicate form; the XLA
+        # linear kernels are the replicate-batched path there.
         opts = dataclasses.replace(opts, numerics="linear",
                                    block_size=opts.block_size or "auto")
 
-    vstep = jax.vmap(
-        lambda st: em_iteration(
-            gl,
-            dist,
-            st,
-            freq_est=opts.freq_est,
-            e_prob_calc=opts.e_prob_calc,
-            indF_fixed=opts.indF_fixed,
-            alpha_fixed=opts.alpha_fixed,
-            block_size=opts.block_size,
-            numerics=opts.numerics,
+    if opts.numerics == "pallas":
+        # Pallas kernels don't vmap over a replicate axis; instead the
+        # (replicate, individual) pair IS the lane axis: one flattened
+        # em_iteration advances all R replicates in the same kernel
+        # launches (em_iteration's n_rep contract).
+        S = gl.shape[0]
+
+        @jax.jit
+        def vstep(st):
+            flat = EMState(
+                freq=st.freq,
+                indF=st.indF.reshape(R * N),
+                alpha=st.alpha.reshape(R * N),
+                e_prob=jnp.transpose(st.e_prob, (1, 0, 2, 3)).reshape(
+                    S, R * N, 2
+                ),
+                p_ibd=jnp.transpose(st.p_ibd, (1, 0, 2)).reshape(S, R * N),
+                ind_lkl=st.ind_lkl.reshape(R * N),
+            )
+            f2, stats = em_iteration(
+                gl,
+                dist,
+                flat,
+                freq_est=opts.freq_est,
+                e_prob_calc=opts.e_prob_calc,
+                indF_fixed=opts.indF_fixed,
+                alpha_fixed=opts.alpha_fixed,
+                block_size=opts.block_size,
+                numerics="pallas",
+                n_rep=R,
+            )
+            st2 = EMState(
+                freq=f2.freq,
+                indF=f2.indF.reshape(R, N),
+                alpha=f2.alpha.reshape(R, N),
+                e_prob=jnp.transpose(
+                    f2.e_prob.reshape(S, R, N, 2), (1, 0, 2, 3)
+                ),
+                p_ibd=jnp.transpose(f2.p_ibd.reshape(S, R, N), (1, 0, 2)),
+                ind_lkl=f2.ind_lkl.reshape(R, N),
+            )
+            return st2, stats
+    else:
+        vstep = jax.jit(
+            jax.vmap(
+                lambda st: em_iteration(
+                    gl,
+                    dist,
+                    st,
+                    freq_est=opts.freq_est,
+                    e_prob_calc=opts.e_prob_calc,
+                    indF_fixed=opts.indF_fixed,
+                    alpha_fixed=opts.alpha_fixed,
+                    block_size=opts.block_size,
+                    numerics=opts.numerics,
+                )
+            )
         )
-    )
 
     def step(st, active):
         st2, stats = vstep(st)

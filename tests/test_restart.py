@@ -94,3 +94,35 @@ def test_restart_cli_flag(sim, tmp_path, monkeypatch):
         if line.startswith("Replicate")
     )
     assert first == pytest.approx(best, abs=1e-4)
+
+
+def test_restarts_pallas_matches_linear(sim):
+    """The flattened-replicate pallas path (em_iteration n_rep contract)
+    must agree with the vmapped linear path replicate-by-replicate."""
+    gl, dist = sim
+    R, seed = 3, 17
+    opts_lin = EMOptions(min_iters=2, max_iters=6, min_epsilon=1e-4,
+                         numerics="linear", block_size="auto")
+    opts_pal = EMOptions(min_iters=2, max_iters=6, min_epsilon=1e-4,
+                         numerics="pallas")
+
+    gl32 = gl.astype(jnp.float32)
+    states = stack_restart_states(gl32, R, seed)
+    r_lin = run_em_restarts(gl32, jnp.asarray(dist, jnp.float32), states,
+                            opts_lin)
+    r_pal = run_em_restarts(gl32, jnp.asarray(dist, jnp.float32), states,
+                            opts_pal)
+
+    np.testing.assert_allclose(r_pal.rep_lkl, r_lin.rep_lkl, rtol=2e-5)
+    np.testing.assert_array_equal(r_pal.rep_iters, r_lin.rep_iters)
+    # argmax can flip between numerics paths when replicates converge to
+    # the same optimum; the winning LIKELIHOOD must agree regardless
+    assert r_pal.best.tot_lkl == pytest.approx(r_lin.best.tot_lkl, rel=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_pal.best.state.indF),
+        np.asarray(r_lin.best.state.indF), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal.best.state.freq),
+        np.asarray(r_lin.best.state.freq), atol=2e-4,
+    )
