@@ -174,6 +174,76 @@ int ngsf_read_geno_binary(const char *path, uint64_t n_ind, uint64_t n_sites,
   return 0;
 }
 
+// Slab variant for multi-host loading: reads only sites
+// [site_off, site_off+site_cnt) x individuals [ind_off, ind_off+ind_cnt)
+// into out[site_cnt][ind_cnt][3].  The file's total size is still
+// validated (fseek to end), so a bad n_sites/n_ind fails on every host;
+// per-site reads fseek when the individual range is a strict subset and
+// fall back to one bulk fread for full-width slabs.  Each host of a
+// (ind|site)-sharded mesh loads exactly its shard -- the host-sharded GL
+// loading SURVEY.md §5.8 calls for (reference loads everything on one
+// host, read_data.cpp:83-99).
+int ngsf_read_geno_binary_slab(const char *path, uint64_t n_ind,
+                               uint64_t n_sites, uint64_t site_off,
+                               uint64_t site_cnt, uint64_t ind_off,
+                               uint64_t ind_cnt, int log_scale, double *out,
+                               char *err, size_t errlen) {
+  if (site_off + site_cnt > n_sites || ind_off + ind_cnt > n_ind) {
+    set_err(err, errlen, "slab out of range");
+    return 9;
+  }
+  FILE *f = fopen(path, "rb");
+  if (!f) {
+    set_err(err, errlen, std::string("cannot open ") + path);
+    return 1;
+  }
+  // whole-file size check (the full reader's EOF check, slab-safe)
+  const uint64_t bytes_total = n_sites * n_ind * N_GENO * sizeof(double);
+  fseeko(f, 0, SEEK_END);
+  if ((uint64_t)ftello(f) != bytes_total) {
+    set_err(err, errlen, "invalid/corrupt genotype input file!");
+    fclose(f);
+    return 2;
+  }
+  const uint64_t row = ind_cnt * N_GENO;
+  bool ok = true;
+  if (ind_cnt == n_ind) {
+    fseeko(f, (off_t)(site_off * n_ind * N_GENO * sizeof(double)), SEEK_SET);
+    ok = fread(out, sizeof(double), site_cnt * row, f) == site_cnt * row;
+  } else {
+    for (uint64_t s = 0; ok && s < site_cnt; ++s) {
+      fseeko(f,
+             (off_t)(((site_off + s) * n_ind + ind_off) * N_GENO *
+                     sizeof(double)),
+             SEEK_SET);
+      ok = fread(out + s * row, sizeof(double), row, f) == row;
+    }
+  }
+  fclose(f);
+  if (!ok) {
+    set_err(err, errlen, "invalid/corrupt genotype input file!");
+    return 2;
+  }
+  bool nan_found = false;
+  for (uint64_t i = 0; i < site_cnt * row; i += N_GENO) {
+    double *g = out + i;
+    if (!log_scale) {
+      for (int k = 0; k < N_GENO; ++k) {
+        g[k] = std::log(g[k]);
+        if (std::isinf(g[k]) && g[k] < 0) g[k] = -BIG;
+      }
+    }
+    normalise_log3(g);
+    if (std::isnan(g[0]) || std::isnan(g[1]) || std::isnan(g[2]))
+      nan_found = true;
+  }
+  if (nan_found) {
+    set_err(err, errlen, "NaN found! Is the file format correct?");
+    return 3;
+  }
+  return 0;
+}
+
 // Gzip/plain text: called genotypes {-1,0,1,2} (probs=0) or 3 fields per
 // individual (probs=1; log_scale per --loglkl). Keeps the LAST
 // n_ind*n_geno numeric tokens per line (read_data.cpp:77-81).
@@ -239,6 +309,92 @@ int ngsf_read_geno_text(const char *path, uint64_t n_ind, uint64_t n_sites,
     ++s;
   }
   if (s != n_sites) {
+    set_err(err, errlen, "GENO file at premature EOF. Check number of sites!");
+    return 8;
+  }
+  return 0;
+}
+
+// Text slab reader (multi-host loading): decompresses and tokenises every
+// line up to the end of the slab (gzip has no random access) but stores
+// only sites [site_off, site_off+site_cnt) x individuals
+// [ind_off, ind_off+ind_cnt).  Stops right after the slab unless the slab
+// reaches the last site, in which case the tail is scanned so the
+// "not at EOF" check still fires on the host that owns the end of the
+// file; header/width errors fire on every host.
+int ngsf_read_geno_text_slab(const char *path, uint64_t n_ind,
+                             uint64_t n_sites, uint64_t site_off,
+                             uint64_t site_cnt, uint64_t ind_off,
+                             uint64_t ind_cnt, int probs, int log_scale,
+                             double *out, char *err, size_t errlen) {
+  if (site_off + site_cnt > n_sites || ind_off + ind_cnt > n_ind) {
+    set_err(err, errlen, "slab out of range");
+    return 9;
+  }
+  GzLines lines(path);
+  if (!lines.ok()) {
+    set_err(err, errlen, std::string("cannot open ") + path);
+    return 1;
+  }
+  const uint64_t n_geno = probs ? N_GENO : 1;
+  const uint64_t want = n_ind * n_geno;
+  const bool owns_tail = site_off + site_cnt == n_sites;
+  std::vector<double> toks;
+  toks.reserve(want + 16);
+  uint64_t s = 0;
+  char *line;
+  size_t len;
+  while (lines.next(&line, &len)) {
+    if (len == 0) continue;
+    numeric_tokens(line, &toks);
+    if (toks.empty() || (s == 0 && toks.size() < want)) {
+      if (s != 0) {
+        set_err(err, errlen, "header found but not on first line");
+        return 4;
+      }
+      continue;  // header
+    }
+    if (toks.size() < want) {
+      set_err(err, errlen,
+              "wrong GENO file format. Less fields than expected!");
+      return 5;
+    }
+    if (s >= n_sites) {
+      set_err(err, errlen, "GENO file not at EOF. Check number of sites!");
+      return 6;
+    }
+    if (s >= site_off && s < site_off + site_cnt) {
+      const double *row =
+          toks.data() + (toks.size() - want) + ind_off * n_geno;
+      double *site = out + (s - site_off) * ind_cnt * N_GENO;
+      if (probs) {
+        for (uint64_t i = 0; i < ind_cnt * N_GENO; ++i)
+          site[i] = log_scale ? row[i] : std::log(row[i]);
+      } else {
+        for (uint64_t i = 0; i < ind_cnt; ++i) {
+          double *g = site + i * N_GENO;
+          int call = (int)row[i];
+          if (call > 2) {
+            set_err(err, errlen,
+                    "wrong GENO file format. Genotypes must be coded as "
+                    "{-1,0,1,2}!");
+            return 7;
+          }
+          if (call < 0) {
+            g[0] = g[1] = g[2] = std::log(1.0 / N_GENO);
+          } else {
+            g[0] = g[1] = g[2] = -BIG;
+            g[call] = 0.0;
+          }
+        }
+      }
+      for (uint64_t i = 0; i < ind_cnt; ++i)
+        normalise_log3(site + i * N_GENO);
+    }
+    ++s;
+    if (!owns_tail && s >= site_off + site_cnt) return 0;
+  }
+  if (s < site_off + site_cnt) {
     set_err(err, errlen, "GENO file at premature EOF. Check number of sites!");
     return 8;
   }

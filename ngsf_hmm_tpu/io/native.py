@@ -56,8 +56,15 @@ def _load():
             ctypes.c_size_t]
         lib.ngsf_read_pos_dist.argtypes = [
             ctypes.c_char_p, u64, dptr, ctypes.c_char_p, ctypes.c_size_t]
+        lib.ngsf_read_geno_binary_slab.argtypes = [
+            ctypes.c_char_p, u64, u64, u64, u64, u64, u64, i32, dptr,
+            ctypes.c_char_p, ctypes.c_size_t]
+        lib.ngsf_read_geno_text_slab.argtypes = [
+            ctypes.c_char_p, u64, u64, u64, u64, u64, u64, i32, i32, dptr,
+            ctypes.c_char_p, ctypes.c_size_t]
         for f in (lib.ngsf_read_geno_binary, lib.ngsf_read_geno_text,
-                  lib.ngsf_read_pos_dist):
+                  lib.ngsf_read_pos_dist, lib.ngsf_read_geno_binary_slab,
+                  lib.ngsf_read_geno_text_slab):
             f.restype = i32
         _lib = lib
         return _lib
@@ -87,6 +94,27 @@ def read_geno_text(path, n_ind, n_sites, probs, log_scale):
     out = np.empty((n_sites, n_ind, 3), dtype=np.float64)
     _call(lib.ngsf_read_geno_text, os.fsencode(path), n_ind, n_sites,
           int(probs), int(log_scale), out)
+    return out
+
+
+def read_geno_binary_slab(path, n_ind, n_sites, log_scale,
+                          site_off, site_cnt, ind_off, ind_cnt):
+    """Slab read for multi-host loading: sites [site_off, site_off+site_cnt)
+    x individuals [ind_off, ind_off+ind_cnt) -> [site_cnt, ind_cnt, 3]."""
+    lib = _load()
+    out = np.empty((site_cnt, ind_cnt, 3), dtype=np.float64)
+    _call(lib.ngsf_read_geno_binary_slab, os.fsencode(path), n_ind, n_sites,
+          site_off, site_cnt, ind_off, ind_cnt, int(log_scale), out)
+    return out
+
+
+def read_geno_text_slab(path, n_ind, n_sites, probs, log_scale,
+                        site_off, site_cnt, ind_off, ind_cnt):
+    lib = _load()
+    out = np.empty((site_cnt, ind_cnt, 3), dtype=np.float64)
+    _call(lib.ngsf_read_geno_text_slab, os.fsencode(path), n_ind, n_sites,
+          site_off, site_cnt, ind_off, ind_cnt, int(probs), int(log_scale),
+          out)
     return out
 
 

@@ -185,6 +185,35 @@ def read_geno(path, n_ind, n_sites, binary=False, probs=False, log_scale=False):
     return _normalise_log(gl)
 
 
+def read_geno_slab(path, n_ind, n_sites, site_slab, ind_slab,
+                   binary=False, probs=False, log_scale=False):
+    """Slab read for multi-host loading: only sites
+    [site_slab[0], site_slab[0]+site_slab[1]) x individuals
+    [ind_slab[0], ind_slab[0]+ind_slab[1]) -> [site_cnt, ind_cnt, 3].
+
+    Each process of a distributed run loads exactly its shard of the GL
+    matrix (SURVEY.md §5.8's host-sharded loading; the reference loads
+    the full matrix on one host, read_data.cpp:83-99). The native core
+    fseeks binary slabs / line-skips text; without it the fallback reads
+    the whole file and slices (correct, not memory-lean).
+    """
+    from . import native
+
+    so, sc = map(int, site_slab)
+    io_, ic = map(int, ind_slab)
+    if so + sc > n_sites or io_ + ic > n_ind:
+        raise ValueError("slab out of range")
+    if native.available():
+        if binary:
+            return native.read_geno_binary_slab(
+                path, n_ind, n_sites, log_scale, so, sc, io_, ic)
+        return native.read_geno_text_slab(
+            path, n_ind, n_sites, probs, log_scale, so, sc, io_, ic)
+    full = read_geno(path, n_ind, n_sites, binary=binary, probs=probs,
+                     log_scale=log_scale)
+    return np.ascontiguousarray(full[so:so + sc, io_:io_ + ic])
+
+
 def sniff_binary(path, n_ind, n_sites):
     """Suffix + file-size sniff for binary inputs (ngsF-HMM.cpp:47-63)."""
     if path.endswith(".gz"):

@@ -105,6 +105,66 @@ def test_text_called_genotypes_parity(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-14)
 
 
+def test_binary_slab_parity(tmp_path):
+    """Slab reads (multi-host loading) must equal the full read sliced,
+    for every corner: interior slab, full-width, full-height, 1x1."""
+    S, N = 37, 6
+    gl = RNG.random((S, N, 3)) + 1e-6
+    p = tmp_path / "slab.bin"
+    gl.astype("<f8").tofile(p)
+    full = native.read_geno_binary(str(p), N, S, log_scale=False)
+    for (so, sc, io_, ic) in [(5, 11, 2, 3), (0, S, 1, 4), (10, 7, 0, N),
+                              (S - 1, 1, N - 1, 1), (0, S, 0, N)]:
+        slab = native.read_geno_binary_slab(
+            str(p), N, S, False, so, sc, io_, ic)
+        np.testing.assert_array_equal(slab, full[so:so + sc, io_:io_ + ic])
+    with pytest.raises(ValueError, match="slab out of range"):
+        native.read_geno_binary_slab(str(p), N, S, False, 30, 10, 0, N)
+    # wrong n_sites: the whole-file size check fires even for a tiny slab
+    with pytest.raises(ValueError, match="invalid/corrupt"):
+        native.read_geno_binary_slab(str(p), N, S + 1, False, 0, 1, 0, 1)
+
+
+def test_text_slab_parity(tmp_path):
+    S, N = 29, 4
+    gl = RNG.random((S, N, 3)) + 1e-6
+    rows = ["marker\tallele1\tallele2\t" + "\t".join(
+        f"Ind{i}" for i in range(N * 3))]
+    for s in range(S):
+        rows.append(f"chr1_{s + 1}\t0\t1\t"
+                    + "\t".join(f"{x:.6f}" for x in gl[s].ravel()))
+    p = tmp_path / "slab.gz"
+    _write_text(p, rows)
+    full = native.read_geno_text(str(p), N, S, probs=True, log_scale=False)
+    for (so, sc, io_, ic) in [(3, 9, 1, 2), (0, S, 0, N), (S - 4, 4, 2, 2)]:
+        slab = native.read_geno_text_slab(
+            str(p), N, S, True, False, so, sc, io_, ic)
+        np.testing.assert_array_equal(slab, full[so:so + sc, io_:io_ + ic])
+    # called-genotype flavour too
+    g = RNG.integers(-1, 3, size=(S, N))
+    q = tmp_path / "slabg.gz"
+    _write_text(q, ["\t".join(str(x) for x in g[s]) for s in range(S)])
+    fullg = native.read_geno_text(str(q), N, S, probs=False, log_scale=False)
+    slabg = native.read_geno_text_slab(
+        str(q), N, S, False, False, 7, 12, 1, 2)
+    np.testing.assert_array_equal(slabg, fullg[7:19, 1:3])
+    # tail-owning slab still detects a short file
+    with pytest.raises(ValueError, match="premature EOF"):
+        native.read_geno_text_slab(
+            str(q), N, S + 3, False, False, S, 3, 0, N)
+
+
+def test_read_geno_slab_dispatch(tmp_path):
+    """readers.read_geno_slab: NumPy fallback slice == native slab."""
+    S, N = 16, 3
+    gl = RNG.random((S, N, 3)) + 1e-6
+    p = tmp_path / "d.bin"
+    gl.astype("<f8").tofile(p)
+    a = readers.read_geno_slab(str(p), N, S, (4, 8), (1, 2), binary=True)
+    b = native.read_geno_binary_slab(str(p), N, S, False, 4, 8, 1, 2)
+    np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-14)
+
+
 def test_pos_parity(tmp_path):
     rows = ["chr\tpos"]  # header (pos field parses to 0? no -> non-numeric)
     pos = np.sort(RNG.choice(np.arange(1, 10_000), 20, replace=False))
