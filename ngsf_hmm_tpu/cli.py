@@ -66,6 +66,15 @@ _OPTIONS = [
     # shorthand. Shards the full EM run (convergence loop + Viterbi +
     # outputs) over a jax.sharding.Mesh of that shape.
     ("mesh", True, None),
+    # multi-host runs (parallel/distributed.py): every participating
+    # process runs the SAME command line plus its own --proc_id;
+    # process 0 also hosts the coordination service at --coordinator
+    # host:port. Requires --mesh (the (restart, ind) layouts); each
+    # process reads only its slab of the GL matrix (native slab readers)
+    # and only process 0 writes stdout/output files.
+    ("coordinator", True, None),
+    ("n_procs", True, None),
+    ("proc_id", True, None),
     # tracing/profiling (SURVEY.md S5.1): dump a JAX profiler trace of the
     # EM loop to DIR (view with TensorBoard / xprof). The reference's
     # equivalent is its verbose>=3 per-phase wall-clock timers
@@ -121,7 +130,8 @@ def _apply_opt(pars, opt, val):
         pars["log_bin"] = True
     elif opt in ("n_ind", "n_sites", "freq_est", "e_prob", "log",
                  "min_iters", "max_iters", "n_threads", "verbose", "seed",
-                 "n_rep", "stream_chunk", "checkpoint_every"):
+                 "n_rep", "stream_chunk", "checkpoint_every", "n_procs",
+                 "proc_id"):
         pars[opt] = _atoi(val)
     elif opt == "min_epsilon":
         pars[opt] = _atof(val)
@@ -167,6 +177,9 @@ def parse_args(argv):
         "profile": None,
         "stream_chunk": 0,
         "mesh": None,
+        "coordinator": None,
+        "n_procs": 1,
+        "proc_id": 0,
     }
     short_map = {s: (name, has) for name, has, s in _OPTIONS if s}
     longs = [(name, has) for name, has, _ in _OPTIONS]
@@ -299,6 +312,12 @@ def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
     p = parse_args(argv)
+    if p["coordinator"] is not None and p["proc_id"] != 0:
+        # one stdout stream per run: non-zero processes run the same host
+        # program silently (and skip the file writers, see write_outputs)
+        import os as _os
+
+        sys.stdout = open(_os.devnull, "w")
     if p["verbose"] >= 1:
         _echo_args(p)
     if p["verbose"] >= 4:
@@ -319,16 +338,85 @@ def main(argv=None):
         jax.config.update("jax_platforms", p["device"])
     if p["dtype"] == "float64":
         jax.config.update("jax_enable_x64", True)
+
+    # ---- multi-host: join the coordination service before any backend
+    # use (parallel/distributed.py; SURVEY.md §5.8)
+    distributed_run = p["coordinator"] is not None
+    dist_pid = p["proc_id"]
+    if distributed_run:
+        from .parallel import distributed as dist_mod
+
+        if p["mesh"] is None:
+            error("main", "--coordinator requires --mesh")
+        if p["n_rep"] > 1:
+            error("main", "--coordinator does not support --n_rep (shard "
+                          "replicates within one host or run one process "
+                          "per replicate)")
+        if p["stream_chunk"]:
+            error("main", "--coordinator does not compose with "
+                          "--stream_chunk")
+        if p["n_procs"] < 1 or not (0 <= dist_pid < p["n_procs"]):
+            error("main", "--proc_id must be in [0, --n_procs)")
+        try:
+            dist_mod.initialize(p["coordinator"], p["n_procs"], dist_pid)
+        except Exception as e:  # noqa: BLE001 - surface as reference error
+            error("main", f"jax.distributed init failed: {e}")
     import jax.numpy as jnp
 
     from .io import readers
     from .io.gsl_rng import GslTaus
     from .io.init import init_freq, init_indF_alpha
     from .io.writers import write_geno, write_ibd, write_indF
-    from .models.em import EMOptions, init_state, run_em
+    from .models.em import EMOptions, EMState, init_state, run_em
     from .ops.hwe import call_geno as call_geno_op
 
     dtype = jnp.float64 if p["dtype"] == "float64" else jnp.float32
+
+    mesh_spec = None
+    if p["mesh"]:
+        from .parallel.driver import parse_mesh_spec
+
+        try:
+            mesh_spec = parse_mesh_spec(p["mesh"])
+        except ValueError as e:
+            error("main", str(e))
+        if p["stream_chunk"] and (
+            mesh_spec["restart"] > 1 or mesh_spec["site"] > 1
+        ):
+            error(
+                "main",
+                "--stream_chunk composes with ind-only meshes "
+                "(--mesh ind=K): the site axis is streamed, restart "
+                "replicates are incompatible with streaming",
+            )
+
+    # ---- multi-host input layout: each process reads only its slab of
+    # the GL matrix (the ind-axis range its devices own on the mesh)
+    gmesh = None
+    ind_slab = None
+    if distributed_run:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        from .parallel.mesh import make_mesh
+
+        if mesh_spec["site"] > 1:
+            error("main", "--coordinator requires a (restart, ind) mesh "
+                          "(site sharding is single-process)")
+        n_need = mesh_spec["restart"] * mesh_spec["ind"]
+        if n_need > len(jax.devices()):
+            error("main", f"mesh needs {n_need} devices, have "
+                          f"{len(jax.devices())} across {p['n_procs']} "
+                          "processes")
+        gmesh = make_mesh(mesh_spec["restart"], mesh_spec["ind"],
+                          devices=jax.devices()[:n_need])
+        _gl_sh = NamedSharding(gmesh, _P(None, "ind", None))
+        try:
+            ind_slab = dist_mod.axis_slab(
+                _gl_sh, (p["n_sites"], p["n_ind"], 3), 1
+            )
+        except ValueError as e:
+            error("main", str(e))
 
     # ---- sniff input format (ngsF-HMM.cpp:47-63)
     try:
@@ -357,25 +445,57 @@ def main(argv=None):
     if p["verbose"] >= 1:
         print("> GENO data")
     try:
-        gl = readers.read_geno(
-            p["geno"],
-            p["n_ind"],
-            p["n_sites"],
-            binary=in_bin,
-            probs=p["lkl"],
-            log_scale=p["loglkl"],
-        )
+        if ind_slab is not None:
+            gl = readers.read_geno_slab(
+                p["geno"],
+                p["n_ind"],
+                p["n_sites"],
+                (0, p["n_sites"]),
+                ind_slab,
+                binary=in_bin,
+                probs=p["lkl"],
+                log_scale=p["loglkl"],
+            )
+        else:
+            gl = readers.read_geno(
+                p["geno"],
+                p["n_ind"],
+                p["n_sites"],
+                binary=in_bin,
+                probs=p["lkl"],
+                log_scale=p["loglkl"],
+            )
     except ValueError as e:
         error("read_geno", str(e))
 
-    gl_j = jnp.asarray(gl, dtype=dtype)
-    if p["call_geno"]:
-        gl_j = call_geno_op(gl_j)
-    # always re-normalise (ngsF-HMM.cpp:116)
     from .ops.hwe import post_prob
 
-    gl_j = post_prob(gl_j, None)
-    dist_j = jnp.asarray(dist, dtype=dtype)
+    if distributed_run:
+        # assemble the global [S, N, 3] array from the per-host slabs and
+        # process it on-device (sharding-preserving elementwise ops);
+        # no host ever holds the full matrix
+        gl_g = dist_mod.global_from_slab(
+            _gl_sh, gl.astype(np.dtype(dtype)),
+            (p["n_sites"], p["n_ind"], 3),
+        )
+
+        def _process(g):
+            if p["call_geno"]:
+                g = call_geno_op(g)
+            return post_prob(g, None)  # re-normalise (ngsF-HMM.cpp:116)
+
+        gl_j = jax.jit(_process, out_shardings=_gl_sh)(gl_g)
+        dist_j = jax.device_put(
+            np.asarray(dist, np.dtype(dtype)),
+            NamedSharding(gmesh, _P()),
+        )
+    else:
+        gl_j = jnp.asarray(gl, dtype=dtype)
+        if p["call_geno"]:
+            gl_j = call_geno_op(gl_j)
+        # always re-normalise (ngsF-HMM.cpp:116)
+        gl_j = post_prob(gl_j, None)
+        dist_j = jnp.asarray(dist, dtype=dtype)
 
     # ---- init output values (parse_args.cpp:229-419)
     if p["verbose"] >= 6:
@@ -419,14 +539,51 @@ def main(argv=None):
         # single-run init (incl. the freq 'e' est_maf pass and the
         # [S, N, 2] emission build) is only done here
         try:
-            freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
+            if distributed_run and fspec == "e":
+                # est_maf over the globally-sharded GLs: jitted so the
+                # cross-host ind-axis sums become collectives, gathered
+                # so every process sees the same full freq vector
+                from .ops.maf import est_maf
+
+                freq0 = dist_mod.host_array(
+                    jax.jit(
+                        lambda g: est_maf(
+                            g, jnp.zeros(g.shape[:2], g.dtype)
+                        ),
+                        out_shardings=NamedSharding(gmesh, _P()),
+                    )(gl_j)
+                )
+            else:
+                freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
         except ValueError as e:
             error("init_output", str(e))
         if p["verbose"] >= 1:
             print("==> Calculating initial emission probabilities")
-        state = init_state(gl_j, jnp.asarray(freq0, dtype=dtype),
-                           jnp.asarray(indF0, dtype=dtype),
-                           jnp.asarray(alpha0, dtype=dtype))
+        if distributed_run:
+            # global state with the canonical mesh shardings: small
+            # vectors device_put from (identical) host copies, the big
+            # [S, N, *] fields computed on-device from the sharded GLs
+            from .parallel.mesh import data_specs
+
+            _, _, stspec = data_specs(False)
+            out_sh = EMState(
+                **{k: NamedSharding(gmesh, v) for k, v in stspec.items()}
+            )
+            rep_sh = NamedSharding(gmesh, _P())
+            ind_sh = NamedSharding(gmesh, _P("ind"))
+            freq_g = jax.device_put(
+                np.asarray(freq0, np.dtype(dtype)), rep_sh)
+            indF_g = jax.device_put(
+                np.asarray(indF0, np.dtype(dtype)), ind_sh)
+            alpha_g = jax.device_put(
+                np.asarray(alpha0, np.dtype(dtype)), ind_sh)
+            state = jax.jit(init_state, out_shardings=out_sh)(
+                gl_j, freq_g, indF_g, alpha_g
+            )
+        else:
+            state = init_state(gl_j, jnp.asarray(freq0, dtype=dtype),
+                               jnp.asarray(indF0, dtype=dtype),
+                               jnp.asarray(alpha0, dtype=dtype))
 
     # ---- EM (EM.cpp:27-135)
     if p["kernel"] not in ("scan", "blocked", "linear", "pallas"):
@@ -451,9 +608,23 @@ def main(argv=None):
         print("".join(f"\t{f:.6f}" for f in freq0))
 
     def write_outputs(st, tot, path_states):
-        S, N = gl.shape[0], gl.shape[1]
+        S, N = p["n_sites"], p["n_ind"]
         if path_states is None:
             path_states = np.zeros((S, N), dtype=np.int8)
+        if distributed_run:
+            # st is already a gathered host state (driver.adapt_state);
+            # the GLs for .geno need the collective gather on EVERY
+            # process (it is an allgather), then only process 0 writes
+            gl_out = dist_mod.host_array(gl_j)
+            if dist_pid != 0:
+                return
+            write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
+                       np.asarray(st.alpha), np.asarray(st.freq))
+            write_ibd(p["out"] + ".ibd", np.asarray(st.ind_lkl),
+                      path_states, np.asarray(st.p_ibd))
+            write_geno(p["out"] + ".geno", gl_out.astype(np.float64),
+                       np.asarray(st.freq, dtype=np.float64), path_states)
+            return
         write_indF(
             p["out"] + ".indF", tot, np.asarray(st.indF), np.asarray(st.alpha),
             np.asarray(st.freq),
@@ -580,37 +751,26 @@ def main(argv=None):
                 )
 
         def ckpt_cb(n_iter, st, bk):
-            if n_iter % p["checkpoint_every"] == 0:
+            # distributed runs: st arrives pre-gathered (driver
+            # adapt_state's collective), only process 0 touches disk
+            if n_iter % p["checkpoint_every"] == 0 and (
+                not distributed_run or dist_pid == 0
+            ):
                 save_checkpoint(
                     p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]}
                 )
 
 
-    mesh_spec = None
-    if p["mesh"]:
-        from .parallel.driver import parse_mesh_spec
-
-        try:
-            mesh_spec = parse_mesh_spec(p["mesh"])
-        except ValueError as e:
-            error("main", str(e))
-        if p["stream_chunk"]:
-            error(
-                "main",
-                "--mesh does not compose with --stream_chunk "
-                "(stream within one chip OR shard across chips)",
-            )
-        if p["verbose"] >= 1:
-            import jax as _jax
-
-            n_need = (
-                mesh_spec["restart"] * mesh_spec["ind"] * mesh_spec["site"]
-            )
-            print(
-                f"==> Mesh run: restart={mesh_spec['restart']} x "
-                f"ind={mesh_spec['ind']} x site={mesh_spec['site']} "
-                f"({n_need} of {len(_jax.devices())} devices)"
-            )
+    if mesh_spec is not None and p["verbose"] >= 1:
+        n_need = (
+            mesh_spec["restart"] * mesh_spec["ind"] * mesh_spec["site"]
+        )
+        procs = f" across {p['n_procs']} processes" if distributed_run else ""
+        print(
+            f"==> Mesh run: restart={mesh_spec['restart']} x "
+            f"ind={mesh_spec['ind']} x site={mesh_spec['site']} "
+            f"({n_need} of {len(jax.devices())} devices{procs})"
+        )
 
     from .utils.signals import catch_sig
 
@@ -635,12 +795,29 @@ def main(argv=None):
         from .io.writers import write_geno_streamed
         from .models.streaming import StreamingEM, streaming_viterbi
 
+        stream_mesh = None
+        if mesh_spec is not None:
+            from .parallel.mesh import make_mesh
+
+            n_need = mesh_spec["ind"]
+            if n_need > len(jax.devices()):
+                error("main", f"mesh needs {n_need} devices, have "
+                              f"{len(jax.devices())}")
+            stream_mesh = make_mesh(
+                1, n_need, devices=jax.devices()[:n_need]
+            )
         if p["verbose"] >= 1:
-            print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk)")
+            extra = (
+                f", ind sharded {mesh_spec['ind']}-way"
+                if stream_mesh is not None else ""
+            )
+            print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk"
+                  f"{extra})")
         # the PROCESSED likelihoods (post --call_geno + renormalisation),
         # exactly what the monolithic path trains on
         gl_host = np.asarray(gl_j, np.float64)
-        se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"])
+        se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"],
+                         mesh=stream_mesh)
         S_, N_ = gl_host.shape[0], gl_host.shape[1]
         p_ibd = np.zeros((S_, N_), np.float32)
 

@@ -320,15 +320,51 @@ class StreamingEM:
     chunk_sites: sites per device chunk (last chunk may be short but is
         padded to the same shape so every pass reuses ONE compiled
         kernel per function).
+    mesh: optional (restart=1, ind) jax.sharding.Mesh -- each streamed
+        chunk is placed with individuals sharded across the mesh, so the
+        50M-site x 5000-ind BASELINE config streams host chunks through
+        MANY chips at once (SURVEY.md §5.8 composition). Individuals are
+        independent in the chain, so the only collective is the psum
+        GSPMD inserts for est_maf's cross-individual accumulator sums in
+        the chunk-local freq M-step; everything the host assembles
+        (2x2 transfer products, carries) is per-individual and tiny.
+        The mesh's ind axis must divide N.
     """
 
-    def __init__(self, gl, dist, chunk_sites=1 << 20):
+    def __init__(self, gl, dist, chunk_sites=1 << 20, mesh=None):
         self.gl = gl
         self.S, self.N = gl.shape[0], gl.shape[1]
         self.dist = np.asarray(dist, np.float64)
         self.cs = int(min(chunk_sites, self.S))
         self.C = -(-self.S // self.cs)
         self.bs = pick_block_size(self.cs)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_sh = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                if a == "ind"]))
+            if self.N % max(n_sh, 1) != 0:
+                raise ValueError(
+                    f"n_ind {self.N} not divisible by mesh ind axis {n_sh}"
+                )
+            self._sh = {
+                # chunk-shaped [cs, ...] arrays: ind on axis 1
+                "gl": NamedSharding(mesh, P(None, "ind", None)),
+                # per-individual vectors/stacks: ind on the LAST axis
+                # ([N], [K, N]) or first-of-two ([N, 2])
+                "ind": NamedSharding(mesh, P("ind")),
+                "kind": NamedSharding(mesh, P(None, "ind")),
+                "ind2": NamedSharding(mesh, P("ind", None)),
+                "rep": NamedSharding(mesh, P()),
+            }
+
+    def _put(self, x, kind, dtype=None):
+        """Device placement: sharded onto the mesh, or plain asarray."""
+        x = jnp.asarray(x, dtype)
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, self._sh[kind])
 
     def _chunk(self, c):
         """Padded chunk c: (gl_c [cs, N, 3] f32, freq slice idx, dist_c)."""
@@ -356,13 +392,14 @@ class StreamingEM:
         K = Fs.shape[0]
         Ts = np.empty((K, self.C, self.N, 2, 2), np.float32)
         ss = np.empty((K, self.C, self.N), np.float32)
-        F_d = jnp.asarray(Fs, jnp.float32)
-        a_d = jnp.asarray(alphas, jnp.float32)
+        F_d = self._put(Fs, "kind", jnp.float32)
+        a_d = self._put(alphas, "kind", jnp.float32)
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
             T, s = _chunk_transfer_multi(
-                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
             )
             Ts[:, c] = np.asarray(T)
             ss[:, c] = np.asarray(s)
@@ -378,13 +415,14 @@ class StreamingEM:
         ds_F = np.empty((C, N), np.float32)
         dT_a = np.empty((C, N, 2, 2), np.float32)
         ds_a = np.empty((C, N), np.float32)
-        F_d = jnp.asarray(F, jnp.float32)
-        a_d = jnp.asarray(alpha, jnp.float32)
+        F_d = self._put(F, "ind", jnp.float32)
+        a_d = self._put(alpha, "ind", jnp.float32)
         for c in range(C):
             gl_c, lo, hi, d_c = self._chunk(c)
             out = _chunk_transfer_grad(
-                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
             )
             for dst, src in zip((Ts, ss, dT_F, ds_F, dT_a, ds_a), out):
                 dst[c] = np.asarray(src)
@@ -393,13 +431,14 @@ class StreamingEM:
     def _transfers(self, freq, F, alpha):
         Ts = np.empty((self.C, self.N, 2, 2), np.float32)
         ss = np.empty((self.C, self.N), np.float32)
-        F_d = jnp.asarray(F, jnp.float32)
-        a_d = jnp.asarray(alpha, jnp.float32)
+        F_d = self._put(F, "ind", jnp.float32)
+        a_d = self._put(alpha, "ind", jnp.float32)
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
             T, s = _chunk_transfer(
-                jnp.asarray(gl_c), jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                jnp.asarray(d_c), F_d, a_d, self.bs, hi - lo,
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
             )
             Ts[c] = np.asarray(T)
             ss[c] = np.asarray(s)
@@ -416,17 +455,17 @@ class StreamingEM:
         fwbw = float(np.abs(ll_f - ll_b).max())
 
         # ---- pass B: posteriors + chunk-local freq M-step
-        F_d = jnp.asarray(F, jnp.float32)
-        a_d = jnp.asarray(alpha, jnp.float32)
+        F_d = self._put(F, "ind", jnp.float32)
+        a_d = self._put(alpha, "ind", jnp.float32)
         new_freq = freq.copy()
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
             p_c, f_c = _chunk_estep(
-                jnp.asarray(gl_c),
-                jnp.asarray(self._freq_chunk(freq, lo, hi)),
-                jnp.asarray(d_c), F_d, a_d,
-                jnp.asarray(v0[c], jnp.float32),
-                jnp.asarray(wT[c], jnp.float32),
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d,
+                self._put(v0[c], "ind2", jnp.float32),
+                self._put(wT[c], "ind2", jnp.float32),
                 self.bs, self.cs, hi - lo,
             )
             if opts.freq_est == 1:
@@ -614,14 +653,15 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
     Returns path_out ([S, N] int8; allocated if None)."""
     if path_out is None:
         path_out = np.empty((se.S, se.N), np.int8)
-    F32 = jnp.asarray(F, jnp.float32)
-    a32 = jnp.asarray(alpha, jnp.float32)
+    F32 = se._put(F, "ind", jnp.float32)
+    a32 = se._put(alpha, "ind", jnp.float32)
     Vs = np.empty((se.C, se.N, 2, 2), np.float32)
     for c in range(se.C):
         gl_c, lo, hi, d_c = se._chunk(c)
         V = _chunk_maxplus(
-            jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
-            jnp.asarray(d_c), F32, a32, hi - lo, compat,
+            se._put(gl_c, "gl"),
+            se._put(se._freq_chunk(freq, lo, hi), "rep"),
+            se._put(d_c, "rep"), F32, a32, hi - lo, compat,
         )
         Vs[c] = np.asarray(V)
     entries, exits = _maxplus_chain(Vs, np.asarray(F, np.float64))
@@ -629,13 +669,14 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
         # emissions-only recompute (no second max-plus scan)
         gl_c, lo, hi, d_c = se._chunk(c)
         e_log = _chunk_elog(
-            jnp.asarray(gl_c), jnp.asarray(se._freq_chunk(freq, lo, hi)),
+            se._put(gl_c, "gl"),
+            se._put(se._freq_chunk(freq, lo, hi), "rep"),
             hi - lo,
         )
         path_c = _chunk_viterbi(
-            e_log, jnp.asarray(d_c), F32, a32,
-            jnp.asarray(entries[c], jnp.float32),
-            jnp.asarray(exits[c]), compat,
+            e_log, se._put(d_c, "rep"), F32, a32,
+            se._put(entries[c], "ind2", jnp.float32),
+            se._put(exits[c], "ind"), compat,
         )
         path_out[lo:hi] = np.asarray(path_c)[: hi - lo]
     return path_out

@@ -1,0 +1,107 @@
+"""Multi-host (DCN) substrate: process init, host-sharded loading, gathers.
+
+The reference is strictly single-host (one process, a pthread pool,
+EM.cpp:151-159). Scaling past one host here follows SURVEY.md §5.8's
+design: `jax.distributed` turns N processes x local chips into one
+global device mesh; every process runs the SAME host program (the
+convergence loop stays in lockstep because every control decision is
+made from fully-replicated values); XLA inserts the cross-host
+collectives (the est_maf psum over "ind" rides DCN).
+
+Host-sharded loading: each process reads only its slab of the GL matrix
+(io.readers.read_geno_slab -> native fseek/line-skip readers) and the
+global array is assembled with `jax.make_array_from_process_local_data`
+-- no host ever materialises the full [S, N, 3] matrix, which is what
+makes the 5000 x 50M BASELINE config loadable at all.
+
+Supported multi-process meshes: (restart, ind) -- the data-parallel
+layout whose only collective is a psum (cheap over DCN). Site-sharded
+meshes keep their boundary-carry exchanges on ICI within a host and are
+single-process for now (a clear error otherwise).
+
+Validated by tests/test_distributed.py: 2 gloo-backed CPU processes x 4
+virtual devices run the full CLI to convergence and match the
+single-process engine bit-for-bit on the same config.
+"""
+
+import numpy as np
+import jax
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int):
+    """Join (or start, for process 0) the distributed coordination
+    service. On CPU backends the gloo collectives implementation is
+    selected so cross-host psums work without TPU ICI."""
+    import jax._src.xla_bridge as xb  # backend must not be initialised yet
+
+    if xb._backends:
+        raise RuntimeError(
+            "jax backend already initialised; --coordinator must be "
+            "processed before any device use"
+        )
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 - older jax: gloo is the default
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def axis_slab(sharding, global_shape, axis):
+    """The contiguous [off, off+cnt) range of `axis` owned by this
+    process's addressable devices under `sharding`.
+
+    Raises if the local indices are not one contiguous range (would mean
+    a device order that interleaves processes along the axis -- never
+    the case for meshes built from jax.devices(), which is process-major).
+    """
+    idxmap = sharding.addressable_devices_indices_map(tuple(global_shape))
+    n = global_shape[axis]
+    ranges = sorted(
+        {
+            (sl[axis].start or 0,
+             sl[axis].stop if sl[axis].stop is not None else n)
+            for sl in idxmap.values()
+        }
+    )
+    lo = ranges[0][0]
+    hi = ranges[0][1]
+    for a, b in ranges[1:]:
+        if a > hi:
+            raise ValueError(
+                f"process-local indices along axis {axis} are not "
+                f"contiguous: {ranges}"
+            )
+        hi = max(hi, b)
+    return int(lo), int(hi - lo)
+
+
+def global_from_slab(sharding, slab, global_shape):
+    """Assemble a global jax.Array from this process's local slab
+    (the block axis_slab says it owns, all other axes full)."""
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(slab), tuple(global_shape)
+    )
+
+
+def host_array(x):
+    """A full host copy of a (possibly multi-process) jax.Array.
+
+    Single-process / fully-addressable / fully-replicated arrays convert
+    directly; cross-process sharded arrays are allgathered first (the
+    convergence loop's control values and the final writers need full
+    views on every process so the host programs stay in lockstep).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if not x.is_fully_replicated:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..models.driver import convergence_loop
 from ..models.em import EMOptions, EMResult, EMState
 from ..models.restart import RestartResult
+from .distributed import host_array
 from .mesh import make_mesh
 from .sharded_em import (
     make_sharded_em_step,
@@ -189,12 +190,23 @@ def run_em_sharded(
             "the LD path (freq_est/e_prob 2) is not implemented on "
             "meshes; use the single-chip engine"
         )
+    # Multi-process runs (jax.distributed) arrive with inputs already
+    # assembled as global arrays from per-host slabs
+    # (parallel/distributed.global_from_slab); site meshes keep their
+    # boundary-carry exchange single-process (ICI-only by design).
+    presharded = isinstance(gl, jax.Array) and not gl.is_fully_addressable
+    if jax.process_count() > 1 and s > 1:
+        raise NotImplementedError(
+            "site-sharded meshes are single-process; use the (restart, "
+            "ind) mesh across hosts"
+        )
 
     S_pad = -(-S // s) * s  # site axis pads to a shard multiple
     compat = opts.viterbi_compat
 
     if s == 1:
-        mesh = make_mesh(r, i, devices=devices)
+        mesh = gl.sharding.mesh if presharded \
+            else make_mesh(r, i, devices=devices)
         step_fn = make_sharded_em_step(
             mesh,
             freq_est=opts.freq_est,
@@ -208,9 +220,12 @@ def run_em_sharded(
         vit_fn = make_sharded_viterbi(
             mesh, compat=compat, with_restart=with_restart
         )
-        gl_d, dist_d, state_d = shard_inputs(
-            mesh, gl, dist, state, with_restart=with_restart
-        )
+        if presharded:
+            gl_d, dist_d, state_d = gl, dist, state
+        else:
+            gl_d, dist_d, state_d = shard_inputs(
+                mesh, gl, dist, state, with_restart=with_restart
+            )
     else:
         wdt = _work_dtype_for(opts)
         S_total = S if S_pad != S else None
@@ -244,7 +259,7 @@ def run_em_sharded(
 
     def step(st, active):
         st2, stats = step_fn(gl_d, dist_d, st)
-        return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
+        return st2, host_array(st2.ind_lkl), host_array(stats.fwbw_maxdiff)
 
     def freeze(new_st, old_st, active):
         mask = jnp.asarray(active)
@@ -257,7 +272,7 @@ def run_em_sharded(
 
     def adapt_state(st):
         """Gathered, unpadded host view for callbacks/results."""
-        host = EMState(*(np.asarray(x) for x in st))
+        host = EMState(*(host_array(x) for x in st))
         if S_pad != S:
             host = EMState(
                 freq=host.freq[..., :S],
@@ -292,7 +307,7 @@ def run_em_sharded(
 
     # ---- final sharded Viterbi decode (EM.cpp:110-116)
     path_d = vit_fn(state_d.e_prob, dist_d, state_d.indF, state_d.alpha)
-    path = np.asarray(path_d)
+    path = host_array(path_d)
     final = adapt_state(state_d)
 
     if with_restart:

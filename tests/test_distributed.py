@@ -1,0 +1,136 @@
+"""Multi-host substrate (parallel/distributed.py): a real 2-process run.
+
+Spawns two CLI processes joined through jax.distributed (gloo CPU
+collectives, 4 virtual devices each -> one 8-device global mesh) and
+checks the full run -- slab loading, sharded EM to convergence, sharded
+Viterbi, process-0-only writers -- against the single-process engine on
+the same inputs.  This is the dryrun SURVEY.md §5.8 calls for: the same
+program scales to multi-host TPU pods by changing only --coordinator /
+--n_procs / --proc_id.
+"""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _sim(tmp_path):
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    out = tmp_path / "sim"
+    simulate(n_ind=8, n_sites=200, freq="0.25", site_pos="r", indF="0.3",
+             alpha="0.05", seed=29, out=str(out), depth="4")
+    return out
+
+
+def _cli_args(sim, out, extra):
+    return [
+        sys.executable, "-m", "ngsf_hmm_tpu",
+        "--geno", f"{sim}.glf.gz", "--loglkl", "--pos", f"{sim}.pos.gz",
+        "--n_ind", "8", "--n_sites", "200", "--freq", "0.2",
+        "--indF", "0.2,0.05", "--seed", "7", "--min_iters", "5",
+        "--max_iters", "20", "--min_epsilon", "1e-6",
+        "--device", "cpu", "--mesh", "ind=8", "--out", str(out),
+    ] + extra
+
+
+def _env(n_local_devices):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["NGSF_NO_NATIVE"] = env.get("NGSF_NO_NATIVE", "0")
+    return env
+
+
+def test_two_process_run_matches_single(tmp_path):
+    sim = _sim(tmp_path)
+
+    # single-process baseline on the same 8-wide ind mesh
+    r = subprocess.run(
+        _cli_args(sim, tmp_path / "single", []),
+        env=_env(8), capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _cli_args(sim, tmp_path / "multi", [
+                "--coordinator", f"localhost:{port}",
+                "--n_procs", "2", "--proc_id", str(pid),
+            ]),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pr.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+
+    # process 1 stays silent and writes nothing; process 0 writes all
+    # (gloo itself prints connection chatter on stdout -- not ours)
+    assert "Done!" in outs[0][1]
+    p1_lines = [
+        ln for ln in outs[1][1].splitlines()
+        if ln.strip() and "[Gloo]" not in ln and "peer ranks" not in ln
+    ]
+    assert p1_lines == []
+
+    for ext in (".indF", ".ibd"):
+        single = (tmp_path / "single").with_suffix(ext).read_text()
+        multi = (tmp_path / "multi").with_suffix(ext).read_text()
+        ts, tm = single.split(), multi.split()
+        assert len(ts) == len(tm), ext
+        for x, y in zip(ts, tm):
+            try:
+                fx = float(x.replace("NA", "nan"))
+                fy = float(y.replace("NA", "nan"))
+            except ValueError:
+                assert x == y, ext  # non-numeric tokens (path strings)
+                continue
+            np.testing.assert_allclose(fy, fx, rtol=1e-8, atol=1e-10,
+                                       err_msg=ext)
+    g_s = np.fromfile(tmp_path / "single.geno")
+    g_m = np.fromfile(tmp_path / "multi.geno")
+    np.testing.assert_allclose(g_m, g_s, rtol=1e-8, atol=1e-10)
+
+
+def test_axis_slab_and_global_from_slab():
+    """axis_slab on a single-process sharding covers the full axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ngsf_hmm_tpu.parallel.distributed import axis_slab, host_array
+    from ngsf_hmm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 8)
+    sh = NamedSharding(mesh, P(None, "ind", None))
+    off, cnt = axis_slab(sh, (16, 8, 3), 1)
+    assert (off, cnt) == (0, 8)
+    x = np.arange(16 * 8 * 3, dtype=np.float64).reshape(16, 8, 3)
+    g = jax.device_put(x, sh)
+    np.testing.assert_array_equal(host_array(g), x)

@@ -181,3 +181,100 @@ def test_streaming_exact_resume(data, tmp_path):
     assert res[4] == full[4]  # same total iteration count
     for got, want in zip(res[:4], full[:4]):
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_ind_sharded_matches_unsharded(data):
+    """Streaming x ind-sharding composition (SURVEY.md §5.8): the same
+    streamed run with every chunk sharded over a 5-device ("ind",) mesh
+    must reproduce the single-device streamed run (est_maf's cross-ind
+    sums become psums; everything else is per-individual)."""
+    import jax
+
+    from ngsf_hmm_tpu.models.streaming import streaming_viterbi
+    from ngsf_hmm_tpu.parallel.mesh import make_mesh
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    opts = EMOptions(min_iters=3, max_iters=6, min_epsilon=1e-4)
+
+    se1 = StreamingEM(gl, dist, chunk_sites=300)
+    r1 = se1.run(freq0, F0, a0, opts)
+
+    mesh = make_mesh(1, N, devices=jax.devices()[:N])
+    se2 = StreamingEM(gl, dist, chunk_sites=300, mesh=mesh)
+    r2 = se2.run(freq0, F0, a0, opts)
+
+    freq1, F1, a1, ll1, it1 = r1
+    freq2, F2, a2, ll2, it2 = r2
+    assert it2 == it1
+    np.testing.assert_allclose(ll2, ll1, rtol=1e-6)
+    np.testing.assert_allclose(freq2, freq1, atol=1e-6)
+    np.testing.assert_allclose(F2, F1, atol=1e-5)
+    np.testing.assert_allclose(a2, a1, atol=1e-5)
+
+    p1 = streaming_viterbi(se1, freq1, F1, a1)
+    p2 = streaming_viterbi(se2, freq2, F2, a2)
+    np.testing.assert_array_equal(p2, p1)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        StreamingEM(gl, dist, chunk_sites=300,
+                    mesh=make_mesh(1, 4, devices=jax.devices()[:4]))
+
+
+def test_streaming_mesh_cli(data, tmp_path, monkeypatch):
+    """--stream_chunk + --mesh ind=K from the product surface."""
+    import contextlib
+    import io
+    import os
+
+    from ngsf_hmm_tpu.tools.simulate import simulate
+    from ngsf_hmm_tpu.cli import main
+
+    d = tmp_path
+    simulate(n_ind=8, n_sites=400, freq="0.2", site_pos="r", indF="0.4",
+             alpha="0.05", depth="2", seed=31, out=str(d / "sim"))
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    args = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 8 "
+        "--n_sites 400 --freq 0.2 --indF 0.3,0.05 --seed 5 "
+        "--min_iters 3 --max_iters 8 --min_epsilon 1e-4 "
+        "--stream_chunk 150 "
+    )
+    try:
+        os.chdir(d)
+        with contextlib.redirect_stdout(buf):
+            rc = main((args + "--mesh ind=8 --out sm").split())
+        assert rc == 0
+        with contextlib.redirect_stdout(io.StringIO()):
+            rc = main((args + "--out s1").split())
+        assert rc == 0
+    finally:
+        os.chdir(cwd)
+    assert "ind sharded 8-way" in buf.getvalue()
+    # f32 psum reduction order differs across shards and the L-BFGS
+    # endpoint amplifies it (same tolerance class as
+    # test_streaming_matches_monolithic); non-numeric tokens (path
+    # strings, "0.1/0.9" pairs) must match exactly
+    def _tok_close(x, y, ext):
+        try:
+            fx = float(x.replace("NA", "nan"))
+            fy = float(y.replace("NA", "nan"))
+        except ValueError:
+            assert x == y, ext
+            return
+        np.testing.assert_allclose(fx, fy, rtol=1e-4, atol=2e-3,
+                                   err_msg=ext)
+
+    for ext in (".indF", ".ibd"):
+        ta = (d / ("sm" + ext)).read_text().split()
+        tb = (d / ("s1" + ext)).read_text().split()
+        assert len(ta) == len(tb), ext
+        for x, y in zip(ta, tb):
+            _tok_close(x, y, ext)
+    ga = np.fromfile(d / "sm.geno")
+    gb = np.fromfile(d / "s1.geno")
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=2e-3)
