@@ -25,8 +25,8 @@ validated for correctness against the monolithic engine on small data
 (tests/test_streaming.py) -- the tunnel's h2d makes large-scale timing
 meaningless in this environment.
 
-The host L-BFGS mirrors models/lbfgsb.py's semantics (projected two-loop
-recursion, backtracking-ladder Armijo, same PGTOL/FACTR stops) in NumPy.
+The (F, alpha) M-step reuses models/lbfgsb.py's single algorithm core
+through its NumPy/Python-loop backend (lbfgsb_minimize_host).
 """
 
 import numpy as np
@@ -45,7 +45,7 @@ from .hmm_blocked import (
     pick_block_size,
     posteriors_blocked_lin,
 )
-from .lbfgsb import EPS_MACH, FACTR, LS_LADDER, MVAL, PGTOL
+from .lbfgsb import lbfgsb_minimize_host
 
 
 # ---------------------------------------------------------------------------
@@ -204,106 +204,6 @@ def _grad_from_transfers(Ts, dT_F, ds_F, dT_a, ds_a, v0, wT):
             X = np.einsum("nkl,nl->nk", T, w)
             gF += (X[:, 1] - X[:, 0]) / np.einsum("nk,nk->n", v0[0], X)
     return gF, ga
-
-
-# ---------------------------------------------------------------------------
-# host L-BFGS (mirror of models/lbfgsb.py semantics, NumPy)
-# ---------------------------------------------------------------------------
-
-
-def _host_lbfgsb(value_and_grad, fun, x0, lower, upper, m=MVAL,
-                 max_iters=60, pgtol=PGTOL, factr=FACTR, fun_multi=None):
-    if fun_multi is None:
-        fun_multi = lambda cands: np.stack([fun(c) for c in cands])
-    x = np.clip(x0, lower, upper)
-    f, g = value_and_grad(x)
-    pairs = []  # (s, y) history, oldest first
-
-    def proj(z):
-        return np.clip(z, lower, upper)
-
-    def pg_norm(z, gz):
-        return np.abs(proj(z - gz) - z).max(-1)
-
-    active = pg_norm(x, g) > pgtol
-    it = 0
-    while active.any() and it < max_iters:
-        frozen = ((x <= lower) & (g > 0)) | ((x >= upper) & (g < 0))
-        q = np.where(frozen, 0.0, g)
-        # two-loop recursion over stored pairs
-        alphas = []
-        d = q.copy()
-        for s_v, y_v in reversed(pairs):
-            sy = (s_v * y_v).sum(-1)
-            rho = np.where(sy > 1e-12, 1.0 / np.where(sy == 0, 1, sy), 0.0)
-            a = rho * (s_v * d).sum(-1)
-            d = d - a[:, None] * y_v
-            alphas.append((a, rho))
-        if pairs:
-            s_n, y_n = pairs[-1]
-            yy = (y_n * y_n).sum(-1)
-            sy = (s_n * y_n).sum(-1)
-            gamma = np.where((yy > 1e-12) & (sy > 1e-12),
-                             sy / np.where(yy == 0, 1, yy), 1.0)
-            d = np.clip(gamma, 1e-8, 1e8)[:, None] * d
-        for (a, rho), (s_v, y_v) in zip(reversed(alphas), pairs):
-            b = rho * (y_v * d).sum(-1)
-            d = d + (a - b)[:, None] * s_v
-        d = np.where(frozen, 0.0, -d)
-        descent = (d * q).sum(-1) < 0
-        d = np.where(descent[:, None], d, -q)
-
-        # backtracking ladder: all rungs evaluated in ONE fun_multi call
-        # (for the streamed objective that is one data pass per round,
-        # not LS_LADDER passes); largest accepted t per row wins
-        ladder = 2.0 ** -np.arange(LS_LADDER)
-        x_new, f_new = x.copy(), f.copy()
-        need = active.copy()
-        scale = np.ones(x.shape[0])
-        while need.any():
-            cands = np.stack([
-                proj(x + (scale * t)[:, None] * d) for t in ladder
-            ])  # [K, B, n]
-            fcs = fun_multi(cands)  # [K, B]
-            accepted = np.zeros_like(need)
-            for k in range(len(ladder)):
-                cand, fc = cands[k], fcs[k]
-                dec = (g * (cand - x)).sum(-1)
-                ok = (
-                    (fc <= f + 1e-4 * dec)
-                    & np.any(cand != x, -1)
-                    & np.isfinite(fc)
-                    & need & ~accepted
-                )
-                x_new = np.where(ok[:, None], cand, x_new)
-                f_new = np.where(ok, fc, f_new)
-                accepted |= ok
-            need &= ~accepted
-            scale = np.where(need, scale * ladder[-1] * 0.5, scale)
-            need &= scale > 1e-12
-
-        f2, g2 = value_and_grad(x_new)
-        x_new = np.where(active[:, None], x_new, x)
-        f2 = np.where(active, f2, f)
-        g2 = np.where(active[:, None], g2, g)
-        s_v, y_v = x_new - x, g2 - g
-        # store per-ROW like lbfgsb.py: rows without positive curvature
-        # get zeroed pairs (rho = 0 in the two-loop; gamma falls back to
-        # 1 instead of clipping a negative estimate)
-        good = ((s_v * y_v).sum(-1) > 1e-12)[:, None]
-        if good.any():
-            pairs.append((np.where(good, s_v, 0.0), np.where(good, y_v, 0.0)))
-            if len(pairs) > m:
-                pairs.pop(0)
-        small = pg_norm(x_new, g2) <= pgtol
-        rel = (f - f2) <= factr * EPS_MACH * np.maximum(
-            np.maximum(np.abs(f), np.abs(f2)), 1.0
-        )
-        no_move = np.all(s_v == 0, -1)
-        active = active & ~small & ~(rel | no_move)
-        x, f, g = x_new, f2, g2
-        it += 1
-    return x, f, it
 
 
 # ---------------------------------------------------------------------------
@@ -517,8 +417,10 @@ class StreamingEM:
                 return -llx, -np.stack([gF, ga], -1)
 
             x0 = np.clip(np.stack([F, alpha], -1), lo_b, hi_b)
-            x_opt, _, _ = _host_lbfgsb(vag, fun, x0, lo_b, hi_b,
-                                       fun_multi=fun_multi)
+            x_opt, _, _ = lbfgsb_minimize_host(
+                fun, x0, lo_b, hi_b, value_and_grad=vag,
+                fun_multi=fun_multi,
+            )
             F, alpha = x_opt[:, 0], x_opt[:, 1]
 
         return new_freq, F, alpha, ll_f, fwbw
