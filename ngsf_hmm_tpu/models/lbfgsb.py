@@ -7,16 +7,20 @@ shared/bfgs.cpp:83-138, MVAL=10 / FACTR=1e6 / PGTOL=1e-3 at bfgs.h:23-25).
 
 TPU-native redesign: ALL individuals are optimised simultaneously by one
 projected L-BFGS whose state carries a batch axis -- every line-search
-probe is a single batched objective evaluation (one HMM scan over all
-individuals), and gradients come from autodiff instead of 2n extra forward
-passes. Individuals converge independently via masking.
+probe is a single batched value-and-grad evaluation (one HMM pass over all
+individuals), and gradients come from the analytic Fisher-identity form
+instead of 2n extra forward passes. Individuals converge independently via
+masking. The full step t = 1 is probed first (it is usually accepted, so
+one pass per outer iteration covers both the search and the next
+gradient); rejections backtrack by safeguarded quadratic interpolation.
 
 Algorithmic notes vs upstream L-BFGS-B: this uses gradient projection with
-an active-set-masked two-loop recursion and a projected-path backtracking
-Armijo search rather than the exact generalized-Cauchy-point + subspace
-minimisation of Byrd/Lu/Nocedal/Zhu; stopping criteria (projected-gradient
-inf-norm <= pgtol, relative f-decrease <= factr * eps_mach) match. For
-n=2 smooth problems both converge to the same box-constrained optimum.
+an active-set-masked two-loop recursion and a projected-path Armijo
+backtracking search (quadratic interpolation, Nocedal & Wright 3.5) rather
+than the exact generalized-Cauchy-point + subspace minimisation of
+Byrd/Lu/Nocedal/Zhu; stopping criteria (projected-gradient inf-norm <=
+pgtol, relative f-decrease <= factr * eps_mach) match. For n=2 smooth
+problems both converge to the same box-constrained optimum.
 
 Fixed parameters (--indF_fixed / --alpha_fixed) are expressed exactly as
 the reference does -- by pinning lower == upper == x0 (EM.cpp:429-436).
@@ -41,7 +45,6 @@ PGTOL = 1e-3
 EPS_MACH = 2.220446049250313e-16
 MAX_LS = 25
 ARMIJO_C1 = 1e-4
-LS_LADDER = 8  # step sizes probed per (batched) line-search evaluation
 
 
 class _State(NamedTuple):
@@ -113,7 +116,6 @@ def _lbfgsb_core(
     pgtol: float,
     factr: float,
     value_and_grad: Callable,
-    fun_multi: Callable,
 ):
     """Backend-agnostic projected L-BFGS. See `lbfgsb_minimize` for the
     argument contract; `xp` is numpy or jax.numpy, `while_loop` is
@@ -159,46 +161,63 @@ def _lbfgsb_core(
         descent = xp.sum(d * g_eff, axis=-1) < 0
         d = xp.where(descent[:, None], d, -g_eff)
 
-        # Projected-path backtracking Armijo search, whole ladders of
-        # candidate steps per objective call: round r probes
-        # t = scale * {1, 1/2, ..., 2^(1-K)} for every row at once and
-        # keeps each row's LARGEST accepted t (identical accept test and
-        # order as one-at-a-time halving). For streamed objectives each
-        # round is ONE data pass, not LS_LADDER passes.
-        ladder = 2.0 ** -xp.arange(LS_LADDER, dtype=dtype)  # [K]
+        # Armijo backtracking where EVERY probe is one batched
+        # value-and-grad evaluation (one data pass): the full step t = 1
+        # is probed first -- a well-scaled L-BFGS direction passes at
+        # t = 1 in the vast majority of iterations, making that single
+        # pass the whole line search AND the next iteration's gradient.
+        # Rows that reject backtrack by safeguarded quadratic
+        # interpolation (Nocedal & Wright 3.5: minimise the parabola
+        # through phi(0) = f, phi'(0) = g.d, phi(t) = f_t; clip into
+        # [0.1 t, 0.5 t]), which typically lands an acceptable step in
+        # 1-2 extra passes instead of a fixed halving ladder.
+        gd0 = xp.sum(g_eff * d, axis=-1)  # phi'(0), < 0 on descent
 
-        def ls_round(ls):
-            scale, f_try, x_try, need = ls
-            ts = scale[None, :] * ladder[:, None]  # [K, B]
-            x_cand = proj(st.x[None] + ts[:, :, None] * d[None])  # [K,B,n]
-            f_cand = fun_multi(x_cand)  # [K, B]
-            dec = xp.sum(st.g[None] * (x_cand - st.x[None]), axis=-1)
-            moved = xp.any(x_cand != st.x[None], axis=-1)
+        def probe(t):
+            x_c = proj(st.x + t[:, None] * d)
+            f_c, g_c = value_and_grad(x_c)
+            dec = xp.sum(st.g * (x_c - st.x), axis=-1)
+            moved = xp.any(x_c != st.x, axis=-1)
             ok = (
-                (f_cand <= st.f[None] + ARMIJO_C1 * dec)
-                & moved
-                & xp.isfinite(f_cand)
-            )  # [K, B]
-            any_ok = xp.any(ok, axis=0)
-            first = xp.argmax(ok, axis=0)  # largest accepted t (K-order)
-            f_sel = xp.take_along_axis(f_cand, first[None], axis=0)[0]
-            x_sel = xp.take_along_axis(
-                x_cand, first[None, :, None], axis=0
-            )[0]
-            acc = need & any_ok
-            f_try = xp.where(acc, f_sel, f_try)
-            x_try = xp.where(acc[:, None], x_sel, x_try)
-            still = need & ~any_ok
-            scale = xp.where(still, scale * ladder[-1] * 0.5, scale)
-            still = still & (scale > 1e-12)
-            return (scale, f_try, x_try, still)
+                (f_c <= st.f + ARMIJO_C1 * dec) & moved & xp.isfinite(f_c)
+            )
+            return x_c, f_c, g_c, ok
 
-        ls0 = (xp.ones((B,), dtype), st.f, st.x, st.active)
-        _, f_new, x_new, _ = while_loop(
-            lambda ls: xp.any(ls[3]), ls_round, ls0
+        t1 = xp.ones((B,), dtype)
+        x_sp, f_sp, g_sp, ok_sp = probe(t1)
+        acc0 = st.active & ok_sp
+        need0 = st.active & ~ok_sp
+
+        def bt_round(ls):
+            t, f_t, x_new, f_new, g_new, need = ls
+            # quadratic-fit minimiser, safeguarded into [0.1 t, 0.5 t]
+            denom = 2.0 * (f_t - st.f - gd0 * t)
+            t_q = xp.where(
+                denom > 0.0,
+                -gd0 * t * t / xp.where(denom == 0.0, 1.0, denom),
+                0.5 * t,
+            )
+            t_new = xp.clip(t_q, 0.1 * t, 0.5 * t)
+            t_new = xp.where(xp.isfinite(t_new), t_new, 0.5 * t)
+            x_c, f_c, g_c, ok = probe(t_new)
+            newly = need & ok
+            x_new = xp.where(newly[:, None], x_c, x_new)
+            f_new = xp.where(newly, f_c, f_new)
+            g_new = xp.where(newly[:, None], g_c, g_new)
+            need = need & ~ok & (t_new > 1e-12)
+            return (t_new, f_c, x_new, f_new, g_new, need)
+
+        bt0 = (
+            t1,
+            f_sp,
+            xp.where(acc0[:, None], x_sp, st.x),
+            xp.where(acc0, f_sp, st.f),
+            xp.where(acc0[:, None], g_sp, st.g),
+            need0,
         )
-
-        f_new2, g_new = value_and_grad(x_new)
+        _, _, x_new, f_new, g_new, _ = while_loop(
+            lambda ls: xp.any(ls[5]), bt_round, bt0
+        )
         # keep previous values for inactive rows
         x_new = xp.where(st.active[:, None], x_new, st.x)
         f_new = xp.where(st.active, f_new, st.f)
@@ -249,22 +268,20 @@ def lbfgsb_minimize(
     x0, lower, upper: [B, n]
     value_and_grad: optional x -> (f [B], g [B, n]) override; supply an
         analytic gradient (e.g. hmm.loglik_value_and_grad) when reverse-
-        mode through the objective is expensive.
-    fun_multi: optional x [K, B, n] -> f [K, B] evaluating K step-size
-        candidates at once (defaults to vmap(fun)); one such call probes
-        a whole backtracking ladder, collapsing the line-search loop to
-        ~1 sequential objective evaluation.
+        mode through the objective is expensive. Every line-search probe
+        is one value-and-grad evaluation (speculative full step +
+        interpolated backtracking), so there is no separate value-only
+        path; `fun_multi` is accepted for backward compatibility and
+        ignored.
     Returns (x_opt [B, n], f_opt [B], n_outer_iters).
     """
+    del fun_multi
     if value_and_grad is None:
 
         def value_and_grad(x):
             f, vjp = jax.vjp(fun, x)
             (g,) = vjp(jnp.ones_like(f))
             return f, g
-
-    if fun_multi is None:
-        fun_multi = jax.vmap(fun)
 
     return _lbfgsb_core(
         jnp,
@@ -279,7 +296,6 @@ def lbfgsb_minimize(
         pgtol,
         factr,
         value_and_grad,
-        fun_multi,
     )
 
 
@@ -303,11 +319,12 @@ def lbfgsb_minimize_host(
 ):
     """NumPy/Python-loop backend of the SAME algorithm, for host-streamed
     objectives that cannot be traced (models/streaming.py). `fun` may be
-    None when both value_and_grad and fun_multi are supplied."""
+    None when value_and_grad is supplied; `fun_multi` is accepted for
+    backward compatibility and ignored (every probe is one
+    value-and-grad pass)."""
+    del fun_multi
     if value_and_grad is None:
         raise ValueError("host backend needs an explicit value_and_grad")
-    if fun_multi is None:
-        fun_multi = lambda cands: np.stack([fun(c) for c in cands])
 
     x0 = np.asarray(x0)
     return _lbfgsb_core(
@@ -323,5 +340,4 @@ def lbfgsb_minimize_host(
         pgtol,
         factr,
         value_and_grad,
-        fun_multi,
     )

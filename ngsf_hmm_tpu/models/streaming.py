@@ -286,25 +286,6 @@ class StreamingEM:
             f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
         return f
 
-    def _transfers_multi(self, freq, Fs, alphas):
-        """[K, N] parameter candidates -> (Ts [K, C, N, 2, 2], ss [K, C, N])
-        in ONE stream over the data."""
-        K = Fs.shape[0]
-        Ts = np.empty((K, self.C, self.N, 2, 2), np.float32)
-        ss = np.empty((K, self.C, self.N), np.float32)
-        F_d = self._put(Fs, "kind", jnp.float32)
-        a_d = self._put(alphas, "kind", jnp.float32)
-        for c in range(self.C):
-            gl_c, lo, hi, d_c = self._chunk(c)
-            T, s = _chunk_transfer_multi(
-                self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
-            )
-            Ts[:, c] = np.asarray(T)
-            ss[:, c] = np.asarray(s)
-        return Ts, ss
-
     def _transfers_grad(self, freq, F, alpha):
         """ONE stream -> per-chunk transfers + parameter tangents
         (the fused objective+gradient pass of the streamed L-BFGS)."""
@@ -386,24 +367,6 @@ class StreamingEM:
             if opts.alpha_fixed:
                 lo_b[:, 1] = hi_b[:, 1] = alpha
 
-            def fun(x):
-                Tx, sx = self._transfers(freq, x[:, 0], x[:, 1])
-                _, _, llx, _ = _assemble_chain(Tx, sx, x[:, 0])
-                return -llx
-
-            def fun_multi(cands):  # [K, B, n] -> [K, B]
-                K = cands.shape[0]
-                Tsm, ssm = self._transfers_multi(
-                    freq, cands[:, :, 0], cands[:, :, 1]
-                )
-                out = np.empty((K, self.N))
-                for k in range(K):
-                    _, _, llk, _ = _assemble_chain(
-                        Tsm[k], ssm[k], cands[k, :, 0]
-                    )
-                    out[k] = -llk
-                return out
-
             def vag(x):
                 # fused: ONE stream yields transfers + tangents;
                 # carries and the gradient assemble on host
@@ -417,9 +380,10 @@ class StreamingEM:
                 return -llx, -np.stack([gF, ga], -1)
 
             x0 = np.clip(np.stack([F, alpha], -1), lo_b, hi_b)
+            # every line-search probe is one value-and-grad stream
+            # (speculative full step + interpolated backtracking)
             x_opt, _, _ = lbfgsb_minimize_host(
-                fun, x0, lo_b, hi_b, value_and_grad=vag,
-                fun_multi=fun_multi,
+                None, x0, lo_b, hi_b, value_and_grad=vag,
             )
             F, alpha = x_opt[:, 0], x_opt[:, 1]
 

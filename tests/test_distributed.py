@@ -112,11 +112,15 @@ def test_two_process_run_matches_single(tmp_path):
             except ValueError:
                 assert x == y, ext  # non-numeric tokens (path strings)
                 continue
-            np.testing.assert_allclose(fy, fx, rtol=1e-8, atol=1e-10,
+            # the 2-process run sums est_maf accumulators in a
+            # different order than the single-process mesh; f64
+            # reduction noise amplified through the EM + L-BFGS
+            # trajectory bounds agreement at ~1e-6, not ulp
+            np.testing.assert_allclose(fy, fx, rtol=2e-6, atol=1e-8,
                                        err_msg=ext)
     g_s = np.fromfile(tmp_path / "single.geno")
     g_m = np.fromfile(tmp_path / "multi.geno")
-    np.testing.assert_allclose(g_m, g_s, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(g_m, g_s, rtol=2e-6, atol=1e-8)
 
 
 def test_axis_slab_and_global_from_slab():

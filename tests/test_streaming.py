@@ -213,7 +213,12 @@ def test_streaming_ind_sharded_matches_unsharded(data):
     np.testing.assert_allclose(ll2, ll1, rtol=1e-6)
     np.testing.assert_allclose(freq2, freq1, atol=1e-6)
     np.testing.assert_allclose(F2, F1, atol=1e-5)
-    np.testing.assert_allclose(a2, a1, atol=1e-5)
+    # alpha is unidentifiable where F sits on a bound (the likelihood is
+    # flat in alpha at F = 0/1; the reference itself prints alpha = NA
+    # there, EM.cpp:306-313), so tiny cross-layout float differences can
+    # park it anywhere -- compare it only at identifiable rows
+    ident = (F1 > 1e-5) & (F1 < 1 - 1e-5)
+    np.testing.assert_allclose(a2[ident], a1[ident], atol=1e-5)
 
     p1 = streaming_viterbi(se1, freq1, F1, a1)
     p2 = streaming_viterbi(se2, freq2, F2, a2)
