@@ -6,19 +6,34 @@ Prints ONE JSON line:
 
 "cells" follows BASELINE.json's north-star definition: sites x individuals
 x states (K=2) processed by the fwd-bwd E-step once per EM iteration.
-`value` is our engine's cells/s per full EM iteration (E-step + both
-M-steps, freq_est 1) on the available accelerator. `vs_baseline` is the
-matched-config per-EM-iteration wallclock ratio T_ref / T_ours, with the
-reference binary (fgvieira/ngsF-HMM) built from /root/reference and timed
-on this host's CPU with n_threads = min(n_cpu, n_ind); reference per-iter
-time is isolated as (T(1+K iters) - T(1 iter)) / K to exclude its
-IO/init/decode overhead. If the reference cannot be built/run here, a
-fallback cells/s measured on the dev host is used (noted on stderr).
+
+Two legs:
+ - SMALL (default 100k x 32, host-synthesised GLs): matched-config
+   comparison against the reference binary (fgvieira/ngsF-HMM) built from
+   /root/reference and timed on this host's CPU with
+   n_threads = min(n_cpu, n_ind); `vs_baseline` is the per-EM-iteration
+   wallclock ratio T_ref / T_ours from this leg. Reference per-iter time
+   comes from its own verbose-1 timers.
+ - BIG (default 1M x 100 = the BASELINE.md scale config, on-device
+   synthesised GLs -- the tunnel moves ~25MB/s, a host 1.2GB upload would
+   dwarf the run): headline `value`/`ms_per_em_iter` numbers, plus a
+   bytes-moved roofline estimate (`roofline_ms`, `roofline_frac`) showing
+   how close the fused pallas iteration runs to the chip's ~600 GB/s
+   effective stream bandwidth (measured through the same 3-slab pipeline;
+   HBM peak is 819 GB/s on a v5e).
+
+Timing: on the tunneled TPU the only trustworthy sync is a device scalar
+pulled to host, which itself costs a ~27ms round trip; every timing below
+queues `reps` iterations per sync and subtracts a measured sync-only
+baseline so the RTT does not inflate per-iteration numbers (see
+CLAUDE.md "Environment gotchas").
 
 Env knobs: NGSF_BENCH_SITES, NGSF_BENCH_IND, NGSF_BENCH_ITERS,
-NGSF_BENCH_SKIP_REF=1, NGSF_BENCH_REF_TIMEOUT (seconds, default 360:
-watchdog on the reference leg -- on expiry the bench logs the failure
-to stderr and falls back to the recorded dev-host baseline).
+NGSF_BENCH_BIG=0 (skip the 1M x 100 leg), NGSF_BENCH_BIG_SITES,
+NGSF_BENCH_BIG_IND, NGSF_BENCH_SKIP_REF=1, NGSF_BENCH_REF_TIMEOUT
+(seconds, default 360: watchdog on the reference leg -- on expiry the
+bench logs the failure to stderr and falls back to the recorded dev-host
+baseline).
 """
 
 import gzip
@@ -39,11 +54,18 @@ REF_BUILD = REPO / "tests" / ".refbin"
 S = int(os.environ.get("NGSF_BENCH_SITES", 100_000))
 N = int(os.environ.get("NGSF_BENCH_IND", 32))
 ITERS = int(os.environ.get("NGSF_BENCH_ITERS", 5))
+BIG = os.environ.get("NGSF_BENCH_BIG", "1") == "1"
+BIG_S = int(os.environ.get("NGSF_BENCH_BIG_SITES", 1_000_000))
+BIG_N = int(os.environ.get("NGSF_BENCH_BIG_IND", 100))
 REF_ITERS = 3  # extra iterations used to isolate ref per-iter time
 
 # Reference em-iteration cells/s measured on the dev host (AMD EPYC-class,
 # 32 threads, config 100k x 32) -- fallback only.
 REF_FALLBACK_CELLS_PER_S = 2.0e6
+
+# v5e effective stream bandwidth measured through the same pallas 3-slab
+# pipeline these kernels use (HBM peak 819 GB/s); roofline denominator.
+STREAM_GBPS = 600.0
 
 
 def log(msg):
@@ -138,11 +160,41 @@ def time_reference(exe, d, glf, posf):
     return per_iter
 
 
-def time_ours(gl, pos):
+def _sync_baseline():
+    """Median cost of the scalar-sync round trip itself (subtracted from
+    every queued-iterations timing)."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((8,), jnp.float32)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(jnp.sum(z)))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    log(f"[bench] sync round-trip baseline: {t * 1e3:.1f} ms")
+    return t
+
+
+def _time_em_loop(step, state0, hard_sync, reps, t_sync):
+    """Warm up, then queue `reps` EM iterations behind ONE sync; the
+    sync round trip is subtracted."""
+    state = step(step(state0))
+    hard_sync(state)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = step(state)
+    hard_sync(state)
+    per_iter = (time.perf_counter() - t0 - t_sync) / reps
+    return max(per_iter, 1e-9)
+
+
+def time_ours_small(gl, pos, t_sync):
     import jax
     import jax.numpy as jnp
 
     from ngsf_hmm_tpu.models.em import em_iteration, init_state
+    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
 
     dev = jax.devices()[0]
     log(f"[bench] our engine on {dev.platform}:{dev.device_kind}")
@@ -159,15 +211,16 @@ def time_ours(gl, pos):
         jnp.full((N,), 0.2, dtype),
         jnp.full((N,), 0.05, dtype),
     )
-
-    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
-
     gl_tiles = prepare_gl_tiles(jnp.exp(gl_d))
 
+    holder = {"slabs": None}
+
     def step(st):
-        st2, _ = em_iteration(
-            gl_d, dist_d, st, numerics="pallas", gl_tiles=gl_tiles
+        st2, _, slabs = em_iteration(
+            gl_d, dist_d, st, numerics="pallas", gl_tiles=gl_tiles,
+            prep_slabs=holder["slabs"], return_prep=True,
         )
+        holder["slabs"] = slabs
         return st2
 
     def hard_sync(st):
@@ -176,27 +229,105 @@ def time_ours(gl, pos):
         # the only trustworthy sync (and transfers 4 bytes, not arrays).
         return float(np.asarray(jnp.sum(st.ind_lkl)))
 
-    # Warm up two steps: the first absorbs compilation, the second gets
-    # the state onto a realistic EM trajectory.
-    state = step(step(state))
-    hard_sync(state)
-    reps = max(ITERS, 8)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state = step(state)
-    hard_sync(state)
-    per_iter = (time.perf_counter() - t0) / reps
-    log(f"[bench] ours: {per_iter * 1e3:.2f} ms/EM-iter ({reps} iters, 1 sync)")
+    reps = max(ITERS, 24)
+    per_iter = _time_em_loop(step, state, hard_sync, reps, t_sync)
+    log(f"[bench] ours (small {S}x{N}): {per_iter * 1e3:.2f} ms/EM-iter "
+        f"({reps} iters, 1 sync)")
     return per_iter
 
 
+def time_ours_big(t_sync):
+    """BASELINE.md scale config (1M x 100): GLs synthesised ON DEVICE."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
+
+    Sb, Nb = BIG_S, BIG_N
+    dt = jnp.float32
+
+    @jax.jit
+    def synth(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        err = 0.01
+        depth = jax.random.poisson(k1, 2.0, (Sb, Nb)).astype(dt)
+        truth = jax.random.randint(k2, (Sb, Nb), 0, 3)
+        p_der = jnp.array([err, 0.5, 1 - err], dt)[truth]
+        mean = depth * p_der
+        sd = jnp.sqrt(jnp.maximum(depth * p_der * (1 - p_der), 1e-6))
+        der = jnp.clip(
+            jnp.round(mean + sd * jax.random.normal(k3, (Sb, Nb))),
+            0.0, depth,
+        )
+        k = der[..., None]
+        n = depth[..., None]
+        p = jnp.array([err, 0.5, 1 - err], dt)[None, None, :]
+        ll = k * jnp.log(p) + (n - k) * jnp.log1p(-p)
+        ll = jnp.where(n == 0, 0.0, ll)
+        gl = ll - jax.scipy.special.logsumexp(ll, axis=-1, keepdims=True)
+        step_bp = jax.random.randint(k4, (Sb,), 100, 200_000).astype(dt)
+        return gl, step_bp / 1e6
+
+    t0 = time.perf_counter()
+    gl, dist = synth(jax.random.PRNGKey(20260817))
+    state = init_state(
+        gl, jnp.full((Sb,), 0.2, dt), jnp.full((Nb,), 0.2, dt),
+        jnp.full((Nb,), 0.05, dt),
+    )
+    gl_tiles = prepare_gl_tiles(jnp.exp(gl))
+    float(np.asarray(jnp.sum(state.e_prob)))
+    log(f"[bench] big leg ({Sb}x{Nb}): on-device synth+init "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    holder = {"slabs": None}
+
+    def step(st):
+        st2, _, slabs = em_iteration(
+            gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
+            prep_slabs=holder["slabs"], return_prep=True,
+        )
+        holder["slabs"] = slabs
+        return st2
+
+    def hard_sync(st):
+        return float(np.asarray(jnp.sum(st.ind_lkl)))
+
+    per_iter = _time_em_loop(step, state, hard_sync, 8, t_sync)
+    log(f"[bench] ours (big {Sb}x{Nb}): {per_iter * 1e3:.2f} ms/EM-iter "
+        f"(8 iters, 1 sync)")
+    return per_iter
+
+
+def roofline_bytes_per_cell(opt_iters=10):
+    """Steady-state f32 HBM traffic per HMM cell (site x ind) of one
+    fused EM iteration, by construction of the pallas pipeline:
+
+      E-step   56 B: transfer reads e0/e1/d (12); bw reads 12 + writes
+                     bw0/bw1 (8); fw_post reads 20 + writes p (4)
+      M-step   12 B x opt_iters: each L-BFGS value-and-grad probe
+                     re-streams e0/e1/d once (speculative-full-step
+                     search: ~1 probe per outer iteration)
+      est_maf  16 B: gl tiles (12) + posterior (4)
+      emission 28 B: gl (12) + e_prob log (8) + next e0/e1 slabs (8)
+                     (d slab threaded, not rebuilt)
+    """
+    return 56 + 12 * opt_iters + 16 + 28
+
+
 def main():
+    if os.environ.get("NGSF_BENCH_CPU") == "1":
+        # debugging escape hatch (the env var JAX_PLATFORMS does NOT
+        # override the axon TPU plugin; only the config call does)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     rng = np.random.default_rng(20260816)
     gl, pos = make_inputs(rng)
 
-    t_ours = time_ours(gl, pos)
-    cells = S * N * 2
-    ours_cps = cells / t_ours
+    t_sync = _sync_baseline()
+    t_small = time_ours_small(gl, pos, t_sync)
+    small_cps = S * N * 2 / t_small
 
     vs = None
     if os.environ.get("NGSF_BENCH_SKIP_REF") != "1":
@@ -207,26 +338,44 @@ def main():
                     d = pathlib.Path(td)
                     glf, posf = write_ref_inputs(d, gl, pos)
                     t_ref = time_reference(exe, d, glf, posf)
-                    vs = t_ref / t_ours
+                    vs = t_ref / t_small
             except Exception as e:  # noqa: BLE001
                 log(f"[bench] reference run failed: {e}")
     fallback = vs is None
     if fallback:
-        vs = ours_cps / REF_FALLBACK_CELLS_PER_S
+        vs = small_cps / REF_FALLBACK_CELLS_PER_S
         log("[bench] WARNING: reference leg did not run; vs_baseline uses "
             f"the canned fallback {REF_FALLBACK_CELLS_PER_S:.3g} cells/s "
             "measured once on the dev host -- treat it as indicative only")
 
     out = {
         "metric": "em_cells_per_s",
-        "value": round(ours_cps, 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),
-        "config": f"{S}x{N}",
-        "ms_per_em_iter": round(t_ours * 1e3, 2),
+        "small_config": f"{S}x{N}",
+        "ms_per_em_iter_small": round(t_small * 1e3, 2),
     }
     if fallback:
         out["vs_baseline_is_fallback"] = True
+
+    if BIG:
+        t_big = time_ours_big(t_sync)
+        bpc = roofline_bytes_per_cell()
+        roof_ms = BIG_S * BIG_N * bpc / (STREAM_GBPS * 1e9) * 1e3
+        out.update({
+            "value": round(BIG_S * BIG_N * 2 / t_big, 1),
+            "config": f"{BIG_S}x{BIG_N}",
+            "ms_per_em_iter": round(t_big * 1e3, 2),
+            "roofline_bytes_per_cell": bpc,
+            "roofline_ms": round(roof_ms, 1),
+            "roofline_frac": round(roof_ms / (t_big * 1e3), 3),
+        })
+    else:
+        out.update({
+            "value": round(small_cps, 1),
+            "config": f"{S}x{N}",
+            "ms_per_em_iter": round(t_small * 1e3, 2),
+        })
     print(json.dumps(out))
 
 
