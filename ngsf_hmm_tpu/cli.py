@@ -394,29 +394,57 @@ def main(argv=None):
     # the GL matrix (the ind-axis range its devices own on the mesh)
     gmesh = None
     ind_slab = None
+    site_slab = None
+    S_pad_dist = p["n_sites"]
     if distributed_run:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as _P
 
         from .parallel.mesh import make_mesh
 
-        if mesh_spec["site"] > 1:
-            error("main", "--coordinator requires a (restart, ind) mesh "
-                          "(site sharding is single-process)")
-        n_need = mesh_spec["restart"] * mesh_spec["ind"]
+        n_need = (mesh_spec["restart"] * mesh_spec["ind"]
+                  * mesh_spec["site"])
         if n_need > len(jax.devices()):
             error("main", f"mesh needs {n_need} devices, have "
                           f"{len(jax.devices())} across {p['n_procs']} "
                           "processes")
-        gmesh = make_mesh(mesh_spec["restart"], mesh_spec["ind"],
-                          devices=jax.devices()[:n_need])
-        _gl_sh = NamedSharding(gmesh, _P(None, "ind", None))
-        try:
-            ind_slab = dist_mod.axis_slab(
-                _gl_sh, (p["n_sites"], p["n_ind"], 3), 1
-            )
-        except ValueError as e:
-            error("main", str(e))
+        s_m, i_m = mesh_spec["site"], mesh_spec["ind"]
+        if s_m > 1:
+            # site (or ind x site grid) mesh across processes: each host
+            # loads its (site, ind) rectangle of the GL matrix; the site
+            # axis is padded to a shard multiple with exact-identity
+            # sites (same padding as parallel/driver._pad_sites)
+            from .parallel.site_sharded import make_grid_mesh, make_site_mesh
+
+            if p["n_rep"] > 1:
+                error("main", "site meshes do not compose with --n_rep")
+            S_pad_dist = -(-p["n_sites"] // s_m) * s_m
+            if i_m == 1:
+                gmesh = make_site_mesh(s_m, devices=jax.devices()[:n_need])
+                _gl_sh = NamedSharding(gmesh, _P("site", None, None))
+            else:
+                gmesh = make_grid_mesh(i_m, s_m,
+                                       devices=jax.devices()[:n_need])
+                _gl_sh = NamedSharding(gmesh, _P("site", "ind", None))
+            gshape = (S_pad_dist, p["n_ind"], 3)
+            try:
+                site_slab = dist_mod.axis_slab(_gl_sh, gshape, 0)
+                ind_slab = (
+                    dist_mod.axis_slab(_gl_sh, gshape, 1) if i_m > 1
+                    else (0, p["n_ind"])
+                )
+            except ValueError as e:
+                error("main", str(e))
+        else:
+            gmesh = make_mesh(mesh_spec["restart"], mesh_spec["ind"],
+                              devices=jax.devices()[:n_need])
+            _gl_sh = NamedSharding(gmesh, _P(None, "ind", None))
+            try:
+                ind_slab = dist_mod.axis_slab(
+                    _gl_sh, (p["n_sites"], p["n_ind"], 3), 1
+                )
+            except ValueError as e:
+                error("main", str(e))
 
     # ---- sniff input format (ngsF-HMM.cpp:47-63)
     try:
@@ -446,16 +474,41 @@ def main(argv=None):
         print("> GENO data")
     try:
         if ind_slab is not None:
-            gl = readers.read_geno_slab(
-                p["geno"],
-                p["n_ind"],
-                p["n_sites"],
-                (0, p["n_sites"]),
-                ind_slab,
-                binary=in_bin,
-                probs=p["lkl"],
-                log_scale=p["loglkl"],
-            )
+            if site_slab is not None:
+                # clamp this host's padded-coordinate range to real sites
+                lo, cnt = site_slab
+                hi = min(lo + cnt, p["n_sites"])
+                lo_r = min(lo, p["n_sites"])
+                gl = readers.read_geno_slab(
+                    p["geno"],
+                    p["n_ind"],
+                    p["n_sites"],
+                    (lo_r, hi - lo_r),
+                    ind_slab,
+                    binary=in_bin,
+                    probs=p["lkl"],
+                    log_scale=p["loglkl"],
+                )
+                pad = cnt - (hi - lo_r)
+                if pad:
+                    # exact-identity pad sites: uniform GLs (discarded;
+                    # their e_prob is masked to 0 = emission 1)
+                    gl = np.concatenate([
+                        gl,
+                        np.full((pad, gl.shape[1], 3), np.log(1.0 / 3.0),
+                                gl.dtype),
+                    ])
+            else:
+                gl = readers.read_geno_slab(
+                    p["geno"],
+                    p["n_ind"],
+                    p["n_sites"],
+                    (0, p["n_sites"]),
+                    ind_slab,
+                    binary=in_bin,
+                    probs=p["lkl"],
+                    log_scale=p["loglkl"],
+                )
         else:
             gl = readers.read_geno(
                 p["geno"],
@@ -476,7 +529,7 @@ def main(argv=None):
         # no host ever holds the full matrix
         gl_g = dist_mod.global_from_slab(
             _gl_sh, gl.astype(np.dtype(dtype)),
-            (p["n_sites"], p["n_ind"], 3),
+            (S_pad_dist, p["n_ind"], 3),
         )
 
         def _process(g):
@@ -485,10 +538,19 @@ def main(argv=None):
             return post_prob(g, None)  # re-normalise (ngsF-HMM.cpp:116)
 
         gl_j = jax.jit(_process, out_shardings=_gl_sh)(gl_g)
-        dist_j = jax.device_put(
-            np.asarray(dist, np.dtype(dtype)),
-            NamedSharding(gmesh, _P()),
-        )
+        if site_slab is not None:
+            dist_pad = np.zeros(S_pad_dist, np.dtype(dtype))
+            dist_pad[: p["n_sites"]] = dist
+            _d_sh = NamedSharding(gmesh, _P("site"))
+            lo, cnt = site_slab
+            dist_j = dist_mod.global_from_slab(
+                _d_sh, dist_pad[lo:lo + cnt], (S_pad_dist,)
+            )
+        else:
+            dist_j = jax.device_put(
+                np.asarray(dist, np.dtype(dtype)),
+                NamedSharding(gmesh, _P()),
+            )
     else:
         gl_j = jnp.asarray(gl, dtype=dtype)
         if p["call_geno"]:
@@ -552,7 +614,7 @@ def main(argv=None):
                         ),
                         out_shardings=NamedSharding(gmesh, _P()),
                     )(gl_j)
-                )
+                )[: p["n_sites"]]
             else:
                 freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
         except ValueError as e:
@@ -563,21 +625,51 @@ def main(argv=None):
             # global state with the canonical mesh shardings: small
             # vectors device_put from (identical) host copies, the big
             # [S, N, *] fields computed on-device from the sharded GLs
-            from .parallel.mesh import data_specs
+            if site_slab is not None:
+                ind_ax = "ind" if mesh_spec["ind"] > 1 else None
+                stspec = dict(
+                    freq=_P("site"), indF=_P(ind_ax), alpha=_P(ind_ax),
+                    e_prob=_P("site", ind_ax, None),
+                    p_ibd=_P("site", ind_ax), ind_lkl=_P(ind_ax),
+                )
+                freq_sp, ind_sp = _P("site"), _P(ind_ax)
+            else:
+                from .parallel.mesh import data_specs
 
-            _, _, stspec = data_specs(False)
+                _, _, stspec = data_specs(False)
+                freq_sp, ind_sp = _P(), _P("ind")
             out_sh = EMState(
                 **{k: NamedSharding(gmesh, v) for k, v in stspec.items()}
             )
-            rep_sh = NamedSharding(gmesh, _P())
-            ind_sh = NamedSharding(gmesh, _P("ind"))
-            freq_g = jax.device_put(
-                np.asarray(freq0, np.dtype(dtype)), rep_sh)
+            freq_h = np.asarray(freq0, np.dtype(dtype))
+            if S_pad_dist != p["n_sites"]:
+                freq_h = np.concatenate([
+                    freq_h,
+                    np.full(S_pad_dist - p["n_sites"], 0.25,
+                            np.dtype(dtype)),
+                ])
+            freq_g = jax.device_put(freq_h, NamedSharding(gmesh, freq_sp))
             indF_g = jax.device_put(
-                np.asarray(indF0, np.dtype(dtype)), ind_sh)
+                np.asarray(indF0, np.dtype(dtype)),
+                NamedSharding(gmesh, ind_sp))
             alpha_g = jax.device_put(
-                np.asarray(alpha0, np.dtype(dtype)), ind_sh)
-            state = jax.jit(init_state, out_shardings=out_sh)(
+                np.asarray(alpha0, np.dtype(dtype)),
+                NamedSharding(gmesh, ind_sp))
+
+            def _init(g, f, iF, al):
+                st = init_state(g, f, iF, al)
+                if S_pad_dist != p["n_sites"]:
+                    # pad sites must enter the chain as EXACT identities
+                    # (driver._pad_sites semantics): emission 1, p_ibd 0
+                    padm = jnp.arange(S_pad_dist) >= p["n_sites"]
+                    st = st._replace(
+                        e_prob=jnp.where(
+                            padm[:, None, None], 0.0, st.e_prob),
+                        p_ibd=jnp.where(padm[:, None], 0.0, st.p_ibd),
+                    )
+                return st
+
+            state = jax.jit(_init, out_shardings=out_sh)(
                 gl_j, freq_g, indF_g, alpha_g
             )
         else:
@@ -615,7 +707,7 @@ def main(argv=None):
             # st is already a gathered host state (driver.adapt_state);
             # the GLs for .geno need the collective gather on EVERY
             # process (it is an allgather), then only process 0 writes
-            gl_out = dist_mod.host_array(gl_j)
+            gl_out = dist_mod.host_array(gl_j)[: p["n_sites"]]
             if dist_pid != 0:
                 return
             write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
@@ -986,6 +1078,7 @@ def main(argv=None):
                         log_callback=log_cb, trace=trace,
                         checkpoint_cb=ckpt_cb,
                         resume_bookkeeping=resume_bk,
+                        S_true=p["n_sites"] if distributed_run else None,
                     )
                 else:
                     result = run_em(

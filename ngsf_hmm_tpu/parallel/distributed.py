@@ -15,13 +15,15 @@ global array is assembled with `jax.make_array_from_process_local_data`
 makes the 5000 x 50M BASELINE config loadable at all.
 
 Supported multi-process meshes: (restart, ind) -- the data-parallel
-layout whose only collective is a psum (cheap over DCN). Site-sharded
-meshes keep their boundary-carry exchanges on ICI within a host and are
-single-process for now (a clear error otherwise).
+layout whose only collective is a psum (cheap over DCN) -- plus the
+(site,) and (ind, site) grid layouts, whose boundary-carry all_gather
+(a tiny P x N x 4-float exchange once per chain evaluation) also rides
+DCN; each host loads its own (site, ind) rectangle of the GL matrix and
+the site axis pads to a shard multiple on the last host's slab.
 
 Validated by tests/test_distributed.py: 2 gloo-backed CPU processes x 4
-virtual devices run the full CLI to convergence and match the
-single-process engine bit-for-bit on the same config.
+virtual devices run the full CLI to convergence on the ind, site and
+grid meshes and match the single-process engine on the same config.
 """
 
 import numpy as np

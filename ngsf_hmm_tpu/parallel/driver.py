@@ -147,6 +147,7 @@ def run_em_sharded(
     trace=None,
     checkpoint_cb=None,
     resume_bookkeeping=None,
+    S_true=None,
 ):
     """Full sharded training run: EM to convergence + Viterbi decode.
 
@@ -192,16 +193,16 @@ def run_em_sharded(
         )
     # Multi-process runs (jax.distributed) arrive with inputs already
     # assembled as global arrays from per-host slabs
-    # (parallel/distributed.global_from_slab); site meshes keep their
-    # boundary-carry exchange single-process (ICI-only by design).
+    # (parallel/distributed.global_from_slab). Site-sharded global inputs
+    # arrive ALREADY padded to a shard multiple (the per-host loaders pad
+    # their own slab); S_true carries the unpadded site count then.
     presharded = isinstance(gl, jax.Array) and not gl.is_fully_addressable
-    if jax.process_count() > 1 and s > 1:
-        raise NotImplementedError(
-            "site-sharded meshes are single-process; use the (restart, "
-            "ind) mesh across hosts"
-        )
 
-    S_pad = -(-S // s) * s  # site axis pads to a shard multiple
+    if presharded and s > 1:
+        S_pad = S
+        S = S_true if S_true is not None else S
+    else:
+        S_pad = -(-S // s) * s  # site axis pads to a shard multiple
     compat = opts.viterbi_compat
 
     if s == 1:
@@ -229,9 +230,11 @@ def run_em_sharded(
     else:
         wdt = _work_dtype_for(opts)
         S_total = S if S_pad != S else None
-        gl, dist, state = _pad_sites(gl, dist, state, S_pad)
+        if not presharded:
+            gl, dist, state = _pad_sites(gl, dist, state, S_pad)
         if i == 1:
-            mesh = make_site_mesh(s, devices=devices)
+            mesh = gl.sharding.mesh if presharded \
+                else make_site_mesh(s, devices=devices)
             step_fn = make_site_sharded_em_step(
                 mesh,
                 freq_est=opts.freq_est,
@@ -242,9 +245,15 @@ def run_em_sharded(
                 S_total=S_total,
             )
             vit_fn = make_site_sharded_viterbi(mesh, compat=compat)
-            gl_d, dist_d, state_d = shard_site_inputs(mesh, gl, dist, state)
+            if presharded:
+                gl_d, dist_d, state_d = gl, dist, state
+            else:
+                gl_d, dist_d, state_d = shard_site_inputs(
+                    mesh, gl, dist, state
+                )
         else:
-            mesh = make_grid_mesh(i, s, devices=devices)
+            mesh = gl.sharding.mesh if presharded \
+                else make_grid_mesh(i, s, devices=devices)
             step_fn = make_grid_sharded_em_step(
                 mesh,
                 freq_est=opts.freq_est,
@@ -255,7 +264,12 @@ def run_em_sharded(
                 S_total=S_total,
             )
             vit_fn = make_grid_sharded_viterbi(mesh, compat=compat)
-            gl_d, dist_d, state_d = shard_grid_inputs(mesh, gl, dist, state)
+            if presharded:
+                gl_d, dist_d, state_d = gl, dist, state
+            else:
+                gl_d, dist_d, state_d = shard_grid_inputs(
+                    mesh, gl, dist, state
+                )
 
     def step(st, active):
         st2, stats = step_fn(gl_d, dist_d, st)

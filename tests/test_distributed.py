@@ -36,14 +36,14 @@ def _sim(tmp_path):
     return out
 
 
-def _cli_args(sim, out, extra):
+def _cli_args(sim, out, extra, n_sites=200, mesh="ind=8"):
     return [
         sys.executable, "-m", "ngsf_hmm_tpu",
         "--geno", f"{sim}.glf.gz", "--loglkl", "--pos", f"{sim}.pos.gz",
-        "--n_ind", "8", "--n_sites", "200", "--freq", "0.2",
+        "--n_ind", "8", "--n_sites", str(n_sites), "--freq", "0.2",
         "--indF", "0.2,0.05", "--seed", "7", "--min_iters", "5",
         "--max_iters", "20", "--min_epsilon", "1e-6",
-        "--device", "cpu", "--mesh", "ind=8", "--out", str(out),
+        "--device", "cpu", "--mesh", mesh, "--out", str(out),
     ] + extra
 
 
@@ -138,3 +138,107 @@ def test_axis_slab_and_global_from_slab():
     x = np.arange(16 * 8 * 3, dtype=np.float64).reshape(16, 8, 3)
     g = jax.device_put(x, sh)
     np.testing.assert_array_equal(host_array(g), x)
+
+
+def _compare_outputs(a, b, rtol=2e-6, atol=1e-8):
+    for ext in (".indF", ".ibd"):
+        ts = pathlib.Path(str(a) + ext).read_text().split()
+        tm = pathlib.Path(str(b) + ext).read_text().split()
+        assert len(ts) == len(tm), ext
+        for x, y in zip(ts, tm):
+            try:
+                fx = float(x.replace("NA", "nan"))
+                fy = float(y.replace("NA", "nan"))
+            except ValueError:
+                assert x == y, ext
+                continue
+            np.testing.assert_allclose(fy, fx, rtol=rtol, atol=atol,
+                                       err_msg=ext)
+    g_a = np.fromfile(str(a) + ".geno")
+    g_b = np.fromfile(str(b) + ".geno")
+    np.testing.assert_allclose(g_b, g_a, rtol=rtol, atol=atol)
+
+
+def test_two_process_site_mesh_matches_single(tmp_path):
+    """Site-sharded meshes across processes: 2 gloo CPU processes x 4
+    virtual devices run an 8-way SITE mesh (boundary-carry all_gather
+    over DCN, per-host (site,) slab loading, pad sites on the last
+    shard: 198 sites pad to 200) and must match the same site mesh run
+    in one process."""
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    sim = tmp_path / "sim"
+    simulate(n_ind=8, n_sites=198, freq="0.25", site_pos="r", indF="0.3",
+             alpha="0.05", seed=31, out=str(sim), depth="4")
+
+    r = subprocess.run(
+        _cli_args(sim, tmp_path / "single", [], n_sites=198,
+                  mesh="site=8"),
+        env=_env(8), capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _cli_args(sim, tmp_path / "multi", [
+                "--coordinator", f"localhost:{port}",
+                "--n_procs", "2", "--proc_id", str(pid),
+            ], n_sites=198, mesh="site=8"),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pr.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+    assert "Done!" in outs[0][1]
+
+    _compare_outputs(tmp_path / "single", tmp_path / "multi")
+
+
+def test_two_process_grid_mesh_matches_single(tmp_path):
+    """The 2-D (ind=2, site=4) grid mesh across 2 processes: each host
+    owns an (ind, site) rectangle of the GL matrix."""
+    sim = _sim(tmp_path)
+
+    r = subprocess.run(
+        _cli_args(sim, tmp_path / "single", [], mesh="ind=2,site=4"),
+        env=_env(8), capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _cli_args(sim, tmp_path / "multi", [
+                "--coordinator", f"localhost:{port}",
+                "--n_procs", "2", "--proc_id", str(pid),
+            ], mesh="ind=2,site=4"),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pr.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+
+    _compare_outputs(tmp_path / "single", tmp_path / "multi")
