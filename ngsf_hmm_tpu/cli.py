@@ -836,6 +836,30 @@ def main(argv=None):
                 )
             if p["n_rep"] == 1:
                 state = ck_state
+                if distributed_run:
+                    # checkpoints store the gathered UNPADDED host state;
+                    # a distributed run needs it back on the global mesh
+                    # (site meshes: re-padded with exact-identity sites)
+                    pad = S_pad_dist - p["n_sites"]
+                    if pad:
+                        _f = np.dtype(dtype)
+
+                        def _padc(x, value, width):
+                            x = np.asarray(x, _f)
+                            shape = (width,) + x.shape[1:]
+                            return np.concatenate(
+                                [x, np.full(shape, value, _f)]
+                            )
+
+                        state = state._replace(
+                            freq=_padc(state.freq, 0.25, pad),
+                            e_prob=_padc(state.e_prob, 0.0, pad),
+                            p_ibd=_padc(state.p_ibd, 0.0, pad),
+                        )
+                    state = EMState(
+                        *(np.asarray(x, np.dtype(dtype)) for x in state)
+                    )
+                    state = jax.device_put(state, out_sh)
             if p["verbose"] >= 1:
                 print(
                     f'==> Resuming from "{p["checkpoint"]}" at iteration '

@@ -242,3 +242,63 @@ def test_two_process_grid_mesh_matches_single(tmp_path):
         assert rc == 0, out + err
 
     _compare_outputs(tmp_path / "single", tmp_path / "multi")
+
+
+def _run2(sim, out, extra, tmo=400):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            _cli_args(sim, out, [
+                "--coordinator", f"localhost:{port}",
+                "--n_procs", "2", "--proc_id", str(pid),
+            ] + extra, n_sites=198, mesh="site=8"),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            outs.append(pr.communicate(timeout=tmo))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for pr, (out_, err) in zip(procs, outs):
+        assert pr.returncode == 0, out_ + err
+
+
+def test_two_process_site_mesh_checkpoint_resume(tmp_path):
+    """Checkpoint/resume across a 2-process site mesh: checkpoints store
+    the gathered UNPADDED host state (process 0 only); a resumed run
+    re-pads and re-shards it onto the global mesh and must land exactly
+    where an uninterrupted run does."""
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    sim = tmp_path / "sim"
+    simulate(n_ind=8, n_sites=198, freq="0.25", site_pos="r", indF="0.3",
+             alpha="0.05", seed=31, out=str(sim), depth="4")
+
+    _run2(sim, tmp_path / "full",
+          ["--min_iters", "12", "--max_iters", "13", "--min_epsilon", "100"])
+    ck = str(tmp_path / "ck.npz")
+    _run2(sim, tmp_path / "part",
+          ["--min_iters", "5", "--max_iters", "6", "--min_epsilon", "100",
+           "--checkpoint", ck])
+    _run2(sim, tmp_path / "res",
+          ["--min_iters", "12", "--max_iters", "13", "--min_epsilon", "100",
+           "--checkpoint", ck, "--resume"])
+
+    ta = (tmp_path / "full.indF").read_text().split()
+    tb = (tmp_path / "res.indF").read_text().split()
+    assert len(ta) == len(tb)
+    for x, y in zip(ta, tb):
+        try:
+            fx = float(x.replace("NA", "nan"))
+            fy = float(y.replace("NA", "nan"))
+        except ValueError:
+            assert x == y
+            continue
+        np.testing.assert_allclose(fy, fx, rtol=1e-6, atol=1e-9,
+                                   equal_nan=True)
