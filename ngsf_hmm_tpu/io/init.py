@@ -79,11 +79,14 @@ def init_indF_alpha(spec, n_ind, rng: GslTaus):
     return indF, alpha
 
 
-def init_freq(spec, n_sites, rng: GslTaus, gl=None):
+def init_freq(spec, n_sites, rng: GslTaus, gl=None, freq_est=1):
     """Initial freq [S] from a --freq spec.
 
     gl ([S, N, 3] log, needed for spec == "e") feeds the HWE est_maf
-    estimate with F = 0 (parse_args.cpp:312-318).
+    estimate with F = 0 (parse_args.cpp:312-318). Under freq_est == 2
+    the reference instead derives sites >= 2 from pair-EM haplotype
+    frequencies (parse_args.cpp:316-321) -- here via the CORRECTED
+    two-site EM (ops/haplo.ld_init_freq; the reference's is NaN-broken).
     """
     freq = np.full(n_sites, FREQ_RNG_MIN)
     if spec == "r":
@@ -97,6 +100,10 @@ def init_freq(spec, n_sites, rng: GslTaus, gl=None):
 
         if gl is None:
             raise ValueError("freq init 'e' needs genotype likelihoods")
+        if freq_est == 2:
+            from ..ops.haplo import ld_init_freq
+
+            return np.asarray(ld_init_freq(jnp.asarray(gl)))
         zeros = jnp.zeros(gl.shape[:2], dtype=gl.dtype)
         return np.asarray(est_maf(jnp.asarray(gl), zeros))
     if os.path.isfile(spec):

@@ -90,11 +90,35 @@ class IterStats(NamedTuple):
     opt_iters: jnp.ndarray  # scalar
 
 
-def init_state(gl, freq0, indF0, alpha0) -> EMState:
+def init_state(gl, freq0, indF0, alpha0, e_prob_calc=1) -> EMState:
     """Initial EM state with emissions from the initial freqs
-    (parse_args.cpp:370-387)."""
+    (parse_args.cpp:370-387).
+
+    e_prob_calc == 2: sites >= 2 get LD-conditioned pair emissions
+    (parse_args.cpp:373-386) via the CORRECTED pair EM seeded with the
+    initial freqs (the reference's own init call NaNs,
+    gen_func.cpp:1160). These matter beyond iteration 1: under the dead
+    outer gate (EM.cpp:252) the in-loop path never recomputes them when
+    freq_est is 0/1, so the init values stay frozen for the whole run.
+    """
     S, N = gl.shape[0], gl.shape[1]
     e_prob = calc_emission(gl, freq0[:, None])  # [S, N, 2]
+    if e_prob_calc == 2:
+        from ..ops.haplo import calc_emission_ld, haplo_freq
+
+        hap = haplo_freq(
+            gl[:-1], gl[1:], freq0[:-1], freq0[1:], compat=False
+        )  # [S-1, 4]
+        e_rest = jnp.stack(
+            [
+                calc_emission_ld(
+                    hap[:, None, :], gl[:-1], gl[1:], freq0[:-1, None], k
+                )
+                for k in (0, 1)
+            ],
+            axis=-1,
+        )  # [S-1, N, 2]
+        e_prob = jnp.concatenate([e_prob[:1], e_rest])
     return EMState(
         freq=freq0,
         indF=indF0,

@@ -31,20 +31,21 @@ from .hmm import viterbi
 
 
 def stack_restart_states(gl, n_rep, seed, indF_spec="r", freq_spec="r",
-                         alpha_literal=None):
+                         alpha_literal=None, freq_est=1, e_prob_calc=1):
     """Build R independently-seeded initial EM states, stacked on axis 0.
 
     indF_spec/freq_spec follow the CLI's polymorphic init strings
     (parse_args.cpp:248-363): replicate r resolves any random draws with
-    GslTaus(seed + r). Returns an EMState whose fields have a leading
-    [R] axis.
+    GslTaus(seed + r). freq_est/e_prob_calc select the LD init branches
+    (parse_args.cpp:316-321,373-386) exactly as for a single run.
+    Returns an EMState whose fields have a leading [R] axis.
     """
     S, N = gl.shape[0], gl.shape[1]
     states = []
     for r in range(n_rep):
         rng = GslTaus(seed + r)
         indF0, alpha0 = init_indF_alpha(indF_spec, N, rng)
-        freq0 = init_freq(freq_spec, S, rng, gl=gl)
+        freq0 = init_freq(freq_spec, S, rng, gl=gl, freq_est=freq_est)
         if alpha_literal is not None:
             alpha0 = np.full(N, alpha_literal)
         states.append(
@@ -53,6 +54,7 @@ def stack_restart_states(gl, n_rep, seed, indF_spec="r", freq_spec="r",
                 jnp.asarray(freq0, gl.dtype),
                 jnp.asarray(indF0, gl.dtype),
                 jnp.asarray(alpha0, gl.dtype),
+                e_prob_calc=e_prob_calc,
             )
         )
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

@@ -92,6 +92,26 @@ def haplo_freq(pp1, pp2, maf1, maf2, compat=True):
     return f
 
 
+def ld_init_freq(gl):
+    """Initial freqs for ``--freq e`` under ``--freq_est 2``.
+
+    The reference (parse_args.cpp:316-321) seeds site 1 with est_maf(F=0)
+    and every later site with hap[1]+hap[3] from a pair EM over
+    (s-1, s) -- seeded Gauss-Seidel style with (freq[s-1], 0.01) and then
+    NaN-broken like every other haplo_freq call (gen_func.cpp:1160).
+    This corrected init seeds every pair with the plain est_maf freqs
+    (Jacobi, so all pairs vectorise) and runs the intended linear-space
+    pair EM on the raw GLs, exactly as the reference init passes them.
+
+    gl: [S, N, 3] log GLs. Returns freq [S].
+    """
+    from .maf import est_maf
+
+    base = est_maf(gl, jnp.zeros(gl.shape[:2], gl.dtype))
+    hap = haplo_freq(gl[:-1], gl[1:], base[:-1], base[1:], compat=False)
+    return jnp.concatenate([base[:1], hap[:, 1] + hap[:, 3]])
+
+
 def joint_geno_prob(hap_freq, F):
     """P(g_prev, g_curr | hap freqs, shared IBD state F) as a [..., 3, 3] table.
 

@@ -125,3 +125,86 @@ def test_cli_ld_path(tmp_path):
     assert "CORRECTED two-site haplotype EM" in err.getvalue()
     first = float((tmp_path / "ld.indF").read_text().splitlines()[0])
     assert np.isfinite(first)
+
+
+def _informative_gl(maf, N):
+    """[S, N, 3] log GLs with near-certain genotypes drawn from maf [S]."""
+    geno = RNG.binomial(2, np.asarray(maf)[:, None], size=(len(maf), N))
+    gl = np.full((len(maf), N, 3), np.log(0.005))
+    for g in range(3):
+        gl[..., g] = np.where(geno == g, np.log(0.99), np.log(0.005))
+    return jnp.asarray(gl - np.log(np.exp(gl).sum(-1, keepdims=True)))
+
+
+def test_ld_init_freq_matches_est_maf_on_independent_sites():
+    """Init-time --freq e under --freq_est 2 (parse_args.cpp:316-321):
+    site 0 is the plain est_maf(F=0) estimate; later sites come from the
+    corrected pair EM and must agree with est_maf on LD-free data."""
+    from ngsf_hmm_tpu.ops.haplo import ld_init_freq
+    from ngsf_hmm_tpu.ops.maf import est_maf
+
+    S, N = 80, 200
+    maf_true = RNG.uniform(0.1, 0.4, S)
+    gl = _informative_gl(maf_true, N)
+    freq = np.asarray(ld_init_freq(gl))
+    base = np.asarray(est_maf(gl, jnp.zeros((S, N), gl.dtype)))
+    assert np.all(np.isfinite(freq)) and np.all((freq > 0) & (freq < 1))
+    np.testing.assert_allclose(freq[0], base[0], rtol=1e-12)
+    np.testing.assert_allclose(freq[1:], base[1:], atol=0.08)
+    assert np.abs(freq[1:] - maf_true[1:]).mean() < 0.05
+
+
+def test_init_state_ld_emissions():
+    """init_state(e_prob_calc=2) (parse_args.cpp:373-386): site 0 keeps
+    the plain emission; sites >= 1 carry the LD pair emissions built from
+    the corrected pair EM seeded with the initial freqs."""
+    S, N = 30, 12
+    maf_true = RNG.uniform(0.1, 0.4, S)
+    gl = _informative_gl(maf_true, N)
+    freq0 = jnp.full((S,), 0.2, gl.dtype)
+    indF0 = jnp.full((N,), 0.3, gl.dtype)
+    alpha0 = jnp.full((N,), 0.05, gl.dtype)
+    st_pl = init_state(gl, freq0, indF0, alpha0)
+    st_ld = init_state(gl, freq0, indF0, alpha0, e_prob_calc=2)
+    e_pl = np.asarray(st_pl.e_prob)
+    e_ld = np.asarray(st_ld.e_prob)
+    assert np.all(np.isfinite(e_ld))
+    np.testing.assert_array_equal(e_ld[0], e_pl[0])
+    assert np.abs(e_ld[1:] - e_pl[1:]).max() > 1e-3  # LD branch engaged
+    hap = haplo_freq(gl[:-1], gl[1:], freq0[:-1], freq0[1:], compat=False)
+    want = np.stack(
+        [
+            np.asarray(calc_emission_ld(
+                hap[:, None, :], gl[:-1], gl[1:], freq0[:-1, None], k))
+            for k in (0, 1)
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(e_ld[1:], want, rtol=1e-12)
+
+
+def test_cli_ld_freq_e_init(tmp_path):
+    """--freq e --freq_est 2 exercises the LD freq init end-to-end."""
+    from ngsf_hmm_tpu.cli import main
+
+    simulate(n_ind=4, n_sites=120, freq="0.2", site_pos="r", indF="0.4",
+             alpha="0.02", depth="3", error=0.01, seed=7,
+             out=str(tmp_path / "sim"))
+    cwd = os.getcwd()
+    buf, err = io.StringIO(), io.StringIO()
+    try:
+        os.chdir(tmp_path)
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(err):
+            rc = main(
+                "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 4 "
+                "--n_sites 120 --freq e --indF 0.3,0.05 --freq_est 2 "
+                "--min_iters 2 --max_iters 5 --min_epsilon 1e-3 "
+                "--out ldf".split()
+            )
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    # indF at a bound prints "NA" for alpha (EM.cpp:308-310 parity)
+    vals = [float(x) for x in (tmp_path / "ldf.indF").read_text().split()
+            if x != "NA"]
+    assert np.all(np.isfinite(vals))
