@@ -10,6 +10,7 @@ Example (the reference README's invocation shape):
         --n_sites 100000 --pos data.pos.gz --out run1
 """
 
+import os
 import sys
 import time
 
@@ -34,6 +35,9 @@ _OPTIONS = [
     ("alpha_fixed", False, "A"),
     ("out", True, "o"),
     ("log", True, "X"),
+    # --log_bin N sets log=N and a log_bin flag that NOTHING in the
+    # reference ever reads (parse_args.cpp:119-121 stores it, print_iter
+    # writes text regardless); parsed + echoed here for exact parity
     ("log_bin", True, "b"),
     ("min_iters", True, "m"),
     ("max_iters", True, "M"),
@@ -389,6 +393,17 @@ def main(argv=None):
                 "(--mesh ind=K): the site axis is streamed, restart "
                 "replicates are incompatible with streaming",
             )
+        if p["freq_est"] == 2 or p["e_prob"] == 2:
+            # fail at arg-parse time, not after IO + the pair-EM init:
+            # run_em_sharded rejects the LD path (parallel/driver.py),
+            # and on a multi-host job that late failure wastes the
+            # whole cluster spin-up
+            error(
+                "main",
+                "the LD path (--freq_est 2 / --e_prob 2) is not "
+                "implemented on meshes (site-shard boundaries break the "
+                "pair-EM recurrence); run it single-device",
+            )
 
     # ---- multi-host input layout: each process reads only its slab of
     # the GL matrix (the ind-axis range its devices own on the mesh)
@@ -491,12 +506,12 @@ def main(argv=None):
                 )
                 pad = cnt - (hi - lo_r)
                 if pad:
-                    # exact-identity pad sites: uniform GLs (discarded;
-                    # their e_prob is masked to 0 = emission 1)
+                    # exact-identity pad sites (driver.PAD_* values)
+                    from .parallel.driver import PAD_GL
+
                     gl = np.concatenate([
                         gl,
-                        np.full((pad, gl.shape[1], 3), np.log(1.0 / 3.0),
-                                gl.dtype),
+                        np.full((pad, gl.shape[1], 3), PAD_GL, gl.dtype),
                     ])
             else:
                 gl = readers.read_geno_slab(
@@ -567,7 +582,7 @@ def main(argv=None):
     if p["verbose"] >= 1:
         if spec == "r":
             print("==> Using random initial inbreeding values.")
-        elif __import__("os").path.isfile(spec):
+        elif os.path.isfile(spec):
             print(f'==> Reading initial inbreeding values from file "{spec}".')
         else:
             print(f"==> Setting initial inbreeding values to: {spec}")
@@ -582,16 +597,17 @@ def main(argv=None):
             print("==> Using random initial frequency values.")
         elif fspec == "e":
             print("==> Estimating initial frequency values assuming HWE.")
-        elif __import__("os").path.isfile(fspec):
+        elif os.path.isfile(fspec):
             print(f'==> Reading initial frequency values from file "{fspec}".')
         else:
             print(f"==> Setting initial frequency values to: {fspec}")
-    if p["freq_est"] == 2:
+    if p["freq_est"] == 2 or p["e_prob"] == 2:
         warn(
             "main",
-            "the LD path (--freq_est 2) is non-functional in the reference "
-            "(NaN haplotype frequencies; gen_func.cpp:1160); running the "
-            "CORRECTED two-site haplotype EM instead -- results will not "
+            "the LD path (--freq_est 2 / --e_prob 2) is non-functional in "
+            "the reference (NaN haplotype frequencies; gen_func.cpp:1160); "
+            "running the CORRECTED two-site haplotype EM instead -- at init "
+            "too (parse_args.cpp:316-321,373-386) -- results will not "
             "match the (broken) reference. See ngsf_hmm_tpu/ops/haplo.py.",
         )
     state = None
@@ -605,18 +621,23 @@ def main(argv=None):
                 # est_maf over the globally-sharded GLs: jitted so the
                 # cross-host ind-axis sums become collectives, gathered
                 # so every process sees the same full freq vector
-                from .ops.maf import est_maf
+                if p["freq_est"] == 2:
+                    from .ops.haplo import ld_init_freq as _freq_e
+                else:
+                    from .ops.maf import est_maf
+
+                    def _freq_e(g):
+                        return est_maf(g, jnp.zeros(g.shape[:2], g.dtype))
 
                 freq0 = dist_mod.host_array(
                     jax.jit(
-                        lambda g: est_maf(
-                            g, jnp.zeros(g.shape[:2], g.dtype)
-                        ),
+                        _freq_e,
                         out_shardings=NamedSharding(gmesh, _P()),
                     )(gl_j)
                 )[: p["n_sites"]]
             else:
-                freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j)
+                freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j,
+                                  freq_est=p["freq_est"])
         except ValueError as e:
             error("init_output", str(e))
         if p["verbose"] >= 1:
@@ -641,11 +662,13 @@ def main(argv=None):
             out_sh = EMState(
                 **{k: NamedSharding(gmesh, v) for k, v in stspec.items()}
             )
+            from .parallel.driver import PAD_E_PROB, PAD_FREQ, PAD_P_IBD
+
             freq_h = np.asarray(freq0, np.dtype(dtype))
             if S_pad_dist != p["n_sites"]:
                 freq_h = np.concatenate([
                     freq_h,
-                    np.full(S_pad_dist - p["n_sites"], 0.25,
+                    np.full(S_pad_dist - p["n_sites"], PAD_FREQ,
                             np.dtype(dtype)),
                 ])
             freq_g = jax.device_put(freq_h, NamedSharding(gmesh, freq_sp))
@@ -657,15 +680,15 @@ def main(argv=None):
                 NamedSharding(gmesh, ind_sp))
 
             def _init(g, f, iF, al):
-                st = init_state(g, f, iF, al)
+                st = init_state(g, f, iF, al, e_prob_calc=p["e_prob"])
                 if S_pad_dist != p["n_sites"]:
                     # pad sites must enter the chain as EXACT identities
-                    # (driver._pad_sites semantics): emission 1, p_ibd 0
+                    # (driver.PAD_* semantics): emission 1, p_ibd 0
                     padm = jnp.arange(S_pad_dist) >= p["n_sites"]
                     st = st._replace(
                         e_prob=jnp.where(
-                            padm[:, None, None], 0.0, st.e_prob),
-                        p_ibd=jnp.where(padm[:, None], 0.0, st.p_ibd),
+                            padm[:, None, None], PAD_E_PROB, st.e_prob),
+                        p_ibd=jnp.where(padm[:, None], PAD_P_IBD, st.p_ibd),
                     )
                 return st
 
@@ -675,7 +698,8 @@ def main(argv=None):
         else:
             state = init_state(gl_j, jnp.asarray(freq0, dtype=dtype),
                                jnp.asarray(indF0, dtype=dtype),
-                               jnp.asarray(alpha0, dtype=dtype))
+                               jnp.asarray(alpha0, dtype=dtype),
+                               e_prob_calc=p["e_prob"])
 
     # ---- EM (EM.cpp:27-135)
     if p["kernel"] not in ("scan", "blocked", "linear", "pallas"):
@@ -699,23 +723,60 @@ def main(argv=None):
             print(f"\t{indF0[i]:.10f}\t{alpha0[i]:.6f}")
         print("".join(f"\t{f:.6f}" for f in freq0))
 
+    _dist_gather_cache = {}  # chunk-gather jits, keyed by chunk size
+
     def write_outputs(st, tot, path_states):
         S, N = p["n_sites"], p["n_ind"]
         if path_states is None:
             path_states = np.zeros((S, N), dtype=np.int8)
         if distributed_run:
-            # st is already a gathered host state (driver.adapt_state);
-            # the GLs for .geno need the collective gather on EVERY
-            # process (it is an allgather), then only process 0 writes
-            gl_out = dist_mod.host_array(gl_j)[: p["n_sites"]]
-            if dist_pid != 0:
-                return
-            write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
-                       np.asarray(st.alpha), np.asarray(st.freq))
-            write_ibd(p["out"] + ".ibd", np.asarray(st.ind_lkl),
-                      path_states, np.asarray(st.p_ibd))
-            write_geno(p["out"] + ".geno", gl_out.astype(np.float64),
-                       np.asarray(st.freq, dtype=np.float64), path_states)
+            # st is already a gathered host state (driver.adapt_state).
+            # The GLs for .geno are gathered in SITE CHUNKS, not as one
+            # [S, N, 3] allgather -- a full gather would put the whole
+            # matrix on every host and defeat the host-sharded loading
+            # design (~6 TB at the 5000 x 50M target). Every process
+            # participates in each chunk's collective (lockstep);
+            # process 0 streams the bytes out.
+            from jax.sharding import NamedSharding as _NS
+            from jax.sharding import PartitionSpec as _PS
+
+            from .io.writers import write_geno_streamed
+
+            # ~256MB of f32 GLs per chunk; NGSF_GENO_GATHER_CHUNK forces
+            # a site count (tests use it to cover the multi-chunk path)
+            C = int(os.environ.get("NGSF_GENO_GATHER_CHUNK", 0)) or (
+                (1 << 28) // max(1, N * 12)
+            )
+            C = int(min(S_pad_dist, max(1, C)))
+            gather_c = _dist_gather_cache.get(C)
+            if gather_c is None:
+                gather_c = jax.jit(
+                    lambda g, s0: jax.lax.dynamic_slice_in_dim(g, s0, C, 0),
+                    out_shardings=_NS(gmesh, _PS()),
+                )
+                _dist_gather_cache[C] = gather_c
+            freq_h = np.asarray(st.freq, dtype=np.float64)
+
+            def _chunks():
+                for s0 in range(0, S, C):
+                    # dynamic_slice clamps the start so the window stays
+                    # in bounds; compensate with an in-chunk offset
+                    s0_eff = min(s0, S_pad_dist - C)
+                    gl_c = dist_mod.host_array(gather_c(gl_j, s0_eff))
+                    off = s0 - s0_eff
+                    n = min(C, S - s0)
+                    yield (gl_c[off:off + n].astype(np.float64),
+                           freq_h[s0:s0 + n], path_states[s0:s0 + n])
+
+            if dist_pid == 0:
+                write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
+                           np.asarray(st.alpha), np.asarray(st.freq))
+                write_ibd(p["out"] + ".ibd", np.asarray(st.ind_lkl),
+                          path_states, np.asarray(st.p_ibd))
+                write_geno_streamed(p["out"] + ".geno", _chunks())
+            else:
+                for _ in _chunks():  # run the collectives in lockstep
+                    pass
             return
         write_indF(
             p["out"] + ".indF", tot, np.asarray(st.indF), np.asarray(st.alpha),
@@ -842,6 +903,12 @@ def main(argv=None):
                     # (site meshes: re-padded with exact-identity sites)
                     pad = S_pad_dist - p["n_sites"]
                     if pad:
+                        from .parallel.driver import (
+                            PAD_E_PROB,
+                            PAD_FREQ,
+                            PAD_P_IBD,
+                        )
+
                         _f = np.dtype(dtype)
 
                         def _padc(x, value, width):
@@ -852,9 +919,9 @@ def main(argv=None):
                             )
 
                         state = state._replace(
-                            freq=_padc(state.freq, 0.25, pad),
-                            e_prob=_padc(state.e_prob, 0.0, pad),
-                            p_ibd=_padc(state.p_ibd, 0.0, pad),
+                            freq=_padc(state.freq, PAD_FREQ, pad),
+                            e_prob=_padc(state.e_prob, PAD_E_PROB, pad),
+                            p_ibd=_padc(state.p_ibd, PAD_P_IBD, pad),
                         )
                     state = EMState(
                         *(np.asarray(x, np.dtype(dtype)) for x in state)
@@ -932,8 +999,11 @@ def main(argv=None):
         # the PROCESSED likelihoods (post --call_geno + renormalisation),
         # exactly what the monolithic path trains on
         gl_host = np.asarray(gl_j, np.float64)
-        se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"],
-                         mesh=stream_mesh)
+        try:
+            se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"],
+                             mesh=stream_mesh)
+        except ValueError as e:  # e.g. n_ind not divisible by mesh axis
+            error("EM", str(e))
         S_, N_ = gl_host.shape[0], gl_host.shape[1]
         p_ibd = np.zeros((S_, N_), np.float32)
 
@@ -971,12 +1041,15 @@ def main(argv=None):
                 if n_iter % p["checkpoint_every"] == 0:
                     save_stream_checkpoint(p["checkpoint"], *params, bk)
 
-        with profile_ctx:
-            freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
-                freq0, indF0, alpha0, opts, p_ibd_out=p_ibd,
-                checkpoint_cb=stream_ckpt_cb,
-                resume_bookkeeping=stream_resume_bk, trace=trace,
-            )
+        try:
+            with profile_ctx:
+                freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
+                    freq0, indF0, alpha0, opts, p_ibd_out=p_ibd,
+                    checkpoint_cb=stream_ckpt_cb,
+                    resume_bookkeeping=stream_resume_bk, trace=trace,
+                )
+        except (NotImplementedError, ValueError) as e:
+            error("EM", str(e))
         if n_iters >= p["max_iters"]:
             print(
                 "WARN: Maximum number of iterations reached! Check if "
@@ -1016,7 +1089,8 @@ def main(argv=None):
         else:
             states_r = stack_restart_states(
                 gl_j, p["n_rep"], p["seed"], indF_spec=p["indF"],
-                freq_spec=p["freq"],
+                freq_spec=p["freq"], freq_est=p["freq_est"],
+                e_prob_calc=p["e_prob"],
             )
 
         def multi_trace(event, **kw):

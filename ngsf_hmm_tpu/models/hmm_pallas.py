@@ -206,8 +206,13 @@ def _tree_product_grad(mA, mF, ma):
 # ---------------------------------------------------------------------------
 
 
-LANE_MAX = 32768  # cap on L = nb * N: carries for the B=8 ladder kernel
-                  # hold 5 * 8 * Lp * 4 bytes of VMEM scratch (~5MB at cap)
+LANE_MAX = 32768  # cap on L = nb * N. Wider lanes shrink the grid, but
+                  # streamed slabs are [R, 8, L/8] and _pick_rows must
+                  # keep six double-buffered copies inside _STREAM_VMEM,
+                  # so lane width trades directly against sites/step (R);
+                  # per-candidate carries ([B, 8, C] each) also scale
+                  # with L on the B>1 candidate-batch path. 32k keeps
+                  # R >= 4 at the budget.
 
 _SUB = 8          # sublane fold of the lane axis
 _LANE_TILE = 8 * 128  # L padded to a multiple of one (8, 128) tile
@@ -217,9 +222,8 @@ _STREAM_VMEM = 6 << 20  # budget for streamed slabs per kernel (~16MB/core)
 def pick_block_size(S, N=1):
     """Grid steps are cheap here; prefer wider lanes (smaller nb) than
     the XLA-blocked sqrt split, but (a) keep nb >= 8 so the lane axis
-    stays wide, and (b) cap nb*N at LANE_MAX so the line-search ladder
-    kernel's VMEM scratch fits (observed OOM at 1M sites x 100 ind
-    otherwise)."""
+    stays wide, and (b) cap nb*N at LANE_MAX so the streamed slabs keep
+    a useful sites-per-step under the VMEM budget (see LANE_MAX)."""
     import math
 
     S = max(S, 1)

@@ -107,7 +107,6 @@ def _lbfgsb_core(
     xp,
     while_loop,
     set_at,
-    fun: Callable,
     x0,
     lower,
     upper,
@@ -120,7 +119,8 @@ def _lbfgsb_core(
     """Backend-agnostic projected L-BFGS. See `lbfgsb_minimize` for the
     argument contract; `xp` is numpy or jax.numpy, `while_loop` is
     lax.while_loop or a Python loop, `set_at(arr, idx, val)` is the
-    functional index-update primitive of the backend."""
+    functional index-update primitive of the backend. Every probe goes
+    through `value_and_grad`; there is no value-only evaluation path."""
     B, n = x0.shape
     dtype = x0.dtype
     x0 = xp.clip(x0, lower, upper)
@@ -287,7 +287,6 @@ def lbfgsb_minimize(
         jnp,
         jax.lax.while_loop,
         lambda arr, idx, val: arr.at[idx].set(val),
-        fun,
         x0,
         lower,
         upper,
@@ -326,12 +325,12 @@ def lbfgsb_minimize_host(
     if value_and_grad is None:
         raise ValueError("host backend needs an explicit value_and_grad")
 
+    del fun
     x0 = np.asarray(x0)
     return _lbfgsb_core(
         np,
         _py_while,
         _np_set_at,
-        fun,
         x0,
         np.asarray(lower, x0.dtype),
         np.asarray(upper, x0.dtype),

@@ -100,31 +100,49 @@ def _work_dtype_for(opts: EMOptions):
     return None if opts.numerics == "log" else jnp.float32
 
 
+# Exact-identity pad-site values. Every place that pads the site axis
+# (here, the CLI's per-host slab loading, the distributed init mask, and
+# the distributed checkpoint re-pad) MUST use these same values or the
+# padded chain stops being an identity extension of the real chain:
+#   PAD_GL    uniform log GLs (contribute nothing to est_maf / emissions)
+#   PAD_DIST  0 distance => delta transition (state carried through)
+#   PAD_E_PROB 0 in LOG space => emission prob 1 (chain passes through)
+#   PAD_P_IBD 0 posterior mass on IBD at pad sites
+#   PAD_FREQ  0.25 placeholder (never read back)
+PAD_GL = float(np.log(1.0 / 3.0))
+PAD_DIST = 0.0
+PAD_E_PROB = 0.0
+PAD_P_IBD = 0.0
+PAD_FREQ = 0.25
+
+
 def _pad_sites(gl, dist, state: EMState, S_pad: int):
-    """Pad the site axis to S_pad with exact-identity sites:
-    uniform GLs (discarded), dist 0 (delta transitions), e_prob 0
-    (emission 1), p_ibd 0, freq 0.25 (discarded)."""
+    """Pad the site axis to S_pad with exact-identity sites (the PAD_*
+    constants above)."""
     S = gl.shape[0]
     pad = S_pad - S
     if pad == 0:
         return gl, dist, state
     gl = jnp.concatenate(
-        [gl, jnp.full((pad,) + gl.shape[1:], jnp.log(1.0 / 3.0), gl.dtype)]
+        [gl, jnp.full((pad,) + gl.shape[1:], PAD_GL, gl.dtype)]
     )
-    dist = jnp.concatenate([dist, jnp.zeros((pad,), dist.dtype)])
+    dist = jnp.concatenate(
+        [dist, jnp.full((pad,), PAD_DIST, dist.dtype)]
+    )
     state = state._replace(
         freq=jnp.concatenate(
-            [state.freq, jnp.full((pad,), 0.25, state.freq.dtype)]
+            [state.freq, jnp.full((pad,), PAD_FREQ, state.freq.dtype)]
         ),
         e_prob=jnp.concatenate(
             [
                 state.e_prob,
-                jnp.zeros((pad,) + state.e_prob.shape[1:], state.e_prob.dtype),
+                jnp.full((pad,) + state.e_prob.shape[1:], PAD_E_PROB,
+                         state.e_prob.dtype),
             ]
         ),
         p_ibd=jnp.concatenate(
-            [state.p_ibd, jnp.zeros((pad,) + state.p_ibd.shape[1:],
-                                    state.p_ibd.dtype)]
+            [state.p_ibd, jnp.full((pad,) + state.p_ibd.shape[1:],
+                                   PAD_P_IBD, state.p_ibd.dtype)]
         ),
     )
     return gl, dist, state
@@ -305,6 +323,30 @@ def run_em_sharded(
     if log_callback is not None:
         lg = lambda n_iter, st, tot: log_callback(n_iter, adapt_state(st), tot)
 
+    tr = trace
+    if trace is not None:
+        class _HostStateView:
+            """Lazy gathered/unpadded view of the sharded state for trace
+            handlers. Raw device state can span non-addressable devices on
+            multi-process meshes (np.asarray on it raises), but gathering
+            e_prob every iteration just in case would tax silent runs --
+            the gather happens only if the handler touches an attribute
+            (the CLI does so at verbose >= 4)."""
+
+            def __init__(self, st):
+                self._dev = st
+                self._host = None
+
+            def __getattr__(self, name):
+                if self._host is None:
+                    self._host = adapt_state(self._dev)
+                return getattr(self._host, name)
+
+        def tr(event, **kw):
+            if "state" in kw:
+                kw["state"] = _HostStateView(kw["state"])
+            trace(event, **kw)
+
     state_d, bk, _ = convergence_loop(
         step,
         state_d,
@@ -313,7 +355,7 @@ def run_em_sharded(
         n_rep=R,
         freeze=freeze if with_restart else None,
         log_callback=lg,
-        trace=trace,
+        trace=tr,
         checkpoint_cb=cb,
         resume_bookkeeping=resume_bookkeeping,
         track_history=not with_restart,

@@ -179,13 +179,17 @@ def test_two_process_site_mesh_matches_single(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
 
     port = _free_port()
+    # small gather chunks: the .geno writer must stream multiple chunked
+    # allgathers (incl. the clamped last window over the 2 pad sites)
+    env_c = _env(4)
+    env_c["NGSF_GENO_GATHER_CHUNK"] = "64"
     procs = [
         subprocess.Popen(
             _cli_args(sim, tmp_path / "multi", [
                 "--coordinator", f"localhost:{port}",
                 "--n_procs", "2", "--proc_id", str(pid),
             ], n_sites=198, mesh="site=8"),
-            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env_c, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
         for pid in range(2)

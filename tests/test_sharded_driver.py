@@ -200,3 +200,52 @@ def test_cli_mesh_run(tmp_path):
     geno_p = np.fromfile(d / "plain.geno")
     geno_m = np.fromfile(d / "mesh.geno")
     np.testing.assert_allclose(geno_m, geno_p, atol=5e-3)
+
+
+def test_cli_mesh_ld_fails_fast(tmp_path, capsys):
+    """--mesh + the LD path (--freq_est 2 / --e_prob 2) must error at
+    arg-parse time -- before any IO or the pair-EM init -- since
+    run_em_sharded rejects it anyway (parallel/driver.py)."""
+    from ngsf_hmm_tpu.cli import main
+
+    for flag in ("--freq_est 2", "--e_prob 2"):
+        with pytest.raises(SystemExit) as ei:
+            main(
+                f"--geno does_not_exist.glf.gz --pos nope.pos.gz "
+                f"--n_ind 4 --n_sites 10 "
+                f"--mesh ind=2 {flag} --out x".split()
+            )
+        assert ei.value.code == 1
+        err = capsys.readouterr().err
+        # the LD guard, not a file-not-found from the reader
+        assert "LD path" in err and "mesh" in err
+
+
+def test_sharded_trace_state_lazy_view(case):
+    """iter_done trace handlers get a state whose attributes resolve to
+    the gathered UNPADDED host view (verbose >= 4 CLI handlers index
+    indF/e_prob directly; raw padded device state would be wrong on
+    multi-process meshes and off-by-pad on site meshes)."""
+    gl, dist, state = case
+    S, N = gl.shape[0], gl.shape[1]
+    seen = []
+
+    def trace(event, **kw):
+        if event != "iter_done":
+            return
+        st = kw["state"]
+        seen.append(
+            (np.asarray(st.indF).copy(), np.asarray(st.e_prob).shape,
+             float(np.asarray(st.freq)[0]))
+        )
+
+    opts = EMOptions(min_iters=2, max_iters=3, min_epsilon=1e-9)
+    res = run_em_sharded(
+        gl, dist, state, opts, parse_mesh_spec("site=8"), trace=trace
+    )
+    assert len(seen) == res.n_iters
+    indF_last, e_shape, f0 = seen[-1]
+    assert e_shape == (S, N, 2)  # unpadded (150 pads to 152 on site=8)
+    np.testing.assert_allclose(indF_last, np.asarray(res.state.indF),
+                               rtol=1e-6)
+    assert np.isfinite(f0)

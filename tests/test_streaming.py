@@ -283,3 +283,31 @@ def test_streaming_mesh_cli(data, tmp_path, monkeypatch):
     ga = np.fromfile(d / "sm.geno")
     gb = np.fromfile(d / "s1.geno")
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=2e-3)
+
+
+def test_streaming_cli_errors_are_reference_style(tmp_path, capsys):
+    """Streaming-path failures exit through the reference error() path
+    (exit 1 + ERROR banner), not a raw traceback: here n_ind not
+    divisible by the mesh ind axis (StreamingEM.__init__ ValueError)."""
+    import os
+
+    from ngsf_hmm_tpu.cli import main
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    d = tmp_path
+    simulate(n_ind=8, n_sites=60, freq="0.2", indF="0.4", alpha="0.05",
+             depth="2", seed=3, out=str(d / "sim"))
+    cwd = os.getcwd()
+    try:
+        os.chdir(d)
+        with pytest.raises(SystemExit) as ei:
+            main(
+                "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 8 "
+                "--n_sites 60 --freq 0.2 --indF 0.3,0.05 "
+                "--stream_chunk 30 --mesh ind=3 --out bad".split()
+            )
+    finally:
+        os.chdir(cwd)
+    assert ei.value.code == 1
+    err = capsys.readouterr().err
+    assert "ERROR: [EM]" in err and "not divisible" in err
