@@ -92,8 +92,12 @@ def test_pallas_em_iteration_matches_log():
     trajectory (f32 kernel tolerances)."""
     from ngsf_hmm_tpu.models.em import em_iteration, init_state
 
+    # Own RNG: the module-level RNG's state depends on which tests ran
+    # before, and this test's tolerances are trajectory- (not kernel-)
+    # limited, so the draw must be reproducible in isolation.
+    rng = np.random.default_rng(400)
     S, N = 400, 5
-    gl, freq, dist, F, alpha, e = oracle.random_case(RNG, S=S, N=N,
+    gl, freq, dist, F, alpha, e = oracle.random_case(rng, S=S, N=N,
                                                      chrom_break_every=113)
     gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)))
     dist_j = jnp.asarray(dist)
@@ -119,8 +123,12 @@ def test_pallas_em_iteration_matches_log():
     np.testing.assert_allclose(
         np.asarray(st_pal.indF), np.asarray(st_log.indF), atol=3e-3
     )
+    # ind_lkl is evaluated AT the diverged endpoints: with indF apart by
+    # O(pgtol) and |dll/dindF| up to O(10) near the optimum, ll can move
+    # by ~1e-2 absolute (~2e-5 relative at ll ~ -400). 1e-4 keeps margin
+    # while still catching any real kernel break (those show at >1e-2).
     np.testing.assert_allclose(
-        np.asarray(st_pal.ind_lkl), np.asarray(st_log.ind_lkl), rtol=1e-5
+        np.asarray(st_pal.ind_lkl), np.asarray(st_log.ind_lkl), rtol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(st_pal.p_ibd), np.asarray(st_log.p_ibd), atol=5e-3
