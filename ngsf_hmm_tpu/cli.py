@@ -723,7 +723,14 @@ def main(argv=None):
             print(f"\t{indF0[i]:.10f}\t{alpha0[i]:.6f}")
         print("".join(f"\t{f:.6f}" for f in freq0))
 
-    _dist_gather_cache = {}  # chunk-gather jits, keyed by chunk size
+    def _geno_chunk_sites(N, S_cap):
+        """~256MB of f32 GLs per gathered .geno chunk;
+        NGSF_GENO_GATHER_CHUNK forces a site count (tests use it to
+        cover the multi-chunk path)."""
+        C = int(os.environ.get("NGSF_GENO_GATHER_CHUNK", 0)) or (
+            (1 << 28) // max(1, N * 12)
+        )
+        return int(min(S_cap, max(1, C)))
 
     def write_outputs(st, tot, path_states):
         S, N = p["n_sites"], p["n_ind"]
@@ -737,32 +744,18 @@ def main(argv=None):
             # design (~6 TB at the 5000 x 50M target). Every process
             # participates in each chunk's collective (lockstep);
             # process 0 streams the bytes out.
-            from jax.sharding import NamedSharding as _NS
-            from jax.sharding import PartitionSpec as _PS
-
             from .io.writers import write_geno_streamed
+            from .parallel.distributed import fetch_chunk
 
-            # ~256MB of f32 GLs per chunk; NGSF_GENO_GATHER_CHUNK forces
-            # a site count (tests use it to cover the multi-chunk path)
-            C = int(os.environ.get("NGSF_GENO_GATHER_CHUNK", 0)) or (
-                (1 << 28) // max(1, N * 12)
-            )
-            C = int(min(S_pad_dist, max(1, C)))
-            gather_c = _dist_gather_cache.get(C)
-            if gather_c is None:
-                gather_c = jax.jit(
-                    lambda g, s0: jax.lax.dynamic_slice_in_dim(g, s0, C, 0),
-                    out_shardings=_NS(gmesh, _PS()),
-                )
-                _dist_gather_cache[C] = gather_c
+            C = _geno_chunk_sites(N, S_pad_dist)
             freq_h = np.asarray(st.freq, dtype=np.float64)
 
             def _chunks():
                 for s0 in range(0, S, C):
-                    # dynamic_slice clamps the start so the window stays
+                    # fetch_chunk clamps the start so the window stays
                     # in bounds; compensate with an in-chunk offset
                     s0_eff = min(s0, S_pad_dist - C)
-                    gl_c = dist_mod.host_array(gather_c(gl_j, s0_eff))
+                    gl_c = fetch_chunk(gl_j, 0, s0_eff, C)
                     off = s0 - s0_eff
                     n = min(C, S - s0)
                     yield (gl_c[off:off + n].astype(np.float64),
@@ -790,6 +783,63 @@ def main(argv=None):
             p["out"] + ".geno", np.asarray(gl_j, dtype=np.float64),
             np.asarray(st.freq, dtype=np.float64), path_states,
         )
+
+    def write_outputs_chunked(st, tot, path_d):
+        """Final writers for mesh runs (run_em_sharded gather_final=
+        False): st.e_prob/p_ibd and path_d are PADDED DEVICE arrays.
+        .ibd streams ind-blocks and .geno streams site-chunks through
+        distributed.fetch_chunk, so no host ever materialises an [S, N]
+        matrix (the BASELINE 1000 x 10M+ configs are tens of GB per
+        such matrix). Every process runs the fetches in lockstep; only
+        process 0 (trivially so single-process) writes bytes."""
+        from .io.writers import write_geno_streamed, write_ibd_streamed
+        from .parallel.distributed import fetch_chunk
+
+        S, N = p["n_sites"], p["n_ind"]
+        S_dev = int(path_d.shape[0])  # padded site length on device
+        S_gl = int(gl_j.shape[0])  # may be unpadded (single-process)
+        freq_h = np.asarray(st.freq, dtype=np.float64)  # unpadded [S]
+
+        # .ibd is per-IND rows: fetch [S_dev, B] ind-blocks
+        # (NGSF_IBD_GATHER_INDS forces B; tests cover multi-block)
+        B = int(os.environ.get("NGSF_IBD_GATHER_INDS", 0)) or max(
+            1, (1 << 28) // max(1, S_dev * 8)
+        )
+        B = min(B, N)
+
+        def _ind_blocks(arr):
+            for i0 in range(0, N, B):
+                i0_eff = min(i0, N - B)
+                blk = fetch_chunk(arr, 1, i0_eff, B)
+                off = i0 - i0_eff
+                n = min(B, N - i0)
+                yield blk[:S, off:off + n]
+
+        C = _geno_chunk_sites(N, min(S_gl, S_dev))
+
+        def _site_chunks():
+            for s0 in range(0, S, C):
+                n = min(C, S - s0)
+                g0 = min(s0, S_gl - C)
+                gl_c = fetch_chunk(gl_j, 0, g0, C)[s0 - g0:s0 - g0 + n]
+                p0 = min(s0, S_dev - C)
+                pa_c = fetch_chunk(path_d, 0, p0, C)[s0 - p0:s0 - p0 + n]
+                yield gl_c.astype(np.float64), freq_h[s0:s0 + n], pa_c
+
+        if dist_pid == 0:
+            # freq at its native dtype for .indF (%f text must match the
+            # ungathered writers byte for byte), float64 for .geno
+            write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
+                       np.asarray(st.alpha), np.asarray(st.freq))
+            write_ibd_streamed(p["out"] + ".ibd", np.asarray(st.ind_lkl),
+                               _ind_blocks(path_d), _ind_blocks(st.p_ibd))
+            write_geno_streamed(p["out"] + ".geno", _site_chunks())
+        else:
+            # keep the collectives in lockstep with process 0's writers
+            for it in (_ind_blocks(path_d), _ind_blocks(st.p_ibd),
+                       _site_chunks()):
+                for _ in it:
+                    pass
 
     def log_cb(n_iter, st, tot):
         if p["log"] and (n_iter == 1 or n_iter % p["log"] == 0):
@@ -1177,6 +1227,7 @@ def main(argv=None):
                         checkpoint_cb=ckpt_cb,
                         resume_bookkeeping=resume_bk,
                         S_true=p["n_sites"] if distributed_run else None,
+                        gather_final=False,  # chunked final writers
                     )
                 else:
                     result = run_em(
@@ -1196,7 +1247,11 @@ def main(argv=None):
         print("\n==> Decoding most probable path (Viterbi)")
         print(f"Final logLkl: {result.tot_lkl:.6f}")
         print("Printing final results")
-    write_outputs(result.state, result.tot_lkl, result.path)
+    if mesh_spec is not None and p["n_rep"] == 1:
+        # gather_final=False run: device-resident results, chunked write
+        write_outputs_chunked(result.state, result.tot_lkl, result.path)
+    else:
+        write_outputs(result.state, result.tot_lkl, result.path)
 
     if p["verbose"] >= 1:
         print("Freeing memory...")

@@ -56,6 +56,27 @@ def write_ibd(path, ind_lkl, path_states, p_ibd):
             fh.write("\t".join(post_txt[:, i]) + "\n")
 
 
+def write_ibd_streamed(path, ind_lkl, path_blocks, pibd_blocks):
+    """Chunked .ibd writer: byte-identical to write_ibd without ever
+    holding the [S, N] path/posterior matrices whole on the host.
+
+    path_blocks / pibd_blocks yield [S, B] blocks of B individuals in
+    ind order (the file is per-IND rows, so blocks are fetched along the
+    ind axis; each block only needs its own columns resident). The two
+    iterators are consumed sequentially -- all path rows precede all
+    posterior rows in the format (EM.cpp:322-356)."""
+    with open(path, "w") as fh:
+        fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
+        for blk in path_blocks:
+            digits = (blk.astype(np.uint8) + ord("0")).astype(np.uint8)
+            for i in range(blk.shape[1]):
+                fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
+        for blk in pibd_blocks:
+            post_txt = np.char.mod("%f", np.asarray(blk))
+            for i in range(blk.shape[1]):
+                fh.write("\t".join(post_txt[:, i]) + "\n")
+
+
 def geno_posteriors(gl, freq, path_states):
     """[S, N, 3] exp-space genotype posteriors with the Viterbi-
     conditioned HWE prior (EM.cpp:369-376; prior F = path state)."""

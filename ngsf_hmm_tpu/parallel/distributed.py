@@ -107,3 +107,48 @@ def host_array(x):
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+_fetch_jits = {}  # (mesh, shape, dtype, axis, size) -> jitted slicer
+
+
+def fetch_chunk(arr, axis, start, size):
+    """Host copy of one [.., start:start+size, ..] window along `axis`.
+
+    The scalable alternative to host_array for [S, N]-sized device
+    arrays: instead of allgathering the whole array, one window is
+    re-replicated on the array's mesh and pulled. For cross-process
+    arrays this is a COLLECTIVE -- every process must call it in
+    lockstep with the same arguments (only the writing process need use
+    the result). Fully-addressable arrays (incl. single-process meshes
+    and plain np/host arrays) take a direct slice, no collective.
+
+    `start` is clamped like lax.dynamic_slice (the window shifts back to
+    stay in bounds); callers iterate fixed-size windows and compensate
+    with an in-window offset, as the CLI's .geno gather does.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    sh = getattr(arr, "sharding", None)
+    if not (
+        isinstance(arr, jax.Array)
+        and isinstance(sh, NamedSharding)
+        and not arr.is_fully_addressable
+    ):
+        start = max(0, min(int(start), arr.shape[axis] - size))
+        idx = tuple(
+            slice(start, start + size) if a == axis else slice(None)
+            for a in range(arr.ndim)
+        )
+        return np.asarray(arr[idx])
+
+    key = (sh.mesh, arr.shape, str(arr.dtype), axis, size)
+    fn = _fetch_jits.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda a, s0: jax.lax.dynamic_slice_in_dim(a, s0, size, axis),
+            out_shardings=NamedSharding(sh.mesh, P()),
+        )
+        _fetch_jits[key] = fn
+    return np.asarray(fn(arr, start))

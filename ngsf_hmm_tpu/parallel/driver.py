@@ -166,6 +166,7 @@ def run_em_sharded(
     checkpoint_cb=None,
     resume_bookkeeping=None,
     S_true=None,
+    gather_final=True,
 ):
     """Full sharded training run: EM to convergence + Viterbi decode.
 
@@ -177,6 +178,14 @@ def run_em_sharded(
     The callbacks follow models/em.run_em; checkpoint payloads receive
     the UNPADDED gathered state, so checkpoints interoperate with the
     single-device engine (same io/checkpoint.py schema).
+
+    gather_final=False (n_rep == 1 only) keeps the [S, N]-sized results
+    DEVICE-resident: the returned state's e_prob/p_ibd and the Viterbi
+    path stay as padded sharded jax.Arrays (small fields are gathered
+    and unpadded as usual). At the BASELINE scale configs (1000 x 10M+)
+    gathering those onto every host is tens of GB; callers stream
+    windows out with distributed.fetch_chunk instead (the CLI's chunked
+    final writers). Checkpoint/log callbacks still see gathered state.
     """
     r, i, s = mesh_spec["restart"], mesh_spec["ind"], mesh_spec["site"]
     S, N = int(gl.shape[-3]), int(gl.shape[-2])
@@ -363,6 +372,30 @@ def run_em_sharded(
 
     # ---- final sharded Viterbi decode (EM.cpp:110-116)
     path_d = vit_fn(state_d.e_prob, dist_d, state_d.indF, state_d.alpha)
+
+    if not gather_final:
+        if with_restart:
+            raise ValueError(
+                "gather_final=False is for n_rep == 1 runs (restart "
+                "selection needs the gathered replicate axis)"
+            )
+        final = EMState(
+            freq=host_array(state_d.freq)[:S],
+            indF=host_array(state_d.indF),
+            alpha=host_array(state_d.alpha),
+            e_prob=state_d.e_prob,  # device, padded
+            p_ibd=state_d.p_ibd,  # device, padded
+            ind_lkl=host_array(state_d.ind_lkl),
+        )
+        return EMResult(
+            state=final,
+            path=path_d,  # device, padded
+            tot_lkl=float(bk.tot[0]),
+            n_iters=bk.n_iter,
+            converged=bk.n_iter < opts.max_iters,
+            lkl_history=bk.history,
+        )
+
     path = host_array(path_d)
     final = adapt_state(state_d)
 
