@@ -748,7 +748,13 @@ def main(argv=None):
             from .parallel.distributed import fetch_chunk
 
             C = _geno_chunk_sites(N, S_pad_dist)
-            freq_h = np.asarray(st.freq, dtype=np.float64)
+            # st may be a lazy per-field view whose access is a
+            # COLLECTIVE: touch every needed field on EVERY process
+            # (lockstep), then only process 0 writes
+            freq_r = np.asarray(st.freq)
+            indF_r, alpha_r = np.asarray(st.indF), np.asarray(st.alpha)
+            lkl_r, pibd_r = np.asarray(st.ind_lkl), np.asarray(st.p_ibd)
+            freq_h = freq_r.astype(np.float64)
 
             def _chunks():
                 for s0 in range(0, S, C):
@@ -762,10 +768,8 @@ def main(argv=None):
                            freq_h[s0:s0 + n], path_states[s0:s0 + n])
 
             if dist_pid == 0:
-                write_indF(p["out"] + ".indF", tot, np.asarray(st.indF),
-                           np.asarray(st.alpha), np.asarray(st.freq))
-                write_ibd(p["out"] + ".ibd", np.asarray(st.ind_lkl),
-                          path_states, np.asarray(st.p_ibd))
+                write_indF(p["out"] + ".indF", tot, indF_r, alpha_r, freq_r)
+                write_ibd(p["out"] + ".ibd", lkl_r, path_states, pibd_r)
                 write_geno_streamed(p["out"] + ".geno", _chunks())
             else:
                 for _ in _chunks():  # run the collectives in lockstep
@@ -918,34 +922,132 @@ def main(argv=None):
         error("main", "--resume requires --checkpoint FILE")
     if p["checkpoint"] and p["checkpoint_every"] < 1:
         error("main", "--checkpoint_every must be >= 1")
+    def _rebuild_from_params(freq_ck, indF_ck, alpha_ck):
+        """EM state from a params-only checkpoint: emissions rebuilt with
+        the IN-LOOP recompute form (what the next iteration's E-step
+        reads -- em.py's fast/log branch, site_sharded.py:254-265),
+        p_ibd/ind_lkl zeroed (both write-only before first use)."""
+        from .ops.emissions import calc_emission, emission_probs_linear
+
+        # freq_est 1 recomputes emissions each iteration: linear form on
+        # the fast kernels and every site/grid mesh, calc_emission
+        # otherwise. freq_est 0 freezes the init form, freq_est 2's
+        # e_prob_calc 1 path is calc_emission too.
+        fast_form = p["freq_est"] == 1 and (
+            (mesh_spec is not None and mesh_spec["site"] > 1)
+            or p["kernel"] in ("linear", "pallas")
+        )
+
+        def _mk(g, f, iF, al):
+            if fast_form:
+                e = jnp.log(emission_probs_linear(jnp.exp(g), f[:, None]))
+            else:
+                e = calc_emission(g, f[:, None])
+            S_g = g.shape[0]
+            if S_g != p["n_sites"]:
+                from .parallel.driver import PAD_E_PROB
+
+                padm = jnp.arange(S_g) >= p["n_sites"]
+                e = jnp.where(padm[:, None, None], PAD_E_PROB, e)
+            return EMState(
+                freq=f, indF=iF, alpha=al, e_prob=e,
+                p_ibd=jnp.zeros((S_g, g.shape[1]), g.dtype),
+                ind_lkl=jnp.zeros((g.shape[1],), g.dtype),
+            )
+
+        _f = np.dtype(dtype)
+        f_np = np.asarray(freq_ck, _f)
+        if distributed_run:
+            from .parallel.driver import PAD_FREQ
+
+            if S_pad_dist != p["n_sites"]:
+                f_np = np.concatenate([
+                    f_np,
+                    np.full(S_pad_dist - p["n_sites"], PAD_FREQ, _f),
+                ])
+            f_g = jax.device_put(f_np, NamedSharding(gmesh, freq_sp))
+            iF_g = jax.device_put(np.asarray(indF_ck, _f),
+                                  NamedSharding(gmesh, ind_sp))
+            al_g = jax.device_put(np.asarray(alpha_ck, _f),
+                                  NamedSharding(gmesh, ind_sp))
+            return jax.jit(_mk, out_shardings=out_sh)(gl_j, f_g, iF_g, al_g)
+        return _mk(gl_j, jnp.asarray(f_np), jnp.asarray(indF_ck, _f),
+                   jnp.asarray(alpha_ck, _f))
+
+    light_resume = False
+    # mesh runs checkpoint (freq, indF, alpha) ONLY: with e_prob_calc 1
+    # (all meshes; the LD path is rejected up front) emissions are the
+    # in-loop function of (gl, freq), p_ibd is write-only within an
+    # iteration and ind_lkl is overwritten by the first resumed step --
+    # a full-state save would be O(S*N) (~160 GB at 1000 x 10M)
+    light_ckpt = mesh_spec is not None and p["n_rep"] == 1
     if p["checkpoint"] and not p["stream_chunk"]:
-        from .io.checkpoint import load_checkpoint, save_checkpoint
+        from .io.checkpoint import (
+            checkpoint_format,
+            load_checkpoint,
+            load_params_checkpoint,
+            save_checkpoint,
+            save_params_checkpoint,
+        )
 
         if p["resume"]:
             try:
-                ck_state, resume_bk = load_checkpoint(p["checkpoint"])
+                ck_fmt = checkpoint_format(p["checkpoint"])
+                if ck_fmt == "params":
+                    (ck_freq, ck_indF, ck_alpha), resume_bk = \
+                        load_params_checkpoint(p["checkpoint"])
+                else:
+                    ck_state, resume_bk = load_checkpoint(p["checkpoint"])
             except FileNotFoundError:
                 error("main", f'checkpoint file "{p["checkpoint"]}" not found')
             except ValueError as e:
                 error("main", str(e))
-            ck_rep = int(resume_bk.get("n_rep", 1))
-            if ck_rep != p["n_rep"]:
-                error(
-                    "main",
-                    f"checkpoint has {ck_rep} replicate(s), "
-                    f"run has --n_rep {p['n_rep']}",
-                )
-            # multi-restart states carry a leading [R] axis
-            want = ((p["n_rep"], p["n_sites"]), (p["n_rep"], p["n_ind"])) \
-                if p["n_rep"] > 1 else ((p["n_sites"],), (p["n_ind"],))
-            if ck_state.freq.shape != want[0] or ck_state.indF.shape != want[1]:
-                error(
-                    "main",
-                    f"checkpoint shape mismatch: has freq{ck_state.freq.shape} "
-                    f"indF{ck_state.indF.shape}, run wants freq{want[0]} "
-                    f"indF{want[1]}",
-                )
-            if p["n_rep"] == 1:
+            if ck_fmt == "params":
+                if p["n_rep"] > 1:
+                    error("main", "params-only checkpoints carry a single "
+                                  "run, not --n_rep replicates")
+                if p["e_prob"] == 2:
+                    error("main", "params-only checkpoints cannot rebuild "
+                                  "the frozen LD init emissions (--e_prob "
+                                  "2); use a full checkpoint")
+                if ck_freq.shape != (p["n_sites"],) or \
+                        ck_indF.shape != (p["n_ind"],):
+                    error(
+                        "main",
+                        "checkpoint shape mismatch: has "
+                        f"freq{ck_freq.shape} indF{ck_indF.shape}, run "
+                        f"wants freq({p['n_sites']},) indF({p['n_ind']},)",
+                    )
+                state = _rebuild_from_params(ck_freq, ck_indF, ck_alpha)
+                light_resume = True
+                if p["verbose"] >= 1:
+                    print(
+                        f'==> Resuming from "{p["checkpoint"]}" at '
+                        f"iteration {int(resume_bk['n_iter'])} "
+                        "(params-only checkpoint; emissions rebuilt)"
+                    )
+            if ck_fmt == "full":
+                ck_rep = int(resume_bk.get("n_rep", 1))
+                if ck_rep != p["n_rep"]:
+                    error(
+                        "main",
+                        f"checkpoint has {ck_rep} replicate(s), "
+                        f"run has --n_rep {p['n_rep']}",
+                    )
+                # multi-restart states carry a leading [R] axis
+                want = ((p["n_rep"], p["n_sites"]),
+                        (p["n_rep"], p["n_ind"])) \
+                    if p["n_rep"] > 1 else ((p["n_sites"],), (p["n_ind"],))
+                if ck_state.freq.shape != want[0] or \
+                        ck_state.indF.shape != want[1]:
+                    error(
+                        "main",
+                        "checkpoint shape mismatch: has "
+                        f"freq{ck_state.freq.shape} "
+                        f"indF{ck_state.indF.shape}, run wants "
+                        f"freq{want[0]} indF{want[1]}",
+                    )
+            if ck_fmt == "full" and p["n_rep"] == 1:
                 state = ck_state
                 if distributed_run:
                     # checkpoints store the gathered UNPADDED host state;
@@ -977,21 +1079,34 @@ def main(argv=None):
                         *(np.asarray(x, np.dtype(dtype)) for x in state)
                     )
                     state = jax.device_put(state, out_sh)
-            if p["verbose"] >= 1:
+            if ck_fmt == "full" and p["verbose"] >= 1:
                 print(
                     f'==> Resuming from "{p["checkpoint"]}" at iteration '
                     f"{int(resume_bk['n_iter'])}"
                 )
 
         def ckpt_cb(n_iter, st, bk):
-            # distributed runs: st arrives pre-gathered (driver
-            # adapt_state's collective), only process 0 touches disk
-            if n_iter % p["checkpoint_every"] == 0 and (
-                not distributed_run or dist_pid == 0
-            ):
-                save_checkpoint(
-                    p["checkpoint"], st, {**bk, "n_rep": p["n_rep"]}
+            # distributed runs: st arrives as a lazily-gathered view
+            # (driver._HostStateView) whose field access is a COLLECTIVE
+            # -- touch the needed fields on EVERY process (lockstep),
+            # then only process 0 writes. Mesh runs save params-only
+            # (just freq/indF/alpha -- never the [S, N]-sized fields).
+            if n_iter % p["checkpoint_every"] != 0:
+                return
+            if light_ckpt:
+                f, iF, al = st.freq, st.indF, st.alpha
+                if not distributed_run or dist_pid == 0:
+                    save_params_checkpoint(
+                        p["checkpoint"], f, iF, al, {**bk, "n_rep": 1}
+                    )
+            else:
+                st_h = EMState(
+                    *(np.asarray(getattr(st, f)) for f in EMState._fields)
                 )
+                if not distributed_run or dist_pid == 0:
+                    save_checkpoint(
+                        p["checkpoint"], st_h, {**bk, "n_rep": p["n_rep"]}
+                    )
 
 
     if mesh_spec is not None and p["verbose"] >= 1:
@@ -1238,6 +1353,17 @@ def main(argv=None):
             except (RuntimeError, ValueError, NotImplementedError) as e:
                 error("EM", str(e))
 
+    if light_resume and result.n_iters <= int(resume_bk["n_iter"]):
+        # params-only checkpoints zero p_ibd/ind_lkl (rebuilt by the
+        # first resumed iteration); a resume that runs NO iterations
+        # would write those zeros into .ibd/.indF
+        error(
+            "main",
+            "checkpoint is already terminal under these options (no "
+            "iterations ran on resume); the original run wrote the "
+            "final outputs -- raise --max_iters / lower --min_epsilon "
+            "to continue training",
+        )
     if not result.converged:
         print(
             "WARN: Maximum number of iterations reached! Check if analysis "

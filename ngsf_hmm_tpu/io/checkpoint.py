@@ -125,3 +125,32 @@ def load_stream_checkpoint(path):
         path, STREAM_FORMAT, _STREAM_FIELDS, dtype=np.float64, as_jax=False
     )
     return (fields["freq"], fields["indF"], fields["alpha"]), bk
+
+
+# Params-only checkpoints for MESH runs reuse the streaming schema: with
+# e_prob_calc == 1 (the whole mesh-supported envelope) the emissions are
+# a pure function of (gl, freq) -- the in-loop recompute form -- p_ibd
+# is write-only inside an iteration, and ind_lkl is overwritten by the
+# first resumed step, so (freq, indF, alpha) + bookkeeping is an exact
+# resume. This keeps checkpoints O(S + N) instead of O(S * N): at the
+# 1000 x 10M BASELINE config the full-state schema is ~160 GB per save.
+save_params_checkpoint = save_stream_checkpoint
+load_params_checkpoint = load_stream_checkpoint
+
+
+def checkpoint_format(path):
+    """The format tag of a checkpoint file ('full' | 'params'), without
+    loading the arrays -- lets a resume accept either schema."""
+    try:
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ValueError(f"{path}: not a readable checkpoint ({e})")
+    fmt = meta.get("format")
+    if fmt == FORMAT:
+        return "full"
+    if fmt == STREAM_FORMAT:
+        return "params"
+    raise ValueError(f"{path}: unknown checkpoint format {fmt!r}")

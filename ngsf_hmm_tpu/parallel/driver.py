@@ -325,32 +325,48 @@ def run_em_sharded(
             )
         return host
 
+    class _HostStateView:
+        """Lazy PER-FIELD gathered/unpadded view of the sharded state for
+        callbacks. Raw device state can span non-addressable devices on
+        multi-process meshes (np.asarray on it raises), but gathering
+        e_prob/p_ibd every cadence just in case would tax runs that never
+        read them -- the gather happens per attribute on first touch
+        (trace handlers at verbose >= 4; params-only checkpoints read
+        just freq/indF/alpha). Attribute access only: restart-mode
+        callbacks that tree-map the state get the eager adapt_state."""
+
+        _FIELDS = frozenset(EMState._fields)
+
+        def __init__(self, st):
+            self._dev = st
+            self._cache = {}
+
+        def __getattr__(self, name):
+            if name not in _HostStateView._FIELDS:
+                raise AttributeError(name)
+            c = self._cache
+            if name not in c:
+                x = host_array(getattr(self._dev, name))
+                if S_pad != S:
+                    if name == "freq":
+                        x = x[..., :S]
+                    elif name == "e_prob":
+                        x = x[..., :S, :, :]
+                    elif name == "p_ibd":
+                        x = x[..., :S, :]
+                c[name] = x
+            return c[name]
+
+    wrap = adapt_state if with_restart else _HostStateView
     cb = None
     if checkpoint_cb is not None:
-        cb = lambda n_iter, st, bk: checkpoint_cb(n_iter, adapt_state(st), bk)
+        cb = lambda n_iter, st, bk: checkpoint_cb(n_iter, wrap(st), bk)
     lg = None
     if log_callback is not None:
-        lg = lambda n_iter, st, tot: log_callback(n_iter, adapt_state(st), tot)
+        lg = lambda n_iter, st, tot: log_callback(n_iter, wrap(st), tot)
 
     tr = trace
     if trace is not None:
-        class _HostStateView:
-            """Lazy gathered/unpadded view of the sharded state for trace
-            handlers. Raw device state can span non-addressable devices on
-            multi-process meshes (np.asarray on it raises), but gathering
-            e_prob every iteration just in case would tax silent runs --
-            the gather happens only if the handler touches an attribute
-            (the CLI does so at verbose >= 4)."""
-
-            def __init__(self, st):
-                self._dev = st
-                self._host = None
-
-            def __getattr__(self, name):
-                if self._host is None:
-                    self._host = adapt_state(self._dev)
-                return getattr(self._host, name)
-
         def tr(event, **kw):
             if "state" in kw:
                 kw["state"] = _HostStateView(kw["state"])

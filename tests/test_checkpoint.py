@@ -239,3 +239,55 @@ def test_nan_state_aborts(data):
     opts = EMOptions(min_iters=2, max_iters=4, min_epsilon=1e-3)
     with pytest.raises(RuntimeError, match="Fw and Bw"):
         run_em(bad, dist, _fresh_state(bad), opts)
+
+
+def test_cli_mesh_light_checkpoint_resume(data, tmp_path):
+    """Mesh runs checkpoint params-only (freq/indF/alpha: O(S+N), not the
+    O(S*N) full state); a resumed run rebuilds the in-loop emissions and
+    finishes byte-identical to the uninterrupted run; a terminal resume
+    errors instead of writing the zeroed p_ibd/ind_lkl placeholders."""
+    import numpy as np
+
+    from ngsf_hmm_tpu.cli import main
+    from ngsf_hmm_tpu.io.checkpoint import checkpoint_format
+
+    _, _, simdir = data
+    base = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 4 "
+        "--n_sites 250 --freq 0.15 --indF 0.3,0.05 --min_iters 2 "
+        "--min_epsilon 1e-9 --mesh ind=1,site=4 "  # 250 pads to 252
+    )
+    cwd = os.getcwd()
+    try:
+        os.chdir(simdir)
+        with contextlib.redirect_stdout(io.StringIO()):
+            assert main((base + "--max_iters 8 --out mA").split()) == 0
+        # partial run -> params checkpoint -> resume to the same end
+        with contextlib.redirect_stdout(io.StringIO()):
+            assert main((base + "--max_iters 4 --checkpoint mesh.ck "
+                         "--out mPart").split()) == 0
+        assert checkpoint_format("mesh.ck") == "params"
+        with np.load("mesh.ck") as z:
+            assert "e_prob" not in z.files and "freq" in z.files
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main((base + "--max_iters 8 --checkpoint mesh.ck "
+                         "--resume --out mB").split()) == 0
+        assert "params-only checkpoint" in buf.getvalue()
+        for ext in (".indF", ".ibd"):
+            assert (simdir / ("mB" + ext)).read_text() == \
+                (simdir / ("mA" + ext)).read_text(), ext
+        # resume is exact to f64 roundoff: the rebuilt emissions can
+        # differ from the in-loop values by ~1 ULP (separate XLA
+        # programs), which shows only in the binary .geno doubles
+        np.testing.assert_allclose(np.fromfile(simdir / "mA.geno"),
+                                   np.fromfile(simdir / "mB.geno"),
+                                   rtol=1e-12, atol=1e-15)
+        # terminal resume (checkpoint saved at max_iters): no iterations
+        # would run, p_ibd/ind_lkl are placeholders -> reference error()
+        with contextlib.redirect_stdout(io.StringIO()):
+            with pytest.raises(SystemExit):
+                main((base + "--max_iters 8 --checkpoint mesh.ck "
+                      "--resume --out mC").split())
+    finally:
+        os.chdir(cwd)
