@@ -732,6 +732,24 @@ def main(argv=None):
         )
         return int(min(S_cap, max(1, C)))
 
+    def _geno_chunks(freq_h, path_at):
+        """Site-chunked (gl, freq, path) windows for the streamed .geno
+        writer: clamp-compensated fetch_chunk windows over gl_j (a
+        collective on multi-process meshes -- iterate in lockstep).
+        path_at(s0, n, C) -> [n, N] path rows (host slice or device
+        fetch, each with its own clamp)."""
+        from .parallel.distributed import fetch_chunk
+
+        S = p["n_sites"]
+        S_gl = int(gl_j.shape[0])
+        C = _geno_chunk_sites(p["n_ind"], S_gl)
+        for s0 in range(0, S, C):
+            n = min(C, S - s0)
+            g0 = min(s0, S_gl - C)
+            gl_c = fetch_chunk(gl_j, 0, g0, C)[s0 - g0:s0 - g0 + n]
+            yield (gl_c.astype(np.float64), freq_h[s0:s0 + n],
+                   path_at(s0, n, C))
+
     def write_outputs(st, tot, path_states):
         S, N = p["n_sites"], p["n_ind"]
         if path_states is None:
@@ -745,34 +763,23 @@ def main(argv=None):
             # participates in each chunk's collective (lockstep);
             # process 0 streams the bytes out.
             from .io.writers import write_geno_streamed
-            from .parallel.distributed import fetch_chunk
 
-            C = _geno_chunk_sites(N, S_pad_dist)
             # st may be a lazy per-field view whose access is a
             # COLLECTIVE: touch every needed field on EVERY process
             # (lockstep), then only process 0 writes
             freq_r = np.asarray(st.freq)
             indF_r, alpha_r = np.asarray(st.indF), np.asarray(st.alpha)
             lkl_r, pibd_r = np.asarray(st.ind_lkl), np.asarray(st.p_ibd)
-            freq_h = freq_r.astype(np.float64)
-
-            def _chunks():
-                for s0 in range(0, S, C):
-                    # fetch_chunk clamps the start so the window stays
-                    # in bounds; compensate with an in-chunk offset
-                    s0_eff = min(s0, S_pad_dist - C)
-                    gl_c = fetch_chunk(gl_j, 0, s0_eff, C)
-                    off = s0 - s0_eff
-                    n = min(C, S - s0)
-                    yield (gl_c[off:off + n].astype(np.float64),
-                           freq_h[s0:s0 + n], path_states[s0:s0 + n])
-
+            chunks = _geno_chunks(
+                freq_r.astype(np.float64),
+                lambda s0, n, C: path_states[s0:s0 + n],
+            )
             if dist_pid == 0:
                 write_indF(p["out"] + ".indF", tot, indF_r, alpha_r, freq_r)
                 write_ibd(p["out"] + ".ibd", lkl_r, path_states, pibd_r)
-                write_geno_streamed(p["out"] + ".geno", _chunks())
+                write_geno_streamed(p["out"] + ".geno", chunks)
             else:
-                for _ in _chunks():  # run the collectives in lockstep
+                for _ in chunks:  # run the collectives in lockstep
                     pass
             return
         write_indF(
@@ -801,7 +808,6 @@ def main(argv=None):
 
         S, N = p["n_sites"], p["n_ind"]
         S_dev = int(path_d.shape[0])  # padded site length on device
-        S_gl = int(gl_j.shape[0])  # may be unpadded (single-process)
         freq_h = np.asarray(st.freq, dtype=np.float64)  # unpadded [S]
 
         # .ibd is per-IND rows: fetch [S_dev, B] ind-blocks
@@ -819,16 +825,11 @@ def main(argv=None):
                 n = min(B, N - i0)
                 yield blk[:S, off:off + n]
 
-        C = _geno_chunk_sites(N, min(S_gl, S_dev))
+        def _path_at(s0, n, C):
+            p0 = min(s0, S_dev - C)
+            return fetch_chunk(path_d, 0, p0, C)[s0 - p0:s0 - p0 + n]
 
-        def _site_chunks():
-            for s0 in range(0, S, C):
-                n = min(C, S - s0)
-                g0 = min(s0, S_gl - C)
-                gl_c = fetch_chunk(gl_j, 0, g0, C)[s0 - g0:s0 - g0 + n]
-                p0 = min(s0, S_dev - C)
-                pa_c = fetch_chunk(path_d, 0, p0, C)[s0 - p0:s0 - p0 + n]
-                yield gl_c.astype(np.float64), freq_h[s0:s0 + n], pa_c
+        chunks = _geno_chunks(freq_h, _path_at)
 
         if dist_pid == 0:
             # freq at its native dtype for .indF (%f text must match the
@@ -837,15 +838,20 @@ def main(argv=None):
                        np.asarray(st.alpha), np.asarray(st.freq))
             write_ibd_streamed(p["out"] + ".ibd", np.asarray(st.ind_lkl),
                                _ind_blocks(path_d), _ind_blocks(st.p_ibd))
-            write_geno_streamed(p["out"] + ".geno", _site_chunks())
+            write_geno_streamed(p["out"] + ".geno", chunks)
         else:
             # keep the collectives in lockstep with process 0's writers
-            for it in (_ind_blocks(path_d), _ind_blocks(st.p_ibd),
-                       _site_chunks()):
+            for it in (_ind_blocks(path_d), _ind_blocks(st.p_ibd), chunks):
                 for _ in it:
                     pass
 
     def log_cb(n_iter, st, tot):
+        if light_resume and n_iter <= int(resume_bk["n_iter"]):
+            # params-only resume: p_ibd/ind_lkl are placeholders until
+            # the first resumed iteration completes, and the --log
+            # rewrite fires at the TOP of the loop (EM.cpp:59-63) --
+            # logging at the resume point would write zeros
+            return
         if p["log"] and (n_iter == 1 or n_iter % p["log"] == 0):
             if p["verbose"] >= 1:
                 print("==> Printing current iteration parameters")
@@ -927,15 +933,14 @@ def main(argv=None):
         the IN-LOOP recompute form (what the next iteration's E-step
         reads -- em.py's fast/log branch, site_sharded.py:254-265),
         p_ibd/ind_lkl zeroed (both write-only before first use)."""
+        from .models.em import in_loop_emission_form
         from .ops.emissions import calc_emission, emission_probs_linear
 
-        # freq_est 1 recomputes emissions each iteration: linear form on
-        # the fast kernels and every site/grid mesh, calc_emission
-        # otherwise. freq_est 0 freezes the init form, freq_est 2's
-        # e_prob_calc 1 path is calc_emission too.
-        fast_form = p["freq_est"] == 1 and (
-            (mesh_spec is not None and mesh_spec["site"] > 1)
-            or p["kernel"] in ("linear", "pallas")
+        fast_form = "linear" == in_loop_emission_form(
+            p["freq_est"],
+            {"linear": "linear", "pallas": "pallas"}.get(
+                p["kernel"], "log"),
+            site_sharded=mesh_spec is not None and mesh_spec["site"] > 1,
         )
 
         def _mk(g, f, iF, al):

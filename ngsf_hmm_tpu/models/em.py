@@ -129,6 +129,22 @@ def init_state(gl, freq0, indF0, alpha0, e_prob_calc=1) -> EMState:
     )
 
 
+def in_loop_emission_form(freq_est, numerics, site_sharded=False):
+    """Which recompute form ``state.e_prob`` carries AFTER an iteration:
+    "linear" = ``jnp.log(ops.emissions.emission_probs_linear(...))``,
+    "log" = ``ops.emissions.calc_emission``. Params-only checkpoint
+    resumes (cli._rebuild_from_params) rebuild emissions with exactly
+    this form, so it MUST track em_iteration's fast branch below
+    (``fast = linear or use_pallas``), make_sharded_em_step's
+    pallas->linear rewrite, and site_sharded.site_em_iteration's
+    always-linear recompute. freq_est 0 freezes the init form and
+    freq_est 2 with e_prob_calc 1 recomputes via calc_emission (both
+    "log")."""
+    if freq_est == 1 and (site_sharded or numerics in ("linear", "pallas")):
+        return "linear"
+    return "log"
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -130,12 +130,7 @@ def fetch_chunk(arr, axis, start, size):
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    sh = getattr(arr, "sharding", None)
-    if not (
-        isinstance(arr, jax.Array)
-        and isinstance(sh, NamedSharding)
-        and not arr.is_fully_addressable
-    ):
+    if not isinstance(arr, jax.Array):
         start = max(0, min(int(start), arr.shape[axis] - size))
         idx = tuple(
             slice(start, start + size) if a == axis else slice(None)
@@ -143,12 +138,22 @@ def fetch_chunk(arr, axis, start, size):
         )
         return np.asarray(arr[idx])
 
-    key = (sh.mesh, arr.shape, str(arr.dtype), axis, size)
+    # Every jax.Array goes through a cached jitted dynamic slice with a
+    # TRACED start: an eager arr[start:stop] bakes the static start into
+    # the program, compiling once per distinct window (~0.5s each over
+    # the axon tunnel -- thousands of windows at BASELINE scale). One
+    # compile per (mesh, shape, axis, size) instead.
+    sh = arr.sharding
+    mesh = sh.mesh if isinstance(sh, NamedSharding) else None
+    key = (mesh, arr.shape, str(arr.dtype), axis, size)
     fn = _fetch_jits.get(key)
     if fn is None:
-        fn = jax.jit(
-            lambda a, s0: jax.lax.dynamic_slice_in_dim(a, s0, size, axis),
-            out_shardings=NamedSharding(sh.mesh, P()),
-        )
+        def slicer(a, s0):
+            return jax.lax.dynamic_slice_in_dim(a, s0, size, axis)
+
+        if mesh is not None:
+            fn = jax.jit(slicer, out_shardings=NamedSharding(mesh, P()))
+        else:
+            fn = jax.jit(slicer)
         _fetch_jits[key] = fn
     return np.asarray(fn(arr, start))

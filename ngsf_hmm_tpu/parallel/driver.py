@@ -175,8 +175,12 @@ def run_em_sharded(
     protocol; mesh_spec["restart"] must divide R).  Returns EMResult, or
     RestartResult when state carries a replicate axis.
 
-    The callbacks follow models/em.run_em; checkpoint payloads receive
-    the UNPADDED gathered state, so checkpoints interoperate with the
+    The callbacks follow models/em.run_em; checkpoint/log/trace payloads
+    see an UNPADDED gathered host view of the state. For n_rep == 1 it is
+    a LAZY per-field view (_HostStateView: attribute access + iteration,
+    not a pytree; fields gather on first touch) so callbacks that only
+    read freq/indF/alpha never pay the [S, N]-sized gathers; restart-mode
+    callbacks get an eager EMState. Checkpoints interoperate with the
     single-device engine (same io/checkpoint.py schema).
 
     gather_final=False (n_rep == 1 only) keeps the [S, N]-sized results
@@ -213,6 +217,11 @@ def run_em_sharded(
         raise ValueError("mesh restart axis > 1 requires --n_rep > 1")
     if with_restart and s > 1:
         raise ValueError("site mesh does not compose with --n_rep")
+    if with_restart and not gather_final:
+        raise ValueError(
+            "gather_final=False is for n_rep == 1 runs (restart "
+            "selection needs the gathered replicate axis)"
+        )
     if opts.freq_est == 2 or opts.e_prob_calc == 2:
         raise NotImplementedError(
             "the LD path (freq_est/e_prob 2) is not implemented on "
@@ -332,8 +341,14 @@ def run_em_sharded(
         e_prob/p_ibd every cadence just in case would tax runs that never
         read them -- the gather happens per attribute on first touch
         (trace handlers at verbose >= 4; params-only checkpoints read
-        just freq/indF/alpha). Attribute access only: restart-mode
-        callbacks that tree-map the state get the eager adapt_state."""
+        just freq/indF/alpha). Supports field attributes and iteration /
+        tuple-unpacking (which gathers everything, like the old eager
+        adapt_state); NOT a pytree -- jax.tree.map sees one leaf.
+        Restart-mode callbacks that tree-map the state get the eager
+        adapt_state instead. On multi-process meshes each first touch is
+        a COLLECTIVE: handlers must touch fields in the same order on
+        every process (the CLI handlers gate only disk writes by
+        process id, never the field access)."""
 
         _FIELDS = frozenset(EMState._fields)
 
@@ -356,6 +371,9 @@ def run_em_sharded(
                         x = x[..., :S, :]
                 c[name] = x
             return c[name]
+
+        def __iter__(self):
+            return (getattr(self, f) for f in EMState._fields)
 
     wrap = adapt_state if with_restart else _HostStateView
     cb = None
@@ -390,11 +408,6 @@ def run_em_sharded(
     path_d = vit_fn(state_d.e_prob, dist_d, state_d.indF, state_d.alpha)
 
     if not gather_final:
-        if with_restart:
-            raise ValueError(
-                "gather_final=False is for n_rep == 1 runs (restart "
-                "selection needs the gathered replicate axis)"
-            )
         final = EMState(
             freq=host_array(state_d.freq)[:S],
             indF=host_array(state_d.indF),
