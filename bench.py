@@ -315,13 +315,40 @@ def roofline_bytes_per_cell(opt_iters=10):
     return 56 + 12 * opt_iters + 16 + 28
 
 
+def _backend_alive(timeout_s=180):
+    """True if jax can initialise its default backend. The axon tunnel
+    can WEDGE (jax.devices() then hangs FOREVER -- CLAUDE.md gotchas);
+    probing in a subprocess keeps the bench itself from hanging, so the
+    driver records a flagged CPU result instead of nothing."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    global S, N, ITERS, BIG
+    device_fallback = False
     if os.environ.get("NGSF_BENCH_CPU") == "1":
         # debugging escape hatch (the env var JAX_PLATFORMS does NOT
         # override the axon TPU plugin; only the config call does)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    elif not _backend_alive():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        # the wedge outlives processes; shrink to CPU-feasible sizes
+        S, N, ITERS, BIG = min(S, 20_000), min(N, 8), min(ITERS, 2), False
+        device_fallback = True
+        log("[bench] WARNING: device backend unreachable (wedged "
+            "tunnel?); falling back to CPU at reduced config -- these "
+            "are NOT TPU numbers")
     rng = np.random.default_rng(20260816)
     gl, pos = make_inputs(rng)
 
@@ -357,6 +384,8 @@ def main():
     }
     if fallback:
         out["vs_baseline_is_fallback"] = True
+    if device_fallback:
+        out["device_fallback"] = "cpu"
 
     if BIG:
         t_big = time_ours_big(t_sync)
