@@ -65,6 +65,12 @@ _OPTIONS = [
     # device pass so gl/e_prob never reside whole in HBM (out-of-HBM
     # configs). Implies the linear speed kernels.
     ("stream_chunk", True, None),
+    # out-of-host-RAM composition for --stream_chunk: read GL chunks
+    # straight from the input file (binary: memmap; text: slab reader)
+    # instead of preloading the [S, N, 3] matrix, and spill the [S, N]
+    # p_ibd / Viterbi buffers to disk-backed memmaps. The 5000 x 50M
+    # BASELINE config (~6 TB of GLs) is only loadable this way.
+    ("stream_file", False, None),
     # multi-chip runs (parallel/driver.py): "--mesh ind=8",
     # "--mesh restart=2,ind=4", "--mesh ind=2,site=4", or "RxI[xS]"
     # shorthand. Shards the full EM run (convergence loop + Viterbi +
@@ -127,7 +133,7 @@ def _apply_opt(pars, opt, val):
     elif opt == "loglkl":
         pars["lkl"] = True
         pars["loglkl"] = True
-    elif opt in ("call_geno", "indF_fixed", "alpha_fixed"):
+    elif opt in ("call_geno", "indF_fixed", "alpha_fixed", "stream_file"):
         pars[opt] = True
     elif opt == "log_bin":
         pars["log"] = _atoi(val)
@@ -180,6 +186,7 @@ def parse_args(argv):
         "resume": False,
         "profile": None,
         "stream_chunk": 0,
+        "stream_file": False,
         "mesh": None,
         "coordinator": None,
         "n_procs": 1,
@@ -404,6 +411,11 @@ def main(argv=None):
                 "implemented on meshes (site-shard boundaries break the "
                 "pair-EM recurrence); run it single-device",
             )
+    if p["stream_file"] and not p["stream_chunk"]:
+        error("main", "--stream_file requires --stream_chunk")
+    if p["stream_chunk"] and (p["freq_est"] == 2 or p["e_prob"] == 2):
+        error("main", "--stream_chunk does not support the LD path "
+                      "(--freq_est 2 / --e_prob 2)")
 
     # ---- multi-host input layout: each process reads only its slab of
     # the GL matrix (the ind-axis range its devices own on the mesh)
@@ -487,8 +499,25 @@ def main(argv=None):
 
     if p["verbose"] >= 1:
         print("> GENO data")
+    gl_src = None
+    if p["stream_file"]:
+        # out-of-host-RAM: never read the matrix; chunks come straight
+        # from the file with the full read pipeline applied per chunk
+        from .io.glsource import ChunkedGLSource
+
+        try:
+            gl_src = ChunkedGLSource(
+                p["geno"], p["n_ind"], p["n_sites"], binary=in_bin,
+                probs=p["lkl"], log_scale=p["loglkl"],
+                call_geno=p["call_geno"],
+            )
+            gl_src[0:1]  # probe: surface format errors up front
+        except (ValueError, OSError) as e:
+            error("read_geno", str(e))
     try:
-        if ind_slab is not None:
+        if gl_src is not None:
+            gl = None
+        elif ind_slab is not None:
             if site_slab is not None:
                 # clamp this host's padded-coordinate range to real sites
                 lo, cnt = site_slab
@@ -566,6 +595,10 @@ def main(argv=None):
                 np.asarray(dist, np.dtype(dtype)),
                 NamedSharding(gmesh, _P()),
             )
+    elif gl_src is not None:
+        # the source applies call_geno/post_prob per chunk itself
+        gl_j = gl_src
+        dist_j = None  # streaming consumes the host `dist` directly
     else:
         gl_j = jnp.asarray(gl, dtype=dtype)
         if p["call_geno"]:
@@ -635,6 +668,12 @@ def main(argv=None):
                         out_shardings=NamedSharding(gmesh, _P()),
                     )(gl_j)
                 )[: p["n_sites"]]
+            elif gl_src is not None and fspec == "e":
+                # est_maf is per-site independent: the chunked estimate
+                # over the file source equals the monolithic one
+                from .io.glsource import est_maf_streamed
+
+                freq0 = est_maf_streamed(gl_src, p["stream_chunk"])
             else:
                 freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j,
                                   freq_est=p["freq_est"])
@@ -642,7 +681,12 @@ def main(argv=None):
             error("init_output", str(e))
         if p["verbose"] >= 1:
             print("==> Calculating initial emission probabilities")
-        if distributed_run:
+        if p["stream_chunk"] > 0:
+            # streaming builds per-chunk emissions on the fly; the
+            # monolithic [S, N, 2] device e_prob would defeat the
+            # out-of-HBM point of --stream_chunk
+            pass
+        elif distributed_run:
             # global state with the canonical mesh shardings: small
             # vectors device_put from (identical) host copies, the big
             # [S, N, *] fields computed on-device from the sharded GLs
@@ -1143,8 +1187,7 @@ def main(argv=None):
         # ---- streaming EM: out-of-HBM path (models/streaming.py)
         if p["n_rep"] > 1:
             error("main", "--stream_chunk is incompatible with --n_rep")
-        if p["freq_est"] == 2 or p["e_prob"] == 2:
-            error("main", "--stream_chunk does not support the LD path")
+        # (the LD path is rejected at arg-parse time)
         from .io.writers import write_geno_streamed
         from .models.streaming import StreamingEM, streaming_viterbi
 
@@ -1167,15 +1210,32 @@ def main(argv=None):
             print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk"
                   f"{extra})")
         # the PROCESSED likelihoods (post --call_geno + renormalisation),
-        # exactly what the monolithic path trains on
-        gl_host = np.asarray(gl_j, np.float64)
+        # exactly what the monolithic path trains on. With --stream_file
+        # the source IS the processed view, read per chunk from disk.
+        gl_host = gl_j if gl_src is not None else np.asarray(gl_j,
+                                                             np.float64)
         try:
             se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"],
                              mesh=stream_mesh)
         except ValueError as e:  # e.g. n_ind not divisible by mesh axis
             error("EM", str(e))
         S_, N_ = gl_host.shape[0], gl_host.shape[1]
-        p_ibd = np.zeros((S_, N_), np.float32)
+        _pibd_mm = _path_mm = None
+        if gl_src is not None:
+            # [S, N] accumulators spill to disk-backed memmaps: at the
+            # 5000 x 50M config they are ~1 TB (f32) + 250 GB (int8).
+            # Stored IND-MAJOR ([N, S]) so the per-individual .ibd rows
+            # read back contiguously; the engine writes site-chunk rows
+            # through the transposed view (N strided runs per chunk)
+            import tempfile
+
+            _spill = tempfile.TemporaryDirectory(prefix="ngsf_stream_")
+            _pibd_mm = np.memmap(os.path.join(_spill.name, "p_ibd.f32"),
+                                 np.float32, "w+", shape=(N_, S_))
+            _pibd_mm[:] = 0.0
+            p_ibd = _pibd_mm.T
+        else:
+            p_ibd = np.zeros((S_, N_), np.float32)
 
         stream_ckpt_cb = None
         stream_resume_bk = None
@@ -1229,21 +1289,41 @@ def main(argv=None):
             print("\n==> Decoding most probable path (Viterbi)")
             print(f"Final logLkl: {ind_lkl.sum():.6f}")
             print("Printing final results")
-        path = streaming_viterbi(se, freq_f, F_f, a_f)
+        path_out = None
+        if gl_src is not None:
+            _path_mm = np.memmap(os.path.join(_spill.name, "path.i8"),
+                                 np.int8, "w+", shape=(N_, S_))
+            path_out = _path_mm.T
+        path = streaming_viterbi(se, freq_f, F_f, a_f, path_out=path_out)
         write_indF(p["out"] + ".indF", float(ind_lkl.sum()), F_f, a_f, freq_f)
-        write_ibd(p["out"] + ".ibd", ind_lkl, path, p_ibd)
+        if gl_src is not None:
+            # stream the .ibd rows from the ind-major spill files (one
+            # contiguous read per ind-block) -- write_ibd would
+            # materialise the [S, N] matrices whole
+            from .io.writers import write_ibd_streamed
 
-        def _geno_chunks():
+            def _ind_row_blocks(mm):
+                Bw = max(1, (1 << 30) // max(1, S_ * mm.itemsize))
+                for i0 in range(0, N_, Bw):
+                    yield np.asarray(mm[i0:i0 + Bw]).T  # [S, b]
+
+            write_ibd_streamed(p["out"] + ".ibd", ind_lkl,
+                               _ind_row_blocks(_path_mm),
+                               _ind_row_blocks(_pibd_mm))
+        else:
+            write_ibd(p["out"] + ".ibd", ind_lkl, path, p_ibd)
+
+        def _stream_geno_chunks():
             for c in range(se.C):
                 lo = c * se.cs
                 hi = min(lo + se.cs, S_)
                 yield (
-                    gl_host[lo:hi],
+                    np.asarray(gl_host[lo:hi], np.float64),
                     freq_f[lo:hi].astype(np.float64),
-                    path[lo:hi],
+                    np.asarray(path[lo:hi]),
                 )
 
-        write_geno_streamed(p["out"] + ".geno", _geno_chunks())
+        write_geno_streamed(p["out"] + ".geno", _stream_geno_chunks())
         if p["verbose"] >= 1:
             print("Freeing memory...")
             print("Done!")

@@ -1,0 +1,117 @@
+"""File-backed genotype-likelihood source for out-of-host-RAM streaming.
+
+The 5000-ind x 50M-site BASELINE config is ~6 TB of raw binary GLs --
+no host can preload it the way the CLI's monolithic read path does
+(ngsF-HMM.cpp:96-117 reads everything up front; so does the reference).
+`ChunkedGLSource` exposes exactly the interface models/streaming.py
+touches (`.shape` and contiguous `src[lo:hi]` site slices) and applies
+the FULL read pipeline per chunk, so a `--stream_chunk --stream_file`
+run is byte-equivalent to preloading:
+
+  1. raw read   -- binary: np.memmap window (O(1) seek;
+                   reference format: site-major little-endian doubles,
+                   read_data.cpp:24-40); text: io.readers.read_geno_slab
+                   (gzip line-skip per chunk -- O(S) per chunk, fine for
+                   a one-shot conversion but prefer binary at scale)
+  2. log + normalise (read_data.cpp:88-108 semantics, as read_geno)
+  3. optional --call_geno (ngsF-HMM.cpp:103-110)
+  4. post_prob renormalisation (ngsF-HMM.cpp:116)
+
+Chunks are processed with the SAME ops the monolithic CLI path uses
+(ops.hwe.call_geno / post_prob), so per-chunk and whole-matrix
+processing agree exactly: every op is per-site.
+"""
+
+import os
+
+import numpy as np
+
+from ..utils.constants import BIG, N_GENO
+from .readers import _normalise_log
+
+
+class ChunkedGLSource:
+    """[S, N, 3] normalised log-GL source reading site chunks on demand.
+
+    binary=True memory-maps the raw doubles; binary=False re-reads the
+    (possibly gzipped) text file through the slab reader per chunk.
+    Slicing returns float64 numpy arrays, like the monolithic pipeline.
+    """
+
+    def __init__(self, path, n_ind, n_sites, binary=False, probs=False,
+                 log_scale=False, call_geno=False):
+        self.path = path
+        self.shape = (n_sites, n_ind, N_GENO)
+        self.binary = binary
+        self.probs = probs
+        self.log_scale = log_scale
+        self.call_geno = call_geno
+        if binary:
+            want = n_sites * n_ind * N_GENO * 8
+            real = os.path.getsize(path)
+            if real != want:
+                raise ValueError("invalid/corrupt genotype input file!")
+            self._mm = np.memmap(path, dtype="<f8", mode="r",
+                                 shape=self.shape)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _raw(self, lo, hi):
+        if self.binary:
+            gl = np.array(self._mm[lo:hi], dtype=np.float64)
+            if not self.log_scale:
+                with np.errstate(divide="ignore"):
+                    gl = np.log(gl)
+                gl[np.isneginf(gl)] = -BIG
+            gl = _normalise_log(gl)
+            if np.isnan(gl).any():
+                raise ValueError("NaN found! Is the file format correct?")
+            return gl
+        from . import readers
+
+        return np.asarray(
+            readers.read_geno_slab(
+                self.path, self.shape[1], self.shape[0],
+                (lo, hi - lo), (0, self.shape[1]), binary=False,
+                probs=self.probs, log_scale=self.log_scale,
+            ),
+            dtype=np.float64,
+        )
+
+    def __getitem__(self, sl):
+        if not isinstance(sl, slice) or sl.step not in (None, 1):
+            raise TypeError("ChunkedGLSource supports contiguous site "
+                            "slices only")
+        lo, hi, _ = sl.indices(self.shape[0])
+        gl = self._raw(lo, hi)
+        # the monolithic path's device-side processing, applied on host
+        # per chunk with the SAME ops (both are per-site)
+        import jax.numpy as jnp
+
+        from ..ops.hwe import call_geno as call_geno_op
+        from ..ops.hwe import post_prob
+
+        g = jnp.asarray(gl)
+        if self.call_geno:
+            g = call_geno_op(g)
+        return np.asarray(post_prob(g, None), dtype=np.float64)
+
+
+def est_maf_streamed(src, chunk_sites=1 << 20):
+    """Initial '--freq e' estimate over a ChunkedGLSource: est_maf's
+    fixed point is per-site independent (gen_func.cpp:964-1009), so the
+    chunked estimate equals the monolithic one exactly."""
+    import jax.numpy as jnp
+
+    from ..ops.maf import est_maf
+
+    S = src.shape[0]
+    out = np.empty(S, np.float64)
+    for lo in range(0, S, chunk_sites):
+        hi = min(lo + chunk_sites, S)
+        g = jnp.asarray(src[lo:hi])
+        out[lo:hi] = np.asarray(
+            est_maf(g, jnp.zeros(g.shape[:2], g.dtype))
+        )
+    return out

@@ -6,6 +6,9 @@ chromosome break ON a chunk boundary) must match the monolithic linear
 engine within optimizer-endpoint tolerances (the M-step optimizer is the
 host L-BFGS mirror, so endpoints can differ at the 1e-4 level)."""
 
+import contextlib
+import io
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -311,3 +314,61 @@ def test_streaming_cli_errors_are_reference_style(tmp_path, capsys):
     assert ei.value.code == 1
     err = capsys.readouterr().err
     assert "ERROR: [EM]" in err and "not divisible" in err
+
+
+def test_cli_stream_file_matches_preloaded(tmp_path):
+    """--stream_file (file-backed GL source + disk-spilled p_ibd/path
+    buffers) is byte-equivalent to the preloading --stream_chunk run,
+    for gzip-text and raw-binary inputs; --freq e exercises the chunked
+    est_maf init."""
+    import gzip
+    import os
+
+    from ngsf_hmm_tpu.cli import main
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    d = tmp_path
+    simulate(n_ind=6, n_sites=300, freq="0.2", site_pos="r", indF="0.4",
+             alpha="0.03", depth="3", seed=17, out=str(d / "sim"))
+    # raw-binary twin holding the SAME log-GL values (no exp/log
+    # roundtrip, so outputs can be compared exactly)
+    with gzip.open(d / "sim.glf.gz", "rt") as fh:
+        raw = np.loadtxt(fh)
+    raw.reshape(300, 6, 3).astype("<f8").tofile(d / "sim.bin")
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(d)
+        for geno, tag in (("sim.glf.gz", "txt"), ("sim.bin", "bin")):
+            base = (
+                f"--geno {geno} --loglkl --pos sim.pos.gz --n_ind 6 "
+                "--n_sites 300 --freq e --indF 0.3,0.05 --min_iters 3 "
+                "--max_iters 6 --min_epsilon 1e-4 --stream_chunk 90 "
+            )
+            with contextlib.redirect_stdout(io.StringIO()):
+                assert main((base + f"--out mem_{tag}").split()) == 0
+            with contextlib.redirect_stdout(io.StringIO()):
+                assert main(
+                    (base + f"--stream_file --out file_{tag}").split()
+                ) == 0
+            for ext in (".indF", ".ibd"):
+                assert (d / f"file_{tag}{ext}").read_bytes() == \
+                    (d / f"mem_{tag}{ext}").read_bytes(), (tag, ext)
+            np.testing.assert_array_equal(
+                np.fromfile(d / f"file_{tag}.geno"),
+                np.fromfile(d / f"mem_{tag}.geno"),
+            )
+        # text and binary runs see identical values -> identical outputs
+        assert (d / "file_txt.indF").read_bytes() == \
+            (d / "file_bin.indF").read_bytes()
+    finally:
+        os.chdir(cwd)
+
+
+def test_cli_stream_file_requires_stream_chunk():
+    from ngsf_hmm_tpu.cli import main
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(SystemExit):
+            main("--geno x --pos y --n_ind 2 --n_sites 10 "
+                 "--stream_file --out z".split())
