@@ -363,9 +363,10 @@ def main(argv=None):
             error("main", "--coordinator does not support --n_rep (shard "
                           "replicates within one host or run one process "
                           "per replicate)")
-        if p["stream_chunk"]:
-            error("main", "--coordinator does not compose with "
-                          "--stream_chunk")
+        if p["stream_chunk"] and not p["stream_file"]:
+            error("main", "--coordinator + --stream_chunk requires "
+                          "--stream_file (each process streams its ind "
+                          "slab of every chunk straight from the input)")
         if p["n_procs"] < 1 or not (0 <= dist_pid < p["n_procs"]):
             error("main", "--proc_id must be in [0, --n_procs)")
         try:
@@ -510,6 +511,7 @@ def main(argv=None):
                 p["geno"], p["n_ind"], p["n_sites"], binary=in_bin,
                 probs=p["lkl"], log_scale=p["loglkl"],
                 call_geno=p["call_geno"],
+                ind_slab=ind_slab,  # multi-host: this process's columns
             )
             gl_src[0:1]  # probe: surface format errors up front
         except (ValueError, OSError) as e:
@@ -567,7 +569,13 @@ def main(argv=None):
 
     from .ops.hwe import post_prob
 
-    if distributed_run:
+    if gl_src is not None:
+        # the source applies call_geno/post_prob per chunk itself; for
+        # distributed streaming it already exposes only this process's
+        # ind columns
+        gl_j = gl_src
+        dist_j = None  # streaming consumes the host `dist` directly
+    elif distributed_run:
         # assemble the global [S, N, 3] array from the per-host slabs and
         # process it on-device (sharding-preserving elementwise ops);
         # no host ever holds the full matrix
@@ -595,10 +603,6 @@ def main(argv=None):
                 np.asarray(dist, np.dtype(dtype)),
                 NamedSharding(gmesh, _P()),
             )
-    elif gl_src is not None:
-        # the source applies call_geno/post_prob per chunk itself
-        gl_j = gl_src
-        dist_j = None  # streaming consumes the host `dist` directly
     else:
         gl_j = jnp.asarray(gl, dtype=dtype)
         if p["call_geno"]:
@@ -650,7 +654,18 @@ def main(argv=None):
         # single-run init (incl. the freq 'e' est_maf pass and the
         # [S, N, 2] emission build) is only done here
         try:
-            if distributed_run and fspec == "e":
+            if gl_src is not None and fspec == "e":
+                # est_maf is per-site independent: the chunked estimate
+                # over the file source equals the monolithic one
+                # (multi-host: chunks assemble globally, psum over ind)
+                from .io.glsource import est_maf_streamed
+
+                freq0 = est_maf_streamed(
+                    gl_src, p["stream_chunk"],
+                    mesh=gmesh if distributed_run else None,
+                    n_ind_total=p["n_ind"],
+                )
+            elif distributed_run and fspec == "e":
                 # est_maf over the globally-sharded GLs: jitted so the
                 # cross-host ind-axis sums become collectives, gathered
                 # so every process sees the same full freq vector
@@ -668,12 +683,6 @@ def main(argv=None):
                         out_shardings=NamedSharding(gmesh, _P()),
                     )(gl_j)
                 )[: p["n_sites"]]
-            elif gl_src is not None and fspec == "e":
-                # est_maf is per-site independent: the chunked estimate
-                # over the file source equals the monolithic one
-                from .io.glsource import est_maf_streamed
-
-                freq0 = est_maf_streamed(gl_src, p["stream_chunk"])
             else:
                 freq0 = init_freq(fspec, p["n_sites"], rng, gl=gl_j,
                                   freq_est=p["freq_est"])
@@ -1192,7 +1201,12 @@ def main(argv=None):
         from .models.streaming import StreamingEM, streaming_viterbi
 
         stream_mesh = None
-        if mesh_spec is not None:
+        if distributed_run:
+            # the GLOBAL (1, ind) mesh built for per-host slab loading;
+            # each process streams its ind columns, chunk kernels run on
+            # globally-assembled arrays (est_maf psums ride DCN)
+            stream_mesh = gmesh
+        elif mesh_spec is not None:
             from .parallel.mesh import make_mesh
 
             n_need = mesh_spec["ind"]
@@ -1207,16 +1221,22 @@ def main(argv=None):
                 f", ind sharded {mesh_spec['ind']}-way"
                 if stream_mesh is not None else ""
             )
+            if distributed_run:
+                extra += f" across {p['n_procs']} processes"
             print(f"==> Streaming EM ({p['stream_chunk']} sites/chunk"
                   f"{extra})")
         # the PROCESSED likelihoods (post --call_geno + renormalisation),
         # exactly what the monolithic path trains on. With --stream_file
-        # the source IS the processed view, read per chunk from disk.
+        # the source IS the processed view, read per chunk from disk
+        # (multi-host: just this process's ind columns).
         gl_host = gl_j if gl_src is not None else np.asarray(gl_j,
                                                              np.float64)
         try:
-            se = StreamingEM(gl_host, dist, chunk_sites=p["stream_chunk"],
-                             mesh=stream_mesh)
+            se = StreamingEM(
+                gl_host, dist, chunk_sites=p["stream_chunk"],
+                mesh=stream_mesh,
+                n_ind_total=p["n_ind"] if distributed_run else None,
+            )
         except ValueError as e:  # e.g. n_ind not divisible by mesh axis
             error("EM", str(e))
         S_, N_ = gl_host.shape[0], gl_host.shape[1]
@@ -1254,12 +1274,14 @@ def main(argv=None):
                           f'checkpoint file "{p["checkpoint"]}" not found')
                 except ValueError as e:
                     error("main", str(e))
-                if freq0.shape != (S_,) or indF0.shape != (N_,):
+                # checkpoints hold the GLOBAL parameter vectors
+                if freq0.shape != (p["n_sites"],) or \
+                        indF0.shape != (p["n_ind"],):
                     error(
                         "main",
                         f"checkpoint shape mismatch: has freq{freq0.shape} "
-                        f"indF{indF0.shape}, run wants freq({S_},) "
-                        f"indF({N_},)",
+                        f"indF{indF0.shape}, run wants "
+                        f"freq({p['n_sites']},) indF({p['n_ind']},)",
                     )
                 if p["verbose"] >= 1:
                     print(
@@ -1268,18 +1290,32 @@ def main(argv=None):
                     )
 
             def stream_ckpt_cb(n_iter, params, bk):
-                if n_iter % p["checkpoint_every"] == 0:
+                # params arrive gathered (StreamingEM.run); only one
+                # process touches disk
+                if n_iter % p["checkpoint_every"] == 0 and (
+                    not distributed_run or dist_pid == 0
+                ):
                     save_stream_checkpoint(p["checkpoint"], *params, bk)
 
+        # multi-host: this process optimises only its ind block (the
+        # single-process slice is the whole vector)
+        i0_loc = ind_slab[0] if distributed_run else 0
+        indF_run = np.asarray(indF0, np.float64)[i0_loc:i0_loc + N_]
+        alpha_run = np.asarray(alpha0, np.float64)[i0_loc:i0_loc + N_]
         try:
             with profile_ctx:
                 freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
-                    freq0, indF0, alpha0, opts, p_ibd_out=p_ibd,
+                    freq0, indF_run, alpha_run, opts, p_ibd_out=p_ibd,
                     checkpoint_cb=stream_ckpt_cb,
                     resume_bookkeeping=stream_resume_bk, trace=trace,
                 )
         except (NotImplementedError, ValueError) as e:
             error("EM", str(e))
+        # global per-ind views for the gate warning, prints and writers
+        # (gathers are lockstep collectives on every process)
+        ll_all = se._gather_ind(ind_lkl)
+        F_all = se._gather_ind(F_f)
+        a_all = se._gather_ind(a_f)
         if n_iters >= p["max_iters"]:
             print(
                 "WARN: Maximum number of iterations reached! Check if "
@@ -1287,7 +1323,7 @@ def main(argv=None):
             )
         if p["verbose"] >= 1:
             print("\n==> Decoding most probable path (Viterbi)")
-            print(f"Final logLkl: {ind_lkl.sum():.6f}")
+            print(f"Final logLkl: {ll_all.sum():.6f}")
             print("Printing final results")
         path_out = None
         if gl_src is not None:
@@ -1295,17 +1331,47 @@ def main(argv=None):
                                  np.int8, "w+", shape=(N_, S_))
             path_out = _path_mm.T
         path = streaming_viterbi(se, freq_f, F_f, a_f, path_out=path_out)
-        write_indF(p["out"] + ".indF", float(ind_lkl.sum()), F_f, a_f, freq_f)
-        if gl_src is not None:
+        if not distributed_run or dist_pid == 0:
+            write_indF(p["out"] + ".indF", float(ll_all.sum()),
+                       F_all, a_all, freq_f)
+
+        def _ind_row_blocks(mm):
+            Bw = max(1, (1 << 30) // max(1, S_ * mm.itemsize))
+            for i0 in range(0, mm.shape[0], Bw):
+                yield np.asarray(mm[i0:i0 + Bw]).T  # [S, b]
+
+        if distributed_run:
+            # each process holds only its ind columns: write per-process
+            # .ibd row part-files (shared filesystem, like every other
+            # output), barrier, process 0 stitches them in ind order
+            from jax.experimental import multihost_utils
+
+            from .io.writers import write_path_rows, write_post_rows
+
+            part = f'{p["out"]}.ibd.part{dist_pid}'
+            with open(part + ".path", "w") as fh:
+                write_path_rows(fh, _ind_row_blocks(_path_mm))
+            with open(part + ".post", "w") as fh:
+                write_post_rows(fh, _ind_row_blocks(_pibd_mm))
+            multihost_utils.sync_global_devices("ngsf_ibd_parts")
+            if dist_pid == 0:
+                import shutil
+
+                with open(p["out"] + ".ibd", "w") as fh:
+                    fh.write("//\t" + "\t".join(
+                        f"{v:.10f}" for v in ll_all) + "\n")
+                    for ext in (".path", ".post"):
+                        for q in range(p["n_procs"]):
+                            with open(f'{p["out"]}.ibd.part{q}{ext}') as sf:
+                                shutil.copyfileobj(sf, fh)
+            multihost_utils.sync_global_devices("ngsf_ibd_done")
+            for ext in (".path", ".post"):
+                os.unlink(part + ext)
+        elif gl_src is not None:
             # stream the .ibd rows from the ind-major spill files (one
             # contiguous read per ind-block) -- write_ibd would
             # materialise the [S, N] matrices whole
             from .io.writers import write_ibd_streamed
-
-            def _ind_row_blocks(mm):
-                Bw = max(1, (1 << 30) // max(1, S_ * mm.itemsize))
-                for i0 in range(0, N_, Bw):
-                    yield np.asarray(mm[i0:i0 + Bw]).T  # [S, b]
 
             write_ibd_streamed(p["out"] + ".ibd", ind_lkl,
                                _ind_row_blocks(_path_mm),
@@ -1313,17 +1379,44 @@ def main(argv=None):
         else:
             write_ibd(p["out"] + ".ibd", ind_lkl, path, p_ibd)
 
-        def _stream_geno_chunks():
-            for c in range(se.C):
-                lo = c * se.cs
-                hi = min(lo + se.cs, S_)
-                yield (
-                    np.asarray(gl_host[lo:hi], np.float64),
-                    freq_f[lo:hi].astype(np.float64),
-                    np.asarray(path[lo:hi]),
-                )
+        if distributed_run:
+            # .geno is site-major (all inds interleave per site): gather
+            # each site chunk's gl/path globally (lockstep collectives),
+            # process 0 computes the posteriors and writes
+            _gsh = NamedSharding(gmesh, _P(None, "ind", None))
+            _psh = NamedSharding(gmesh, _P(None, "ind"))
 
-        write_geno_streamed(p["out"] + ".geno", _stream_geno_chunks())
+            def _stream_geno_chunks():
+                for c in range(se.C):
+                    lo = c * se.cs
+                    hi = min(lo + se.cs, S_)
+                    gl_g = dist_mod.host_array(dist_mod.global_from_slab(
+                        _gsh, np.asarray(gl_host[lo:hi], np.float64),
+                        (hi - lo, p["n_ind"], 3)))
+                    pa_g = dist_mod.host_array(dist_mod.global_from_slab(
+                        _psh, np.ascontiguousarray(path[lo:hi]),
+                        (hi - lo, p["n_ind"])))
+                    yield (gl_g.astype(np.float64),
+                           freq_f[lo:hi].astype(np.float64), pa_g)
+
+            if dist_pid == 0:
+                write_geno_streamed(p["out"] + ".geno",
+                                    _stream_geno_chunks())
+            else:
+                for _ in _stream_geno_chunks():
+                    pass
+        else:
+            def _stream_geno_chunks():
+                for c in range(se.C):
+                    lo = c * se.cs
+                    hi = min(lo + se.cs, S_)
+                    yield (
+                        np.asarray(gl_host[lo:hi], np.float64),
+                        freq_f[lo:hi].astype(np.float64),
+                        np.asarray(path[lo:hi]),
+                    )
+
+            write_geno_streamed(p["out"] + ".geno", _stream_geno_chunks())
         if p["verbose"] >= 1:
             print("Freeing memory...")
             print("Done!")

@@ -39,9 +39,19 @@ class ChunkedGLSource:
     """
 
     def __init__(self, path, n_ind, n_sites, binary=False, probs=False,
-                 log_scale=False, call_geno=False):
+                 log_scale=False, call_geno=False, ind_slab=None):
+        """ind_slab: optional (offset, count) -- expose only those
+        individuals' columns (multi-host streaming: each process reads
+        just its ind shard of every chunk). `.shape[1]` then reports the
+        LOCAL count."""
         self.path = path
-        self.shape = (n_sites, n_ind, N_GENO)
+        self.n_ind_file = n_ind
+        self.ind_slab = (0, n_ind) if ind_slab is None else \
+            (int(ind_slab[0]), int(ind_slab[1]))
+        if not (0 <= self.ind_slab[0]
+                and self.ind_slab[0] + self.ind_slab[1] <= n_ind):
+            raise ValueError("ind_slab out of range")
+        self.shape = (n_sites, self.ind_slab[1], N_GENO)
         self.binary = binary
         self.probs = probs
         self.log_scale = log_scale
@@ -52,14 +62,15 @@ class ChunkedGLSource:
             if real != want:
                 raise ValueError("invalid/corrupt genotype input file!")
             self._mm = np.memmap(path, dtype="<f8", mode="r",
-                                 shape=self.shape)
+                                 shape=(n_sites, n_ind, N_GENO))
 
     def __len__(self):
         return self.shape[0]
 
     def _raw(self, lo, hi):
+        i0, ic = self.ind_slab
         if self.binary:
-            gl = np.array(self._mm[lo:hi], dtype=np.float64)
+            gl = np.array(self._mm[lo:hi, i0:i0 + ic], dtype=np.float64)
             if not self.log_scale:
                 with np.errstate(divide="ignore"):
                     gl = np.log(gl)
@@ -72,8 +83,8 @@ class ChunkedGLSource:
 
         return np.asarray(
             readers.read_geno_slab(
-                self.path, self.shape[1], self.shape[0],
-                (lo, hi - lo), (0, self.shape[1]), binary=False,
+                self.path, self.n_ind_file, self.shape[0],
+                (lo, hi - lo), (i0, ic), binary=False,
                 probs=self.probs, log_scale=self.log_scale,
             ),
             dtype=np.float64,
@@ -98,20 +109,46 @@ class ChunkedGLSource:
         return np.asarray(post_prob(g, None), dtype=np.float64)
 
 
-def est_maf_streamed(src, chunk_sites=1 << 20):
+def est_maf_streamed(src, chunk_sites=1 << 20, mesh=None, n_ind_total=None):
     """Initial '--freq e' estimate over a ChunkedGLSource: est_maf's
     fixed point is per-site independent (gen_func.cpp:964-1009), so the
-    chunked estimate equals the monolithic one exactly."""
+    chunked estimate equals the monolithic one exactly.
+
+    mesh: optional (restart=1, ind) global mesh for multi-host sources
+    (src holds only this process's ind columns): each chunk assembles
+    into a global array and the cross-ind sums psum over the mesh; the
+    replicated result is identical on every process. Every process must
+    call in lockstep (chunk loop = collectives)."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops.maf import est_maf
 
     S = src.shape[0]
     out = np.empty(S, np.float64)
+    fn = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.distributed import global_from_slab, host_array
+
+        gl_sh = NamedSharding(mesh, P(None, "ind", None))
+        fn = jax.jit(
+            lambda g: est_maf(g, jnp.zeros(g.shape[:2], g.dtype)),
+            out_shardings=NamedSharding(mesh, P()),
+        )
     for lo in range(0, S, chunk_sites):
         hi = min(lo + chunk_sites, S)
-        g = jnp.asarray(src[lo:hi])
-        out[lo:hi] = np.asarray(
-            est_maf(g, jnp.zeros(g.shape[:2], g.dtype))
-        )
+        g = src[lo:hi]
+        if mesh is None:
+            g = jnp.asarray(g)
+            out[lo:hi] = np.asarray(
+                est_maf(g, jnp.zeros(g.shape[:2], g.dtype))
+            )
+        else:
+            g_glob = global_from_slab(
+                gl_sh, g, (hi - lo, int(n_ind_total), 3)
+            )
+            out[lo:hi] = host_array(fn(g_glob))
     return out

@@ -56,6 +56,22 @@ def write_ibd(path, ind_lkl, path_states, p_ibd):
             fh.write("\t".join(post_txt[:, i]) + "\n")
 
 
+def write_path_rows(fh, blocks):
+    """ASCII 0/1 Viterbi rows, one per individual, from [S, B] blocks."""
+    for blk in blocks:
+        digits = (blk.astype(np.uint8) + ord("0")).astype(np.uint8)
+        for i in range(blk.shape[1]):
+            fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
+
+
+def write_post_rows(fh, blocks):
+    """"%f"-formatted tab-joined posterior rows from [S, B] blocks."""
+    for blk in blocks:
+        post_txt = np.char.mod("%f", np.asarray(blk))
+        for i in range(blk.shape[1]):
+            fh.write("\t".join(post_txt[:, i]) + "\n")
+
+
 def write_ibd_streamed(path, ind_lkl, path_blocks, pibd_blocks):
     """Chunked .ibd writer: byte-identical to write_ibd without ever
     holding the [S, N] path/posterior matrices whole on the host.
@@ -67,14 +83,8 @@ def write_ibd_streamed(path, ind_lkl, path_blocks, pibd_blocks):
     posterior rows in the format (EM.cpp:322-356)."""
     with open(path, "w") as fh:
         fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
-        for blk in path_blocks:
-            digits = (blk.astype(np.uint8) + ord("0")).astype(np.uint8)
-            for i in range(blk.shape[1]):
-                fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
-        for blk in pibd_blocks:
-            post_txt = np.char.mod("%f", np.asarray(blk))
-            for i in range(blk.shape[1]):
-                fh.write("\t".join(post_txt[:, i]) + "\n")
+        write_path_rows(fh, path_blocks)
+        write_post_rows(fh, pibd_blocks)
 
 
 def geno_posteriors(gl, freq, path_states):

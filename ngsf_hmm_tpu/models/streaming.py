@@ -231,22 +231,41 @@ class StreamingEM:
         The mesh's ind axis must divide N.
     """
 
-    def __init__(self, gl, dist, chunk_sites=1 << 20, mesh=None):
+    def __init__(self, gl, dist, chunk_sites=1 << 20, mesh=None,
+                 n_ind_total=None):
+        """Multi-process meshes: `gl` holds only THIS process's ind
+        columns (each host streams its slab of every chunk) and
+        `n_ind_total` gives the global individual count. All host math
+        stays per-local-individual; device chunk arrays are assembled as
+        global arrays from the per-process slabs, so est_maf's
+        cross-individual sums become DCN collectives exactly as in the
+        monolithic distributed path. Convergence control values are
+        allgathered per iteration (tiny [N] vectors), keeping every
+        process's host loop in lockstep."""
         self.gl = gl
         self.S, self.N = gl.shape[0], gl.shape[1]
+        self.N_tot = int(n_ind_total) if n_ind_total else self.N
         self.dist = np.asarray(dist, np.float64)
         self.cs = int(min(chunk_sites, self.S))
         self.C = -(-self.S // self.cs)
         self.bs = pick_block_size(self.cs)
         self.mesh = mesh
+        self.multi = mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
+        if not self.multi and self.N_tot != self.N:
+            raise ValueError("n_ind_total only applies to multi-process "
+                             "meshes")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_sh = int(np.prod([mesh.shape[a] for a in mesh.axis_names
                                 if a == "ind"]))
-            if self.N % max(n_sh, 1) != 0:
+            if self.N_tot % max(n_sh, 1) != 0:
                 raise ValueError(
-                    f"n_ind {self.N} not divisible by mesh ind axis {n_sh}"
+                    f"n_ind {self.N_tot} not divisible by mesh ind axis "
+                    f"{n_sh}"
                 )
             self._sh = {
                 # chunk-shaped [cs, ...] arrays: ind on axis 1
@@ -258,13 +277,55 @@ class StreamingEM:
                 "ind2": NamedSharding(mesh, P("ind", None)),
                 "rep": NamedSharding(mesh, P()),
             }
+            self._ind_axis = {"gl": 1, "ind": 0, "kind": 1, "ind2": 0}
 
     def _put(self, x, kind, dtype=None):
-        """Device placement: sharded onto the mesh, or plain asarray."""
+        """Device placement: sharded onto the mesh, or plain asarray.
+
+        Multi-process: ind-carrying kinds arrive as LOCAL slabs and are
+        assembled into global arrays; "rep" kinds arrive identical on
+        every process."""
+        if self.multi:
+            from ..parallel.distributed import global_from_slab
+
+            x = np.asarray(x, dtype)
+            ax = self._ind_axis.get(kind)
+            gshape = list(x.shape)
+            if ax is not None:
+                gshape[ax] = self.N_tot
+            return global_from_slab(self._sh[kind], x, tuple(gshape))
         x = jnp.asarray(x, dtype)
         if self.mesh is None:
             return x
         return jax.device_put(x, self._sh[kind])
+
+    def _loc(self, x, axis=0):
+        """Kernel output -> this process's local ind block (host np)."""
+        if not self.multi:
+            return np.asarray(x)
+        from ..parallel.distributed import local_slab
+
+        return local_slab(x, axis)
+
+    def _rep(self, x):
+        """Kernel output with no ind axis -> full host copy."""
+        if not self.multi:
+            return np.asarray(x)
+        from ..parallel.distributed import host_array
+
+        return host_array(x)
+
+    def _gather_ind(self, vec):
+        """[N_loc] local per-ind vector -> [N_tot] global, identical on
+        every process (an allgather: LOCKSTEP on all processes)."""
+        if not self.multi:
+            return np.asarray(vec)
+        from ..parallel.distributed import global_from_slab, host_array
+
+        g = global_from_slab(
+            self._sh["ind"], np.ascontiguousarray(vec), (self.N_tot,)
+        )
+        return host_array(g)
 
     def _chunk(self, c):
         """Padded chunk c: (gl_c [cs, N, 3] f32, freq slice idx, dist_c)."""
@@ -306,7 +367,7 @@ class StreamingEM:
                 self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
             )
             for dst, src in zip((Ts, ss, dT_F, ds_F, dT_a, ds_a), out):
-                dst[c] = np.asarray(src)
+                dst[c] = self._loc(src, 0)
         return Ts, ss, dT_F, ds_F, dT_a, ds_a
 
     def _transfers(self, freq, F, alpha):
@@ -321,8 +382,8 @@ class StreamingEM:
                 self._put(self._freq_chunk(freq, lo, hi), "rep"),
                 self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
             )
-            Ts[c] = np.asarray(T)
-            ss[c] = np.asarray(s)
+            Ts[c] = self._loc(T, 0)
+            ss[c] = self._loc(s, 0)
         return Ts, ss
 
     def _stream_iteration(self, freq, F, alpha, opts, p_ibd_out=None):
@@ -333,7 +394,8 @@ class StreamingEM:
         # ---- pass A: chain at current params
         Ts, ss = self._transfers(freq, F, alpha)
         v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
-        fwbw = float(np.abs(ll_f - ll_b).max())
+        # fw/bw check over ALL individuals (gathered when multi-process)
+        fwbw = float(self._gather_ind(np.abs(ll_f - ll_b)).max())
 
         # ---- pass B: posteriors + chunk-local freq M-step
         F_d = self._put(F, "ind", jnp.float32)
@@ -350,9 +412,9 @@ class StreamingEM:
                 self.bs, self.cs, hi - lo,
             )
             if opts.freq_est == 1:
-                new_freq[lo:hi] = np.asarray(f_c)[: hi - lo]
+                new_freq[lo:hi] = self._rep(f_c)[: hi - lo]
             if p_ibd_out is not None:
-                p_ibd_out[lo:hi] = np.asarray(p_c)[: hi - lo]
+                p_ibd_out[lo:hi] = self._loc(p_c, 1)[: hi - lo]
 
         # ---- M-step (F, alpha): host L-BFGS over streamed evals,
         # emissions from the PRE-update freq (iter_EM order,
@@ -423,28 +485,65 @@ class StreamingEM:
             freq, F, alpha, ll_f, fwbw = self._stream_iteration(
                 freq, F, alpha, opts, p_ibd_out=p_ibd_out
             )
-            return (freq, F, alpha, ll_f), ll_f, np.asarray([fwbw])
+            # the gate sees the GLOBAL per-ind lkls (allgathered when
+            # multi-process, so every host's loop decides identically)
+            return (freq, F, alpha, ll_f), self._gather_ind(ll_f), \
+                np.asarray([fwbw])
 
         def ckpt(n_iter, st, bk):
             if checkpoint_cb is not None:
                 bk = dict(bk)
                 bk.pop("history", None)  # stream schema stores no history
-                checkpoint_cb(n_iter, (st[0], st[1], st[2]), bk)
+                # gather the per-ind params on EVERY process (lockstep
+                # collectives); the callback decides who writes
+                checkpoint_cb(
+                    n_iter,
+                    (st[0], self._gather_ind(st[1]),
+                     self._gather_ind(st[2])),
+                    bk,
+                )
+
+        tr = trace
+        if trace is not None and self.multi:
+            def tr(event, **kw):
+                if event == "iter_done":
+                    st = kw["state"]
+                    # full per-ind views for verbose handlers (lockstep)
+                    kw["state"] = (st[0], self._gather_ind(st[1]),
+                                   self._gather_ind(st[2]), st[3])
+                trace(event, **kw)
 
         state, bk, _ = convergence_loop(
             step,
             state0,
             opts,
-            n_ind=self.N,
-            trace=trace,
+            n_ind=self.N_tot,
+            trace=tr,
             checkpoint_cb=ckpt if checkpoint_cb is not None else None,
             resume_bookkeeping=resume_bookkeeping,
         )
         freq, F, alpha, ll_f = state
         if bk.n_iter == 0 and resume_bookkeeping:
             # resumed run already converged: report the restored lkl
-            ll_f = np.asarray(resume_bookkeeping["prev_ind"], np.float64)
+            # (global per-ind values; slice the local block back out)
+            i0 = 0
+            if self.multi:
+                i0 = self._local_ind_offset()
+            ll_f = np.asarray(resume_bookkeeping["prev_ind"],
+                              np.float64)[i0:i0 + self.N]
         return freq, F, alpha, ll_f, bk.n_iter
+
+    def _local_ind_offset(self):
+        """Global index of this process's first individual column."""
+        from ..parallel.distributed import axis_slab
+
+        lo, cnt = axis_slab(self._sh["ind"], (self.N_tot,), 0)
+        if cnt != self.N:
+            raise ValueError(
+                f"local gl has {self.N} inds but the mesh assigns "
+                f"[{lo}, {lo + cnt})"
+            )
+        return lo
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +628,7 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
             se._put(se._freq_chunk(freq, lo, hi), "rep"),
             se._put(d_c, "rep"), F32, a32, hi - lo, compat,
         )
-        Vs[c] = np.asarray(V)
+        Vs[c] = se._loc(V, 0)
     entries, exits = _maxplus_chain(Vs, np.asarray(F, np.float64))
     for c in range(se.C):
         # emissions-only recompute (no second max-plus scan)
@@ -544,5 +643,5 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
             se._put(entries[c], "ind2", jnp.float32),
             se._put(exits[c], "ind"), compat,
         )
-        path_out[lo:hi] = np.asarray(path_c)[: hi - lo]
+        path_out[lo:hi] = se._loc(path_c, 1)[: hi - lo]
     return path_out

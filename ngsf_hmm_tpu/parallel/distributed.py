@@ -157,3 +157,27 @@ def fetch_chunk(arr, axis, start, size):
             fn = jax.jit(slicer)
         _fetch_jits[key] = fn
     return np.asarray(fn(arr, start))
+
+
+def local_slab(x, axis):
+    """This process's contiguous block of a global array sharded along
+    `axis` (all other axes unsharded), as one host np array.
+
+    The inverse of global_from_slab for jit OUTPUTS: multi-host
+    streaming keeps all host math per-individual, so each process pulls
+    only its own ind columns from kernel results. No collective.
+    """
+    if not (isinstance(x, jax.Array) and not x.is_fully_addressable):
+        return np.asarray(x)
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[axis].start or 0
+    )
+    seen = []
+    parts = []
+    for s in shards:
+        key = (s.index[axis].start or 0)
+        if key in seen:  # replicated over other mesh axes
+            continue
+        seen.append(key)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]

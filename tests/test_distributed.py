@@ -306,3 +306,61 @@ def test_two_process_site_mesh_checkpoint_resume(tmp_path):
             continue
         np.testing.assert_allclose(fy, fx, rtol=1e-6, atol=1e-9,
                                    equal_nan=True)
+
+
+def test_two_process_streaming_matches_single(tmp_path):
+    """Multi-host STREAMING: --coordinator + --mesh ind=8 +
+    --stream_chunk + --stream_file across 2 gloo processes x 4 virtual
+    devices. Each process streams only its ind columns of every chunk
+    from the input file (ChunkedGLSource ind_slab); est_maf's
+    cross-individual sums psum over the global mesh; the host L-BFGS
+    runs per-local-individual; .ibd is stitched from per-process row
+    part-files. Must match the single-process --stream_file run, incl.
+    the chunked --freq e init and a streaming checkpoint save."""
+    sim = _sim(tmp_path)
+    extra = ["--stream_chunk", "60", "--stream_file", "--freq", "e"]
+
+    r = subprocess.run(
+        _cli_args(sim, tmp_path / "single", extra),
+        env=_env(8), capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    ck = str(tmp_path / "stream.ck")
+    procs = [
+        subprocess.Popen(
+            _cli_args(sim, tmp_path / "multi", [
+                "--coordinator", f"localhost:{port}",
+                "--n_procs", "2", "--proc_id", str(pid),
+                "--checkpoint", ck,
+            ] + extra),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            outs.append(pr.communicate(timeout=420))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for pr, (out_, err) in zip(procs, outs):
+        assert pr.returncode == 0, out_ + err
+    assert "Done!" in outs[0][0]
+    assert "across 2 processes" in outs[0][0]
+
+    # f32 psum reduction order differs between 1- and 2-process meshes;
+    # same tolerance class as the other distributed legs
+    _compare_outputs(tmp_path / "single", tmp_path / "multi",
+                     rtol=1e-4, atol=2e-3)
+    # no stray part files; checkpoint holds the GLOBAL param vectors
+    assert not list(tmp_path.glob("multi.ibd.part*"))
+    from ngsf_hmm_tpu.io.checkpoint import load_stream_checkpoint
+
+    (fq, iF, al), bk = load_stream_checkpoint(ck)
+    assert fq.shape == (200,) and iF.shape == (8,) and al.shape == (8,)
+    assert int(bk["n_iter"]) >= 5
