@@ -315,11 +315,16 @@ def roofline_bytes_per_cell(opt_iters=10):
     return 56 + 12 * opt_iters + 16 + 28
 
 
-def _backend_alive(timeout_s=180):
+def _backend_alive(timeout_s=300):
     """True if jax can initialise its default backend. The axon tunnel
     can WEDGE (jax.devices() then hangs FOREVER -- CLAUDE.md gotchas);
     probing in a subprocess keeps the bench itself from hanging, so the
-    driver records a flagged CPU result instead of nothing."""
+    driver records a flagged CPU result instead of nothing.
+
+    The deadline is generous (healthy init is seconds; first compile
+    20-40s) because killing a process that is genuinely mid-TPU-work can
+    itself wedge the tunnel -- only an already-stuck claim should ever
+    hit it. Healthy runs pay one extra backend spin-up (~seconds)."""
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],

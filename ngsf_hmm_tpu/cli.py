@@ -501,17 +501,31 @@ def main(argv=None):
     if p["verbose"] >= 1:
         print("> GENO data")
     gl_src = None
+    _spill = None
     if p["stream_file"]:
         # out-of-host-RAM: never read the matrix; chunks come straight
-        # from the file with the full read pipeline applied per chunk
+        # from the file with the full read pipeline applied per chunk.
+        # The spill directory (processed-chunk cache + p_ibd/path
+        # buffers) lives NEXT TO the output files -- /tmp is tmpfs
+        # (RAM-backed) on most hosts, which would defeat the point.
+        # NGSF_STREAM_SPILL_DIR overrides.
+        import tempfile
+
         from .io.glsource import ChunkedGLSource
 
+        spill_base = os.environ.get("NGSF_STREAM_SPILL_DIR") or (
+            os.path.dirname(os.path.abspath(p["out"])) or "."
+        )
+        _spill = tempfile.TemporaryDirectory(
+            prefix=f"ngsf_stream_p{dist_pid}_", dir=spill_base
+        )
         try:
             gl_src = ChunkedGLSource(
                 p["geno"], p["n_ind"], p["n_sites"], binary=in_bin,
                 probs=p["lkl"], log_scale=p["loglkl"],
                 call_geno=p["call_geno"],
                 ind_slab=ind_slab,  # multi-host: this process's columns
+                cache_dir=_spill.name,
             )
             gl_src[0:1]  # probe: surface format errors up front
         except (ValueError, OSError) as e:
@@ -654,7 +668,15 @@ def main(argv=None):
         # single-run init (incl. the freq 'e' est_maf pass and the
         # [S, N, 2] emission build) is only done here
         try:
-            if gl_src is not None and fspec == "e":
+            if p["resume"] and fspec == "e":
+                # the checkpoint overwrites the initial params anyway;
+                # skip the full est_maf stream/pass over the data (a
+                # complete extra read at --stream_file scale). The
+                # placeholder only feeds the discarded init state.
+                from .io.init import FREQ_RNG_MIN
+
+                freq0 = np.full(p["n_sites"], FREQ_RNG_MIN)
+            elif gl_src is not None and fspec == "e":
                 # est_maf is per-site independent: the chunked estimate
                 # over the file source equals the monolithic one
                 # (multi-host: chunks assemble globally, psum over ind)
@@ -1246,13 +1268,12 @@ def main(argv=None):
             # 5000 x 50M config they are ~1 TB (f32) + 250 GB (int8).
             # Stored IND-MAJOR ([N, S]) so the per-individual .ibd rows
             # read back contiguously; the engine writes site-chunk rows
-            # through the transposed view (N strided runs per chunk)
-            import tempfile
-
-            _spill = tempfile.TemporaryDirectory(prefix="ngsf_stream_")
+            # through the transposed view (N strided runs per chunk).
+            # No pre-zeroing: a fresh "w+" memmap already reads as zeros
+            # (sparse), and the single post-convergence posterior pass
+            # writes every row exactly once.
             _pibd_mm = np.memmap(os.path.join(_spill.name, "p_ibd.f32"),
                                  np.float32, "w+", shape=(N_, S_))
-            _pibd_mm[:] = 0.0
             p_ibd = _pibd_mm.T
         else:
             p_ibd = np.zeros((S_, N_), np.float32)
@@ -1336,7 +1357,9 @@ def main(argv=None):
                        F_all, a_all, freq_f)
 
         def _ind_row_blocks(mm):
-            Bw = max(1, (1 << 30) // max(1, S_ * mm.itemsize))
+            # sized by the FORMATTED footprint: np.char.mod produces a
+            # UCS4 array at ~32 B/value, ~8x the raw f32 block
+            Bw = max(1, (1 << 30) // max(1, S_ * 32))
             for i0 in range(0, mm.shape[0], Bw):
                 yield np.asarray(mm[i0:i0 + Bw]).T  # [S, b]
 
@@ -1346,7 +1369,11 @@ def main(argv=None):
             # output), barrier, process 0 stitches them in ind order
             from jax.experimental import multihost_utils
 
-            from .io.writers import write_path_rows, write_post_rows
+            from .io.writers import (
+                write_ibd_header,
+                write_path_rows,
+                write_post_rows,
+            )
 
             part = f'{p["out"]}.ibd.part{dist_pid}'
             with open(part + ".path", "w") as fh:
@@ -1358,8 +1385,7 @@ def main(argv=None):
                 import shutil
 
                 with open(p["out"] + ".ibd", "w") as fh:
-                    fh.write("//\t" + "\t".join(
-                        f"{v:.10f}" for v in ll_all) + "\n")
+                    write_ibd_header(fh, ll_all)
                     for ext in (".path", ".post"):
                         for q in range(p["n_procs"]):
                             with open(f'{p["out"]}.ibd.part{q}{ext}') as sf:

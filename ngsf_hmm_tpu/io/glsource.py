@@ -39,11 +39,21 @@ class ChunkedGLSource:
     """
 
     def __init__(self, path, n_ind, n_sites, binary=False, probs=False,
-                 log_scale=False, call_geno=False, ind_slab=None):
+                 log_scale=False, call_geno=False, ind_slab=None,
+                 cache_dir=None):
         """ind_slab: optional (offset, count) -- expose only those
         individuals' columns (multi-host streaming: each process reads
         just its ind shard of every chunk). `.shape[1]` then reports the
-        LOCAL count."""
+        LOCAL count.
+
+        cache_dir: optional directory for a PROCESSED-chunk spill cache.
+        StreamingEM re-reads every chunk 2 + ~2*lbfgs_iters times per EM
+        iteration; without a cache each access re-reads the file (text:
+        an O(S) line-skip from the start) and re-runs the log/normalise/
+        call_geno/post_prob pipeline. The cache stores each chunk's
+        processed float64 values on first touch (same bytes the
+        monolithic path trains on, so equivalence is unchanged) and
+        memmaps them back for every later pass."""
         self.path = path
         self.n_ind_file = n_ind
         self.ind_slab = (0, n_ind) if ind_slab is None else \
@@ -63,6 +73,14 @@ class ChunkedGLSource:
                 raise ValueError("invalid/corrupt genotype input file!")
             self._mm = np.memmap(path, dtype="<f8", mode="r",
                                  shape=(n_sites, n_ind, N_GENO))
+        self._cache = None
+        self._cached = None
+        if cache_dir is not None:
+            self._cache = np.memmap(
+                os.path.join(cache_dir, "gl_processed.f64"),
+                np.float64, "w+", shape=self.shape,
+            )
+            self._cached = np.zeros(n_sites, bool)
 
     def __len__(self):
         return self.shape[0]
@@ -95,6 +113,8 @@ class ChunkedGLSource:
             raise TypeError("ChunkedGLSource supports contiguous site "
                             "slices only")
         lo, hi, _ = sl.indices(self.shape[0])
+        if self._cache is not None and self._cached[lo:hi].all():
+            return np.array(self._cache[lo:hi])
         gl = self._raw(lo, hi)
         # the monolithic path's device-side processing, applied on host
         # per chunk with the SAME ops (both are per-site)
@@ -106,7 +126,11 @@ class ChunkedGLSource:
         g = jnp.asarray(gl)
         if self.call_geno:
             g = call_geno_op(g)
-        return np.asarray(post_prob(g, None), dtype=np.float64)
+        out = np.asarray(post_prob(g, None), dtype=np.float64)
+        if self._cache is not None:
+            self._cache[lo:hi] = out
+            self._cached[lo:hi] = True
+        return out
 
 
 def est_maf_streamed(src, chunk_sites=1 << 20, mesh=None, n_ind_total=None):

@@ -43,11 +43,18 @@ def write_indF(path, tot_lkl, indF, alpha, freq):
             fh.write("\n")
 
 
+def write_ibd_header(fh, ind_lkl):
+    """The "//\\t"-prefixed per-ind lkl line (EM.cpp:331-336); ONE
+    definition shared by every .ibd writer (incl. the multi-host
+    part-file stitcher in cli.py)."""
+    fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
+
+
 def write_ibd(path, ind_lkl, path_states, p_ibd):
     """path_states: [S, N] ints; p_ibd: [S, N] floats (marg_prob[..,1])."""
     S, N = path_states.shape
     with open(path, "w") as fh:
-        fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
+        write_ibd_header(fh, ind_lkl)
         digits = (path_states.astype(np.uint8) + ord("0")).astype(np.uint8)
         for i in range(N):
             fh.write(digits[:, i].tobytes().decode("ascii") + "\n")
@@ -82,7 +89,7 @@ def write_ibd_streamed(path, ind_lkl, path_blocks, pibd_blocks):
     iterators are consumed sequentially -- all path rows precede all
     posterior rows in the format (EM.cpp:322-356)."""
     with open(path, "w") as fh:
-        fh.write("//\t" + "\t".join(f"{v:.10f}" for v in ind_lkl) + "\n")
+        write_ibd_header(fh, ind_lkl)
         write_path_rows(fh, path_blocks)
         write_post_rows(fh, pibd_blocks)
 

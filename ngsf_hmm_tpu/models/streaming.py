@@ -94,14 +94,20 @@ def _chunk_transfer_multi(gl_c, freq_c, dist_c, Fs, alphas, bs, valid):
     return jax.vmap(one)(Fs, alphas)
 
 
-@partial(jax.jit, static_argnames=("bs", "S_c", "valid"))
-def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid):
-    """Posteriors with boundary carries + chunk-local freq M-step."""
+@partial(jax.jit, static_argnames=("bs", "S_c", "valid", "with_freq"))
+def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
+                 with_freq=True):
+    """Posteriors with boundary carries + chunk-local freq M-step.
+
+    with_freq=False skips the est_maf fixed point (and its cross-ind
+    psum on meshes): the final posterior-only pass after convergence."""
     gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
     p_raw, _, _ = posteriors_blocked_lin(
         e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
     )
     p_ibd = check_interv(p_raw)
+    if not with_freq:
+        return p_ibd, freq_c
     freq_new = est_maf(gl_lin, p_ibd, linear=True)
     return p_ibd, freq_new
 
@@ -386,7 +392,30 @@ class StreamingEM:
             ss[c] = self._loc(s, 0)
         return Ts, ss
 
-    def _stream_iteration(self, freq, F, alpha, opts, p_ibd_out=None):
+    def posteriors_pass(self, freq, F, alpha, p_ibd_out):
+        """ONE posterior-only pass at the given params (no M-steps):
+        fills p_ibd_out [S, N_loc] with exactly the IBD posteriors an
+        EM iteration at these params would produce. Used once after
+        convergence -- writing p_ibd every iteration would push the
+        full [S, N] matrix to its (possibly disk-backed) buffer tens of
+        times for values only the final iteration of which are read."""
+        Ts, ss = self._transfers(freq, F, alpha)
+        v0, wT, _, _ = _assemble_chain(Ts, ss, F)
+        F_d = self._put(F, "ind", jnp.float32)
+        a_d = self._put(alpha, "ind", jnp.float32)
+        for c in range(self.C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            p_c, _ = _chunk_estep(
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d,
+                self._put(v0[c], "ind2", jnp.float32),
+                self._put(wT[c], "ind2", jnp.float32),
+                self.bs, self.cs, hi - lo, with_freq=False,
+            )
+            p_ibd_out[lo:hi] = self._loc(p_c, 1)[: hi - lo]
+
+    def _stream_iteration(self, freq, F, alpha, opts):
         """One streamed EM iteration: chain pass, posterior/freq pass,
         and the host-L-BFGS (F, alpha) M-step.  Returns
         (freq', F', alpha', ll_f, fwbw_maxdiff)."""
@@ -413,8 +442,6 @@ class StreamingEM:
             )
             if opts.freq_est == 1:
                 new_freq[lo:hi] = self._rep(f_c)[: hi - lo]
-            if p_ibd_out is not None:
-                p_ibd_out[lo:hi] = self._loc(p_c, 1)[: hi - lo]
 
         # ---- M-step (F, alpha): host L-BFGS over streamed evals,
         # emissions from the PRE-update freq (iter_EM order,
@@ -480,10 +507,17 @@ class StreamingEM:
             np.full(self.N, -np.inf),  # ll_f of the last iteration
         )
 
+        # params entering the LAST iteration: the reference writes the
+        # marg_prob computed by the final iter_EM call from its
+        # PRE-update parameters (EM.cpp:178-185 before :189-271), so the
+        # post-loop posterior pass must use these, not the final params
+        prev_params = [state0[:3]]
+
         def step(st, active):
             freq, F, alpha, _ = st
+            prev_params[0] = (freq, F, alpha)
             freq, F, alpha, ll_f, fwbw = self._stream_iteration(
-                freq, F, alpha, opts, p_ibd_out=p_ibd_out
+                freq, F, alpha, opts
             )
             # the gate sees the GLOBAL per-ind lkls (allgathered when
             # multi-process, so every host's loop decides identically)
@@ -531,6 +565,8 @@ class StreamingEM:
                 i0 = self._local_ind_offset()
             ll_f = np.asarray(resume_bookkeeping["prev_ind"],
                               np.float64)[i0:i0 + self.N]
+        if p_ibd_out is not None:
+            self.posteriors_pass(*prev_params[0], p_ibd_out)
         return freq, F, alpha, ll_f, bk.n_iter
 
     def _local_ind_offset(self):
