@@ -88,6 +88,20 @@ class ChunkedGLSource:
     def _raw(self, lo, hi):
         i0, ic = self.ind_slab
         if self.binary:
+            from . import native
+
+            if native.available():
+                # the SAME native log/normalise code path as the
+                # monolithic read_geno -- chunked and preloaded runs
+                # must see bit-identical values (the numpy fallback
+                # below differs by ~1 ulp in log/renormalise)
+                return np.asarray(
+                    native.read_geno_binary_slab(
+                        self.path, self.n_ind_file, self.shape[0],
+                        self.log_scale, lo, hi - lo, i0, ic,
+                    ),
+                    dtype=np.float64,
+                )
             gl = np.array(self._mm[lo:hi, i0:i0 + ic], dtype=np.float64)
             if not self.log_scale:
                 with np.errstate(divide="ignore"):
