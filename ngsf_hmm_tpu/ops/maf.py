@@ -74,25 +74,34 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
             raw = gl_s * prior
         return raw / raw.sum(-1, keepdims=True)
 
+    F = jnp.zeros(lead + (N,), dtype=dtype) if indF is None else indF
+    w = present.astype(dtype)
+    two_m_F = 2.0 - F
+    # cd identity: the per-individual posteriors are normalised
+    # (pp0+pp1+pp2 == 1), so the reference's denominator accumulator
+    # 2*pp1 + (pp0+pp2)*(2-F)  ==  (2-F) + pp1*F  exactly (gen_func.cpp:
+    # 997-999 algebra). The (2-F) part does not depend on freq, so its
+    # cross-individual sum is hoisted out of the fixed point entirely --
+    # one reduction + one multiply per pass instead of the full chain.
+    T_w = jnp.sum(w * two_m_F, axis=-1)
+    if axis_name is not None:
+        T_w = jax.lax.psum(T_w, axis_name)
+
     def body(st: _MafState) -> _MafState:
         prev = st.freq
         if indF is None:
-            F = jnp.zeros(lead + (N,), dtype=dtype)
             pp = _pp_linear(st.freq, F) if linear else jnp.exp(post_prob(gl_s, None))
+        elif linear:
+            pp = _pp_linear(st.freq, F)
         else:
-            F = indF
-            if linear:
-                pp = _pp_linear(st.freq, F)
-            else:
-                prior = calc_hwe(st.freq[..., None], F)  # log
-                pp = jnp.exp(post_prob(gl_s, prior))
-        w = present.astype(dtype)
-        two_m_F = 2.0 - F
+            prior = calc_hwe(st.freq[..., None], F)  # log
+            pp = jnp.exp(post_prob(gl_s, prior))
         cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=-1)
-        cd = jnp.sum(w * (2.0 * pp[..., 1] + (pp[..., 0] + pp[..., 2]) * two_m_F), axis=-1)
+        cdv = jnp.sum(w * (pp[..., 1] * F), axis=-1)
         if axis_name is not None:
             cn = jax.lax.psum(cn, axis_name)
-            cd = jax.lax.psum(cd, axis_name)
+            cdv = jax.lax.psum(cdv, axis_name)
+        cd = T_w + cdv
         num = jnp.where(st.active, st.num + cn, st.num)
         den = jnp.where(st.active, st.den + cd, st.den)
         freq = jnp.where(st.active, num / den, st.freq)

@@ -9,6 +9,17 @@ never-reset num/den accumulators, SURVEY.md S3.6b) entirely on-chip
 with a per-tile early exit -- cost follows the tile's own convergence,
 not the global worst site.
 
+Roofline note: on REALISTIC low-coverage GLs the damped accumulators
+step like ~freq/k at pass k, which never drops below EPSILON=1e-5
+within ITER_MAX=100 -- measured on Poisson-depth-2 synthetic data,
+100% of sites run all 101 passes. The kernel is therefore pure
+compute: ~15 [N, TS] vector ops + 1 divide per pass (pass-invariant
+planes hoisted, cd via the (2-F)+pp1*F identity), ~2.5e3 flops per
+HMM cell per EM iteration -- est_maf, not fwd-bwd, is the flop
+ceiling of the whole EM at scale (as in the reference, where it is
+the single-threaded bottleneck, EM.cpp:224-271). The early exit only
+pays on near-certain/padded tiles.
+
 Only the single-chip linear path runs here; the sharded path (psum over
 the individual mesh axis each pass) stays in ops/maf.py.
 """
@@ -77,7 +88,21 @@ def _run(gl0, gl1, gl2, p, n_ind):
     def kernel(g0_ref, g1_ref, g2_ref, p_ref, freq_ref):
         g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [N, TS]
         F = p_ref[0]
+        # Pass-invariant planes, hoisted out of the fixed point. On
+        # realistic GLs the damped 1/k steps never drop below EPSILON,
+        # so every site runs all ITER_MAX+1 passes and the loop body IS
+        # the kernel's flop bill (~15 [N, TS] vector ops + 1 divide per
+        # pass after this hoisting, down from ~21): pr1's 2(1-F) factor,
+        # calc_HWE's F==1 heterozygote-floor mask (gen_func.cpp:946-956;
+        # without the floor a het-certain GL at p_ibd==1 divides by
+        # zero), and the cd identity below.
         two_m_F = 2.0 - F
+        tn1 = 2.0 - 2.0 * F  # pr1 = pq * 2(1-F)
+        het_floor = F == 1.0
+        # cd identity: pp0+pp1+pp2 == 1 after normalisation, so the
+        # reference's 2*pp1 + (pp0+pp2)*(2-F) == (2-F) + pp1*F exactly
+        # (gen_func.cpp:997-999); sum(2-F) is pass-invariant.
+        T_row = jnp.sum(two_m_F, axis=0, keepdims=True)  # [1, TS]
 
         # The active mask is carried as f32 (0/1): Mosaic cannot yet
         # legalize i1 vectors in while_loop carries on this toolchain.
@@ -88,23 +113,20 @@ def _run(gl0, gl1, gl2, p, n_ind):
             freq, num, den, active, passes = st
             prev = freq
             pq = (1.0 - freq) * freq
-            pr0 = (1.0 - freq) * (1.0 - freq) + pq * F
-            pr1 = 2.0 * pq - 2.0 * pq * F
-            # calc_HWE's F==1 heterozygote floor (gen_func.cpp:946-956):
-            # without it a het-certain GL at p_ibd==1 divides by zero
+            a = pq * F
+            pr0 = (1.0 - freq) * (1.0 - freq) + a
             # jnp.float32: a bare 1e-15 commits to f64 under
             # jax_enable_x64 and Mosaic cannot legalize the f64->f32 trunc
-            pr1 = jnp.where(F == 1.0, jnp.float32(1e-15), pr1)
-            pr2 = freq * freq + pq * F
-            pp0 = g0 * pr0
-            pp1 = g1 * pr1
-            pp2 = g2 * pr2
-            inv = 1.0 / (pp0 + pp1 + pp2)
-            pp0, pp1, pp2 = pp0 * inv, pp1 * inv, pp2 * inv
+            pr1 = jnp.where(het_floor, jnp.float32(1e-15), pq * tn1)
+            pr2 = freq * freq + a
+            n0 = g0 * pr0
+            n1 = g1 * pr1
+            n2 = g2 * pr2
+            inv = 1.0 / (n0 + n1 + n2)
+            pp1 = n1 * inv
+            pp2 = n2 * inv
             cn = jnp.sum(pp1 + pp2 * two_m_F, axis=0, keepdims=True)
-            cd = jnp.sum(
-                2.0 * pp1 + (pp0 + pp2) * two_m_F, axis=0, keepdims=True
-            )
+            cd = T_row + jnp.sum(pp1 * F, axis=0, keepdims=True)
             num = num + active * cn
             den = den + active * cd
             freq = freq + active * (num / den - freq)
