@@ -296,7 +296,23 @@ def time_ours_big(t_sync):
     per_iter = _time_em_loop(step, state, hard_sync, 8, t_sync)
     log(f"[bench] ours (big {Sb}x{Nb}): {per_iter * 1e3:.2f} ms/EM-iter "
         f"(8 iters, 1 sync)")
-    return per_iter
+
+    # est_maf alone: the one COMPUTE-bound stage (the damped fixed point
+    # runs all ~101 passes on realistic GLs, ops/maf_pallas.py roofline
+    # note), so the bytes-only roofline under-counts it; measured
+    # empirically so the JSON decomposes the iteration honestly.
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas
+
+    p_ibd = state.p_ibd
+    f = est_maf_pallas(gl_tiles, p_ibd, Sb)
+    float(np.asarray(jnp.sum(f)))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        f = est_maf_pallas(gl_tiles, p_ibd, Sb)
+    float(np.asarray(jnp.sum(f)))
+    t_maf = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
+    log(f"[bench] est_maf alone (big): {t_maf * 1e3:.2f} ms")
+    return per_iter, t_maf
 
 
 def roofline_bytes_per_cell(opt_iters=10):
@@ -393,13 +409,18 @@ def main():
         out["device_fallback"] = "cpu"
 
     if BIG:
-        t_big = time_ours_big(t_sync)
+        t_big, t_maf = time_ours_big(t_sync)
         bpc = roofline_bytes_per_cell()
-        roof_ms = BIG_S * BIG_N * bpc / (STREAM_GBPS * 1e9) * 1e3
+        # stream roofline for the bandwidth-bound stages + the MEASURED
+        # compute-bound est_maf stage (its bytes term, 16 B/cell, is
+        # dwarfed by its ~100-pass fixed-point flops)
+        roof_ms = BIG_S * BIG_N * (bpc - 16) / (STREAM_GBPS * 1e9) * 1e3
+        roof_ms += t_maf * 1e3
         out.update({
             "value": round(BIG_S * BIG_N * 2 / t_big, 1),
             "config": f"{BIG_S}x{BIG_N}",
             "ms_per_em_iter": round(t_big * 1e3, 2),
+            "ms_est_maf": round(t_maf * 1e3, 2),
             "roofline_bytes_per_cell": bpc,
             "roofline_ms": round(roof_ms, 1),
             "roofline_frac": round(roof_ms / (t_big * 1e3), 3),

@@ -94,13 +94,17 @@ def _chunk_transfer_multi(gl_c, freq_c, dist_c, Fs, alphas, bs, valid):
     return jax.vmap(one)(Fs, alphas)
 
 
-@partial(jax.jit, static_argnames=("bs", "S_c", "valid", "with_freq"))
+@partial(jax.jit,
+         static_argnames=("bs", "S_c", "valid", "with_freq", "maf_kernel"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
-                 with_freq=True):
+                 with_freq=True, maf_kernel="xla"):
     """Posteriors with boundary carries + chunk-local freq M-step.
 
     with_freq=False skips the est_maf fixed point (and its cross-ind
-    psum on meshes): the final posterior-only pass after convergence."""
+    psum on meshes): the final posterior-only pass after convergence.
+    maf_kernel="pallas" runs the fixed point VMEM-resident (single-
+    device streams only: on a mesh the cross-ind accumulator sums need
+    the GSPMD-inserted collectives the XLA path gets for free)."""
     gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
     p_raw, _, _ = posteriors_blocked_lin(
         e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
@@ -108,7 +112,14 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     p_ibd = check_interv(p_raw)
     if not with_freq:
         return p_ibd, freq_c
-    freq_new = est_maf(gl_lin, p_ibd, linear=True)
+    if maf_kernel == "pallas":
+        from ..ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
+
+        freq_new = est_maf_pallas(
+            prepare_gl_tiles(gl_lin), p_ibd, gl_lin.shape[0]
+        )
+    else:
+        freq_new = est_maf(gl_lin, p_ibd, linear=True)
     return p_ibd, freq_new
 
 
@@ -430,6 +441,11 @@ class StreamingEM:
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
         new_freq = freq.copy()
+        # --kernel pallas on a single-device stream: the freq fixed
+        # point runs VMEM-resident instead of re-reading the chunk's GL
+        # slab from HBM on every one of its up to 101 passes
+        maf_k = ("pallas" if opts.numerics == "pallas"
+                 and self.mesh is None else "xla")
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
             p_c, f_c = _chunk_estep(
@@ -438,7 +454,7 @@ class StreamingEM:
                 self._put(d_c, "rep"), F_d, a_d,
                 self._put(v0[c], "ind2", jnp.float32),
                 self._put(wT[c], "ind2", jnp.float32),
-                self.bs, self.cs, hi - lo,
+                self.bs, self.cs, hi - lo, maf_kernel=maf_k,
             )
             if opts.freq_est == 1:
                 new_freq[lo:hi] = self._rep(f_c)[: hi - lo]

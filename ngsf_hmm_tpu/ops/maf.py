@@ -99,8 +99,8 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
         cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=-1)
         cdv = jnp.sum(w * (pp[..., 1] * F), axis=-1)
         if axis_name is not None:
-            cn = jax.lax.psum(cn, axis_name)
-            cdv = jax.lax.psum(cdv, axis_name)
+            # one fused collective per pass (tuple psum), not two
+            cn, cdv = jax.lax.psum((cn, cdv), axis_name)
         cd = T_w + cdv
         num = jnp.where(st.active, st.num + cn, st.num)
         den = jnp.where(st.active, st.den + cd, st.den)

@@ -279,6 +279,11 @@ def run_em_sharded(
                 alpha_fixed=opts.alpha_fixed,
                 work_dtype=wdt,
                 S_total=S_total,
+                # --kernel pallas on a pure site mesh: the chain stays
+                # the blocked-linear tier but the freq M-step (the flop
+                # ceiling) runs the VMEM-resident Pallas fixed point
+                maf_kernel="pallas" if opts.numerics == "pallas"
+                else "xla",
             )
             vit_fn = make_site_sharded_viterbi(mesh, compat=compat)
             if presharded:

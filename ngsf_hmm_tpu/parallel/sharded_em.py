@@ -40,10 +40,15 @@ def make_sharded_em_step(
     With restart: every EMState field gains a leading [R] axis sharded over
     the "restart" mesh axis; gl stays [S, N, 3] (same data per replicate).
     block_size/numerics: kernel tier of the per-shard em_iteration
-    ("log" sequential/blocked, "linear" blocked speed kernels; pallas
-    does not compose with shard_map -- models/em.py docstring).
+    ("log" sequential/blocked, "linear" blocked XLA kernels, "pallas"
+    VMEM-resident chain kernels running shard-local under shard_map --
+    the freq M-step then takes em_iteration's XLA est_maf path whose
+    accumulators psum over "ind" each pass, em.py:378). Replicate runs
+    (with_restart) downgrade pallas to the blocked-linear tier: the
+    restart axis vmaps em_iteration and the pallas restart protocol is
+    lane-flattening (models/restart.py), not vmap.
     """
-    if numerics == "pallas":
+    if numerics == "pallas" and with_restart:
         numerics, block_size = "linear", block_size or "auto"
     gl_spec, dist_spec, st = data_specs(with_restart)
     state_specs = EMState(**st)

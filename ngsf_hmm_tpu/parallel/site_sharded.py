@@ -133,6 +133,7 @@ def site_em_iteration(
     ind_axis_name=None,
     work_dtype=jnp.float32,
     S_total=None,
+    maf_kernel="xla",
 ):
     """One EM iteration on a site-sharded slab (runs under shard_map).
 
@@ -144,6 +145,14 @@ def site_em_iteration(
     work_dtype: precision of the chain/gradient kernels (float32 is the
     speed default; None follows gl.dtype so f64 compat validation of
     sharded runs is possible).
+    maf_kernel: "pallas" runs the freq M-step's damped fixed point in
+    the VMEM-resident Pallas kernel (ops/maf_pallas.py) instead of the
+    XLA loop that re-reads the GL slab from HBM on every one of its up
+    to 101 passes -- est_maf is the flop ceiling of the whole EM at
+    scale, and on a pure ("site",) mesh it is fully device-local so the
+    kernel drops straight in. Ignored (XLA path) on 2-D meshes where
+    ind_axis_name is set: the fixed point then needs a psum per pass,
+    which cannot run inside a Pallas kernel.
     S_total: logical number of sites when the global site axis was
     padded up to a multiple of the shard count. Pad sites (global index
     >= S_total, i.e. the tail of the LAST shard) must enter with
@@ -254,9 +263,19 @@ def site_em_iteration(
         freq, e_prob = state.freq, state.e_prob
     else:
         gl_lin = jnp.exp(gl)
-        freq = est_maf(
-            gl_lin, p_ibd, linear=True, axis_name=ind_axis_name
-        ).astype(dtype)
+        if maf_kernel == "pallas" and ind_axis_name is None:
+            from ..ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
+
+            # re-tiled per iteration (one pad+transpose pass of the
+            # shard's GL slab) -- still ~100x less slab traffic than the
+            # XLA fixed point's per-pass HBM re-reads
+            freq = est_maf_pallas(
+                prepare_gl_tiles(gl_lin), p_ibd, S_loc
+            ).astype(dtype)
+        else:
+            freq = est_maf(
+                gl_lin, p_ibd, linear=True, axis_name=ind_axis_name
+            ).astype(dtype)
         e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
         if pad_mask is not None:
             # pad rows stay exact identities (e = 1); their est_maf
@@ -272,12 +291,13 @@ def site_em_iteration(
 
 def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
                               indF_fixed=False, alpha_fixed=False,
-                              work_dtype=jnp.float32, S_total=None):
+                              work_dtype=jnp.float32, S_total=None,
+                              maf_kernel="xla"):
     """Jitted shard_map'd EM step over a ("site",) mesh.
 
     gl [S, N, 3] and dist [S] sharded along sites; EMState: freq/e_prob/
     p_ibd sharded along sites, indF/alpha/ind_lkl replicated.
-    work_dtype/S_total: see site_em_iteration.
+    work_dtype/S_total/maf_kernel: see site_em_iteration.
     """
     state_specs = EMState(
         freq=P("site"),
@@ -296,6 +316,7 @@ def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
         axis_name="site",
         work_dtype=work_dtype,
         S_total=S_total,
+        maf_kernel=maf_kernel,
     )
     step = shard_map(
         core,

@@ -56,6 +56,27 @@ def test_sharded_step_matches_single_device(case):
     assert float(out_stats[0]) == pytest.approx(float(ref_stats[0]), abs=1e-9)
 
 
+def test_sharded_step_pallas_tier_matches(case):
+    """numerics="pallas" under the ind-sharded shard_map: the chain
+    kernels run shard-local (interpret mode on CPU), the freq M-step
+    psums its accumulators; must match the single-device pallas tier to
+    f32 reduction-order roundoff."""
+    gl, dist, state = case
+    gl32 = gl.astype(jnp.float32)
+    dist32 = dist.astype(jnp.float32)
+    st32 = EMState(*(x.astype(jnp.float32) for x in state))
+    ref_state, _ = em_iteration(
+        gl32, dist32, st32, numerics="pallas", block_size="auto"
+    )
+
+    mesh = make_mesh(n_restart=1, n_ind_shards=8)
+    step = make_sharded_em_step(mesh, numerics="pallas")
+    gl_s, dist_s, state_s = shard_inputs(mesh, gl32, dist32, st32)
+    out_state, _ = step(gl_s, dist_s, state_s)
+
+    _tree_allclose(out_state, ref_state, atol=5e-6)
+
+
 def test_sharded_viterbi_matches(case):
     gl, dist, state = case
     state1, _ = em_iteration(gl, dist, state)

@@ -76,6 +76,30 @@ def test_site_sharded_em_matches_single_device(data):
         np.testing.assert_array_equal(sh, shards[0])
 
 
+def test_site_sharded_pallas_maf_matches_xla(data):
+    """maf_kernel="pallas" (VMEM-resident freq fixed point, interpret
+    mode on CPU) must reproduce the XLA est_maf path: same damped
+    accumulators, same early-exit semantics, to f32 roundoff."""
+    gl, dist, state0 = data
+    mesh = make_site_mesh(8)
+    step_x = make_site_sharded_em_step(mesh)
+    step_p = make_site_sharded_em_step(mesh, maf_kernel="pallas")
+    gl_d, dist_d, st_x = shard_site_inputs(mesh, gl, dist, state0)
+    st_p = st_x
+    for _ in range(2):
+        st_x, _ = step_x(gl_d, dist_d, st_x)
+        st_p, _ = step_p(gl_d, dist_d, st_p)
+    np.testing.assert_allclose(
+        np.asarray(st_p.freq), np.asarray(st_x.freq), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_p.ind_lkl), np.asarray(st_x.ind_lkl), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_p.indF), np.asarray(st_x.indF), atol=2e-4
+    )
+
+
 def test_site_sharded_uneven_would_fail_loudly(data):
     """Shard counts must divide S (no silent padding across devices)."""
     gl, dist, state0 = data

@@ -76,6 +76,31 @@ def test_streaming_matches_monolithic(data):
     np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
 
 
+def test_streaming_pallas_maf_matches_xla(data):
+    """numerics="pallas" on a single-device stream swaps only the freq
+    fixed point for the VMEM-resident Pallas kernel (interpret mode on
+    CPU); every trajectory output must match the XLA est_maf stream to
+    f32 roundoff."""
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    base = dict(min_iters=2, max_iters=4, min_epsilon=1e-4)
+
+    f_x, F_x, a_x, ll_x, it_x = StreamingEM(gl, dist, chunk_sites=300).run(
+        freq0, F0, a0, EMOptions(**base)
+    )
+    f_p, F_p, a_p, ll_p, it_p = StreamingEM(gl, dist, chunk_sites=300).run(
+        freq0, F0, a0, EMOptions(numerics="pallas", **base)
+    )
+    assert it_p == it_x
+    np.testing.assert_allclose(f_p, f_x, atol=2e-6)
+    np.testing.assert_allclose(ll_p, ll_x, rtol=1e-6)
+    np.testing.assert_allclose(F_p, F_x, atol=1e-4)
+    np.testing.assert_allclose(a_p, a_x, atol=1e-4)
+
+
 def test_fused_stream_gradient_matches_oracle(data):
     """The single-stream fused gradient (per-chunk transfer tangents +
     host Fisher-identity assembly) must match the sequential f64 analytic
