@@ -403,7 +403,29 @@ def _k_block_transfer(B, C, bs_pad, R):
     )
 
 
-def _combine_blocks(A_r, F):
+def _comb(a, b):
+    """Rescaled 2x2 product combine for the cross-block scans."""
+    a4, ae = a
+    b4, be = b
+    c = _mat_mul4(a4, b4)
+    mx = jnp.maximum(_max4(c), _TINY)
+    sc, ex = _pow2_rescale(mx)
+    return (tuple(x * sc for x in c), ae + be + ex * _LN2)
+
+
+def _comb_rev(a, b):
+    # reverse=True folds elements in reversed index order, so the
+    # matrix product must be flipped to keep suffixes in FORWARD
+    # site order: suf[j] = A_j . A_{j+1} ... A_{nb-1}
+    a4, ae = a
+    b4, be = b
+    c = _mat_mul4(b4, a4)
+    mx = jnp.maximum(_max4(c), _TINY)
+    sc, ex = _pow2_rescale(mx)
+    return (tuple(x * sc for x in c), ae + be + ex * _LN2)
+
+
+def _combine_blocks(A_r, F, v0=None, wT=None):
     """Cross-block pass as PLAIN XLA associative scans (no kernel): the
     per-block transfer products compose under the same rescaled 2x2
     product as _tree_product, so the nb-long sequential chain becomes a
@@ -412,6 +434,14 @@ def _combine_blocks(A_r, F):
     loops of (B, N)-shaped ops, which dominated at nb ~ several hundred.
 
     A_r [nb, 5, B, N] (4 product entries + log-offset); F [B, N].
+    v0 / wT [B, N, 2]: boundary carries when these blocks are one
+    site-shard of a longer chain (parallel/site_sharded.py) -- the
+    normalised forward vector entering block 0 and backward vector at
+    the last block's last site. Defaults ((1-F, F), ones) make this the
+    whole chain. With carries the returned lls are SHARD-LOCAL values
+    (normalisation of the carries drops the other shards' scales);
+    sharded callers take the global likelihood from the transfer-product
+    gather instead and posterior/gradient ratios cancel every scale.
     Returns (starts [nb, 2, B, N]: fwd vector entering each block,
     ends [nb, 2, B, N]: bwd vector at each block's last site,
     lls [2, B, N] = (ll_f, ll_b)).
@@ -419,46 +449,43 @@ def _combine_blocks(A_r, F):
     mats = (A_r[:, 0], A_r[:, 1], A_r[:, 2], A_r[:, 3])
     offs = A_r[:, 4]
 
-    def comb(a, b):
-        a4, ae = a
-        b4, be = b
-        c = _mat_mul4(a4, b4)
-        mx = jnp.maximum(_max4(c), _TINY)
-        sc, ex = _pow2_rescale(mx)
-        return (tuple(x * sc for x in c), ae + be + ex * _LN2)
-
-    def comb_rev(a, b):
-        # reverse=True folds elements in reversed index order, so the
-        # matrix product must be flipped to keep suffixes in FORWARD
-        # site order: suf[j] = A_j . A_{j+1} ... A_{nb-1}
-        a4, ae = a
-        b4, be = b
-        c = _mat_mul4(b4, a4)
-        mx = jnp.maximum(_max4(c), _TINY)
-        sc, ex = _pow2_rescale(mx)
-        return (tuple(x * sc for x in c), ae + be + ex * _LN2)
-
-    pre4, pre_off = jax.lax.associative_scan(comb, (mats, offs))
-    suf4, suf_off = jax.lax.associative_scan(comb_rev, (mats, offs),
+    pre4, pre_off = jax.lax.associative_scan(_comb, (mats, offs))
+    suf4, suf_off = jax.lax.associative_scan(_comb_rev, (mats, offs),
                                              reverse=True)
 
-    q1 = jnp.asarray(F, jnp.float32)
-    q0 = 1.0 - q1
+    if v0 is None:
+        q1 = jnp.asarray(F, jnp.float32)
+        q0 = 1.0 - q1
+    else:
+        q0 = jnp.asarray(v0[..., 0], jnp.float32)
+        q1 = jnp.asarray(v0[..., 1], jnp.float32)
+    if wT is None:
+        w0 = w1 = None
+    else:
+        w0 = jnp.asarray(wT[..., 0], jnp.float32)
+        w1 = jnp.asarray(wT[..., 1], jnp.float32)
 
-    # fwd vector entering block j: q . (A_0 ... A_{j-1});  block 0 gets q
+    # fwd vector entering block j: v0 . (A_0 ... A_{j-1}); block 0 gets v0
     s0 = q0[None] * pre4[0] + q1[None] * pre4[2]  # [nb, B, N] (inclusive)
     s1 = q0[None] * pre4[1] + q1[None] * pre4[3]
     starts0 = jnp.concatenate([q0[None], s0[:-1]])
     starts1 = jnp.concatenate([q1[None], s1[:-1]])
 
-    # bwd vector at block j's END: (A_{j+1} ... A_{nb-1}) . 1
-    e0 = suf4[0] + suf4[1]  # [nb, B, N] (inclusive from the right)
-    e1 = suf4[2] + suf4[3]
-    one = jnp.ones_like(e0[:1])
-    ends0 = jnp.concatenate([e0[1:], one])
-    ends1 = jnp.concatenate([e1[1:], one])
-
-    ll_f = jnp.log(s0[-1] + s1[-1]) + pre_off[-1]
+    # bwd vector at block j's END: (A_{j+1} ... A_{nb-1}) . wT
+    if w0 is None:
+        e0 = suf4[0] + suf4[1]  # [nb, B, N] (inclusive from the right)
+        e1 = suf4[2] + suf4[3]
+        last0 = jnp.ones_like(e0[:1])
+        last1 = jnp.ones_like(e1[:1])
+        ll_f = jnp.log(s0[-1] + s1[-1]) + pre_off[-1]
+    else:
+        e0 = suf4[0] * w0[None] + suf4[1] * w1[None]
+        e1 = suf4[2] * w0[None] + suf4[3] * w1[None]
+        last0 = w0[None]
+        last1 = w1[None]
+        ll_f = jnp.log(s0[-1] * w0 + s1[-1] * w1) + pre_off[-1]
+    ends0 = jnp.concatenate([e0[1:], last0])
+    ends1 = jnp.concatenate([e1[1:], last1])
     ll_b = jnp.log(q0 * e0[0] + q1 * e1[0]) + suf_off[0]
 
     starts = jnp.stack([starts0, starts1], axis=1)
@@ -692,19 +719,47 @@ def _unpack_A(A, B, prep):
     return jnp.transpose(flat.reshape(K, B, nb, N), (2, 0, 1, 3))
 
 
-def _block_pipeline(F, alpha, prep):
-    """Shared A + cross-block pass. F/alpha [B, N]."""
+def block_transfers_pallas(F, alpha, prep):
+    """Per-block transfer products for [B, N] params: ONE streamed pass.
+
+    Returns (A_r [nb, 5, B, N] (4 rescaled product entries + log-offset
+    row), reps): the raw material for fold_transfers_pallas /
+    _combine_blocks; reps are the lane-folded params, reused by the
+    per-site posterior kernels."""
     F = jnp.asarray(F, jnp.float32)
     alpha = jnp.asarray(alpha, jnp.float32)
-    B, N, nb = F.shape[0], prep["N"], prep["nb"]
+    B = F.shape[0]
     C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
     Fr, ar = _rep_params(F, alpha, prep)
     A = _k_block_transfer(B, C, bs_pad, R)(
         prep["e0"], prep["e1"], prep["d"], Fr, ar
     )
-    A_r = _unpack_A(A, B, prep)  # [nb, 5, B, N]
-    starts, ends, lls = _combine_blocks(A_r, F)
-    return starts, ends, lls, (Fr, ar)
+    return _unpack_A(A, B, prep), (Fr, ar)
+
+
+def fold_transfers_pallas(A_r):
+    """[nb, 5, B, N] block products -> the whole-slab transfer product
+    (T [B, N, 2, 2] rescaled row-major, s [B, N] log scale): the
+    quantity site-sharded runs all_gather to assemble the global chain
+    (parallel/site_sharded._gather_chain; blocked-linear analog is
+    hmm_blocked.fold_transfer_lin)."""
+    mats = (A_r[:, 0], A_r[:, 1], A_r[:, 2], A_r[:, 3])
+    offs = A_r[:, 4]
+    pre4, pre_off = jax.lax.associative_scan(_comb, (mats, offs))
+    T = jnp.stack([x[-1] for x in pre4], axis=-1)  # [B, N, 4]
+    return T.reshape(*T.shape[:-1], 2, 2), pre_off[-1]
+
+
+def _block_pipeline(F, alpha, prep, v0=None, wT=None, A_reps=None):
+    """Shared A + cross-block pass. F/alpha [B, N]; v0/wT [B, N, 2]
+    optional shard boundary carries (see _combine_blocks)."""
+    F = jnp.asarray(F, jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    if A_reps is None:
+        A_reps = block_transfers_pallas(F, alpha, prep)
+    A_r, reps = A_reps
+    starts, ends, lls = _combine_blocks(A_r, F, v0, wT)
+    return starts, ends, lls, reps
 
 
 def forward_loglik_pallas(F, alpha, prep):
@@ -734,16 +789,11 @@ def _bw_sites(prep, ends, reps):
     )
 
 
-def loglik_value_and_grad_pallas(F, alpha, prep):
-    """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N].
-
-    TWO launches: the fused transfer+tangent stream
-    (_k_block_transfer_grad, one pass over the emission slabs, nothing
-    site-sized written) and the tiny cross-block combine; the gradient
-    assembles from per-block Fisher-identity ratios
-      dll/dtheta = sum_j [v_j . dM_j . w_j] / [v_j . M_j . w_j]
-    plus the initial-distribution dq/dF term on block 0."""
-    N = prep["N"]
+def transfer_grad_pallas(F, alpha, prep):
+    """ONE fused stream -> per-block transfer products AND their (F,
+    alpha) forward-mode tangents: A_g [nb, 13, 1, N] (rows 0:4 primal,
+    4:8 dF, 8:12 dalpha, 12 log-offset; tangents share the primal's
+    rescale). F/alpha [N]."""
     C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
     f32 = jnp.float32
     F2, a2 = F[None, :].astype(f32), alpha[None, :].astype(f32)
@@ -751,19 +801,92 @@ def loglik_value_and_grad_pallas(F, alpha, prep):
     out = _k_block_transfer_grad(C, bs_pad, R)(
         prep["e0"], prep["e1"], prep["d"], Fr[0], ar[0]
     )
-    A_r = _unpack_A(out[:, None], 1, prep)  # [nb, 13, 1, N]
-    A_prim = jnp.concatenate([A_r[:, 0:4], A_r[:, 12:13]], axis=1)
-    starts, ends, lls = _combine_blocks(A_prim, F2)
+    return _unpack_A(out[:, None], 1, prep)
 
-    v0, v1 = starts[:, 0, 0], starts[:, 1, 0]  # [nb, N] entering block j
-    w0, w1 = ends[:, 0, 0], ends[:, 1, 0]  # [nb, N] at block j's end
-    T = A_r[:, 0:4, 0]  # [nb, 4, N] (c, shared normalisation with D)
-    DF = A_r[:, 4:8, 0]
-    Da = A_r[:, 8:12, 0]
+
+def fold_primal_pallas(A_g):
+    """transfer_grad_pallas output -> the slab's primal transfer product
+    (T [N, 2, 2], s [N]) for the cross-shard gather."""
+    A_prim = jnp.concatenate([A_g[:, 0:4], A_g[:, 12:13]], axis=1)
+    T, s = fold_transfers_pallas(A_prim)
+    return T[0], s[0]
+
+
+def fold_grad_pallas(A_g):
+    """transfer_grad_pallas output -> the slab transfer product AND its
+    (F, alpha) tangents, folded to one matrix each: (T [N, 2, 2],
+    s [N], D_F [N, 2, 2], D_a [N, 2, 2]).
+
+    The tangents share T's rescale (product rule at every combine, the
+    scan analog of _tree_product_grad), so a consumer's Fisher ratio
+    [v . D . w] / [v . T . w] equals the true d log-scale-free term with
+    every normalisation cancelling -- the streamed host chain passes
+    these as (dT, ds=0) to its _grad_from_transfers assembly."""
+    mats = (A_g[:, 0], A_g[:, 1], A_g[:, 2], A_g[:, 3])
+    dF = (A_g[:, 4], A_g[:, 5], A_g[:, 6], A_g[:, 7])
+    da = (A_g[:, 8], A_g[:, 9], A_g[:, 10], A_g[:, 11])
+    offs = A_g[:, 12]
+
+    def comb(a, b):
+        a4, aF, aa, ae = a
+        b4, bF, ba, be = b
+        c = _mat_mul4(a4, b4)
+        cF = _add4(_mat_mul4(aF, b4), _mat_mul4(a4, bF))
+        ca = _add4(_mat_mul4(aa, b4), _mat_mul4(a4, ba))
+        mx = jnp.maximum(_max4(c), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        return (
+            tuple(x * sc for x in c),
+            tuple(x * sc for x in cF),
+            tuple(x * sc for x in ca),
+            ae + be + ex * _LN2,
+        )
+
+    pre4, preF, prea, pre_off = jax.lax.associative_scan(
+        comb, (mats, dF, da, offs)
+    )
+
+    def last22(t4):
+        m = jnp.stack([x[-1] for x in t4], axis=-1)  # [B, N, 4]
+        return m.reshape(*m.shape[:-1], 2, 2)
+
+    B_ax = pre_off.shape[1]
+    assert B_ax == 1
+    return (
+        last22(pre4)[0],
+        pre_off[-1, 0],
+        last22(preF)[0],
+        last22(prea)[0],
+    )
+
+
+def grad_from_carries_pallas(A_g, F, v0=None, wT=None, with_init_term=1.0):
+    """Fisher-identity (ll_local, dL/dF, dL/dalpha) from the fused
+    stream's block tangents, each [N].
+
+    v0/wT [N, 2]: shard boundary carries (None = whole chain, where
+    ll_local IS the chain loglik). with_init_term: traced 0/1 weight on
+    the initial-distribution dq/dF term -- the whole chain's site 0
+    belongs to shard 0 only (q is baked into its v0, so the term's
+    algebra is unchanged there).
+
+      dll/dtheta = sum_j [v_j . dM_j . w_j] / [v_j . M_j . w_j]
+    """
+    F2 = jnp.asarray(F, jnp.float32)[None, :]
+    A_prim = jnp.concatenate([A_g[:, 0:4], A_g[:, 12:13]], axis=1)
+    v0b = None if v0 is None else v0[None]
+    wTb = None if wT is None else wT[None]
+    starts, ends, lls = _combine_blocks(A_prim, F2, v0b, wTb)
+
+    v0_, v1_ = starts[:, 0, 0], starts[:, 1, 0]  # [nb, N] entering block j
+    w0_, w1_ = ends[:, 0, 0], ends[:, 1, 0]  # [nb, N] at block j's end
+    T = A_g[:, 0:4, 0]  # [nb, 4, N] (c, shared normalisation with D)
+    DF = A_g[:, 4:8, 0]
+    Da = A_g[:, 8:12, 0]
 
     def quad(M):
-        return v0 * (M[:, 0] * w0 + M[:, 1] * w1) + v1 * (
-            M[:, 2] * w0 + M[:, 3] * w1
+        return v0_ * (M[:, 0] * w0_ + M[:, 1] * w1_) + v1_ * (
+            M[:, 2] * w0_ + M[:, 3] * w1_
         )
 
     inv = 1.0 / jnp.maximum(quad(T), _TINY)
@@ -772,20 +895,42 @@ def loglik_value_and_grad_pallas(F, alpha, prep):
 
     # Initial-distribution term (block 0): X_k = (T_0 . w_0)_k,
     # d log(q . X)/dF with dq/dF = (-1, +1); scales cancel in the ratio.
-    X0 = T[0, 0] * w0[0] + T[0, 1] * w1[0]
-    X1 = T[0, 2] * w0[0] + T[0, 3] * w1[0]
+    X0 = T[0, 0] * w0_[0] + T[0, 1] * w1_[0]
+    X1 = T[0, 2] * w0_[0] + T[0, 3] * w1_[0]
     q1 = F2[0]
     tot = (1.0 - q1) * X0 + q1 * X1
-    gF = gF + (X1 - X0) / jnp.maximum(tot, _TINY)
+    gF = gF + with_init_term * (X1 - X0) / jnp.maximum(tot, _TINY)
     return lls[0, 0], gF, ga
 
 
-def posteriors_pallas(F, alpha, prep):
-    """(p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N]."""
+def loglik_value_and_grad_pallas(F, alpha, prep):
+    """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N].
+
+    TWO launches: the fused transfer+tangent stream
+    (_k_block_transfer_grad, one pass over the emission slabs, nothing
+    site-sized written) and the tiny cross-block combine; the gradient
+    assembles from per-block Fisher-identity ratios plus the
+    initial-distribution dq/dF term on block 0."""
+    A_g = transfer_grad_pallas(F, alpha, prep)
+    return grad_from_carries_pallas(A_g, F)
+
+
+def posteriors_pallas(F, alpha, prep, v0=None, wT=None, A_reps=None):
+    """(p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N].
+
+    v0/wT [N, 2]: boundary carries when this slab is one site-shard of a
+    longer chain (the lls are then shard-local values -- sharded callers
+    use the transfer-product gather's global likelihood instead).
+    A_reps: block_transfers_pallas output to reuse (one streamed
+    transfer pass per EM iteration on the sharded path)."""
     N, nb, bs, S = prep["N"], prep["nb"], prep["bs"], prep["S"]
     C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
     F2, a2 = F[None, :], alpha[None, :]
-    starts, ends, lls, reps = _block_pipeline(F2, a2, prep)
+    v0b = None if v0 is None else v0[None]
+    wTb = None if wT is None else wT[None]
+    starts, ends, lls, reps = _block_pipeline(
+        F2, a2, prep, v0b, wTb, A_reps=A_reps
+    )
     bw0, bw1 = _bw_sites(prep, ends, reps)
     s0, s1 = _ends_fold(starts, prep)
     p = _k_fw_post(C, bs_pad, R)(

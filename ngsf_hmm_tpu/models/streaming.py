@@ -11,15 +11,19 @@ normalised 2x2 transfer product, so
           host prefix/suffix -> per-chunk boundary carries + global ll
   pass B  stream chunks -> posteriors (with carries) -> chunk-local
           est_maf -> new freq; p_ibd chunks optionally written to host
-  M-step  host-driven projected L-BFGS on (F, alpha): each iteration
-          streams the data once for the fused objective+gradient (the
+  M-step  host-driven projected L-BFGS on (F, alpha): every evaluation
+          (speculative full step + interpolated backtracking probes)
+          streams the data ONCE for the fused objective+gradient -- the
           chunk transfer products AND their forward-mode parameter
           tangents come out of one pass; the host assembles carries and
-          the Fisher-identity gradient from the tiny 2x2 algebra) and
-          once for the batched line-search ladder (emissions are a
-          function of freq and are never materialised whole)
+          the Fisher-identity gradient from the tiny 2x2 algebra
+          (emissions are a function of freq, never materialised whole)
 
-Per EM iteration: 2 + ~2*lbfgs_iters full streams. On real hardware
+With --kernel pallas (single-device streams) every chunk pass above
+runs the VMEM-resident Pallas kernels: the fused transfer+tangent
+stream, carry-conditioned posteriors, and the est_maf fixed point.
+
+Per EM iteration: 2 + ~lbfgs_evals full streams. On real hardware
 (h2d tens of GB/s) that is seconds per pass at 50M x 100; here it is
 validated for correctness against the monolithic engine on small data
 (tests/test_streaming.py) -- the tunnel's h2d makes large-scale timing
@@ -72,43 +76,72 @@ def _prep_chunk(gl_c, freq_c, dist_c, bs, valid):
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("bs", "valid"))
-def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid):
-    """(T [N,2,2] normalised, s [N] log scale) for one chunk."""
+def _prep_chunk_slabs(gl_c, freq_c, dist_c, bsp, valid):
+    """Pallas-tier analog of _prep_chunk: (gl_lin, hmm_pallas prep dict)
+    with pad sites (>= valid) forced to exact-identity emissions."""
+    from . import hmm_pallas
+
+    gl_lin = jnp.exp(gl_c)
+    e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
+    pad_mask = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
+    e_lin = jnp.where(pad_mask, 1.0, e_lin)
+    N = gl_c.shape[1]
+    prep = hmm_pallas.make_prep(
+        *hmm_pallas.emission_slabs(e_lin, bsp),
+        hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bsp),
+        e_lin.shape[0], N, bsp,
+    )
+    return gl_lin, prep
+
+
+@partial(jax.jit, static_argnames=("bs", "valid", "chain_kernel"))
+def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid,
+                    chain_kernel="blocked"):
+    """(T [N,2,2] normalised, s [N] log scale) for one chunk.
+
+    chain_kernel="pallas" streams the chunk through the VMEM-resident
+    block-transfer kernel instead of the XLA blocked fold (bs is then
+    the PALLAS block size, hmm_pallas.pick_block_size)."""
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
+        A_reps = hmm_pallas.block_transfers_pallas(
+            F[None], alpha[None], prep
+        )
+        T, s = hmm_pallas.fold_transfers_pallas(A_reps[0])
+        return T[0], s[0]
     _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
     A, ln = _block_transfer_lin(e_blk, d_blk, F, alpha)
     return fold_transfer_lin(A, ln)
 
 
-@partial(jax.jit, static_argnames=("bs", "valid"))
-def _chunk_transfer_multi(gl_c, freq_c, dist_c, Fs, alphas, bs, valid):
-    """K-candidate transfer products in one chunk pass: Fs/alphas
-    [K, N] -> (T [K, N, 2, 2], s [K, N]). Emissions are shared; the
-    line-search ladder costs ONE data stream instead of K."""
-    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
-
-    def one(F, a):
-        A, ln = _block_transfer_lin(e_blk, d_blk, F, a)
-        return fold_transfer_lin(A, ln)
-
-    return jax.vmap(one)(Fs, alphas)
-
-
 @partial(jax.jit,
-         static_argnames=("bs", "S_c", "valid", "with_freq", "maf_kernel"))
+         static_argnames=("bs", "S_c", "valid", "with_freq", "maf_kernel",
+                          "chain_kernel"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
-                 with_freq=True, maf_kernel="xla"):
+                 with_freq=True, maf_kernel="xla", chain_kernel="blocked"):
     """Posteriors with boundary carries + chunk-local freq M-step.
 
     with_freq=False skips the est_maf fixed point (and its cross-ind
     psum on meshes): the final posterior-only pass after convergence.
-    maf_kernel="pallas" runs the fixed point VMEM-resident (single-
-    device streams only: on a mesh the cross-ind accumulator sums need
-    the GSPMD-inserted collectives the XLA path gets for free)."""
-    gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
-    p_raw, _, _ = posteriors_blocked_lin(
-        e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
-    )
+    maf_kernel/chain_kernel="pallas" run the fixed point / the chain
+    passes VMEM-resident (single-device streams only: on a mesh the
+    cross-ind accumulator sums need the GSPMD-inserted collectives the
+    XLA path gets for free)."""
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        gl_lin, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
+        p_raw, _, _ = hmm_pallas.posteriors_pallas(
+            F, alpha, prep,
+            v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
+        )
+    else:
+        gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+        p_raw, _, _ = posteriors_blocked_lin(
+            e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
+        )
     p_ibd = check_interv(p_raw)
     if not with_freq:
         return p_ibd, freq_c
@@ -123,9 +156,16 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     return p_ibd, freq_new
 
 
-@partial(jax.jit, static_argnames=("bs", "valid"))
-def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid):
+@partial(jax.jit, static_argnames=("bs", "valid", "chain_kernel"))
+def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
+                         chain_kernel="blocked"):
     """ONE stream -> chunk transfer product AND its parameter tangents.
+
+    chain_kernel="pallas": the fused transfer+tangent Pallas stream
+    (hmm_pallas._k_block_transfer_grad) + the tangent-aware fold; the
+    tangents share the primal's rescale, so they are returned as
+    (dT, ds=0) -- exactly what the host's Fisher-ratio assembly
+    (_grad_from_transfers) expects.
 
     Returns (T [N,2,2], s [N], dT_F, ds_F, dT_a, ds_a): forward-mode
     tangents of the (normalised T, log-scale s) pair w.r.t. each
@@ -138,6 +178,14 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid):
     augmented scans whose carries differ), so this costs ~1 primal + 2
     tangent sweeps, all in the SAME data stream that previously only
     produced (T, s)."""
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
+        A_g = hmm_pallas.transfer_grad_pallas(F, alpha, prep)
+        T, s, DF, Da = hmm_pallas.fold_grad_pallas(A_g)
+        z = jnp.zeros_like(s)
+        return T, s, DF, z, Da, z
     _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
 
     def f(F_, a_):
@@ -266,6 +314,10 @@ class StreamingEM:
         self.cs = int(min(chunk_sites, self.S))
         self.C = -(-self.S // self.cs)
         self.bs = pick_block_size(self.cs)
+        # chunk-kernel tier, set per run() from opts.numerics: _ck is
+        # the chain_kernel and _cbs the matching block size
+        self._ck = "blocked"
+        self._cbs = self.bs
         self.mesh = mesh
         self.multi = mesh is not None and any(
             d.process_index != jax.process_index()
@@ -381,7 +433,8 @@ class StreamingEM:
             out = _chunk_transfer_grad(
                 self._put(gl_c, "gl"),
                 self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
+                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
+                chain_kernel=self._ck,
             )
             for dst, src in zip((Ts, ss, dT_F, ds_F, dT_a, ds_a), out):
                 dst[c] = self._loc(src, 0)
@@ -397,7 +450,8 @@ class StreamingEM:
             T, s = _chunk_transfer(
                 self._put(gl_c, "gl"),
                 self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self.bs, hi - lo,
+                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
+                chain_kernel=self._ck,
             )
             Ts[c] = self._loc(T, 0)
             ss[c] = self._loc(s, 0)
@@ -422,7 +476,8 @@ class StreamingEM:
                 self._put(d_c, "rep"), F_d, a_d,
                 self._put(v0[c], "ind2", jnp.float32),
                 self._put(wT[c], "ind2", jnp.float32),
-                self.bs, self.cs, hi - lo, with_freq=False,
+                self._cbs, self.cs, hi - lo, with_freq=False,
+                chain_kernel=self._ck,
             )
             p_ibd_out[lo:hi] = self._loc(p_c, 1)[: hi - lo]
 
@@ -454,7 +509,8 @@ class StreamingEM:
                 self._put(d_c, "rep"), F_d, a_d,
                 self._put(v0[c], "ind2", jnp.float32),
                 self._put(wT[c], "ind2", jnp.float32),
-                self.bs, self.cs, hi - lo, maf_kernel=maf_k,
+                self._cbs, self.cs, hi - lo, maf_kernel=maf_k,
+                chain_kernel=self._ck,
             )
             if opts.freq_est == 1:
                 new_freq[lo:hi] = self._rep(f_c)[: hi - lo]
@@ -515,6 +571,19 @@ class StreamingEM:
                 "only (the LD path and the site-1-only emission quirk "
                 "need the monolithic engine)"
             )
+
+        # --kernel pallas on a single-device stream: every chunk pass
+        # (transfers, fused grad stream, posteriors) runs the
+        # VMEM-resident kernels; mesh streams keep the XLA tier (GSPMD
+        # cannot partition a pallas_call over the ind axis)
+        if opts.numerics == "pallas" and self.mesh is None:
+            from . import hmm_pallas
+
+            self._ck = "pallas"
+            self._cbs = hmm_pallas.pick_block_size(self.cs, self.N)
+        else:
+            self._ck = "blocked"
+            self._cbs = self.bs
 
         state0 = (
             np.asarray(freq0, np.float64).copy(),

@@ -279,11 +279,13 @@ def run_em_sharded(
                 alpha_fixed=opts.alpha_fixed,
                 work_dtype=wdt,
                 S_total=S_total,
-                # --kernel pallas on a pure site mesh: the chain stays
-                # the blocked-linear tier but the freq M-step (the flop
-                # ceiling) runs the VMEM-resident Pallas fixed point
+                # --kernel pallas on a pure site mesh: VMEM-resident
+                # chain kernels per shard AND the Pallas freq fixed
+                # point (fully device-local here)
                 maf_kernel="pallas" if opts.numerics == "pallas"
                 else "xla",
+                chain_kernel="pallas" if opts.numerics == "pallas"
+                else "blocked",
             )
             vit_fn = make_site_sharded_viterbi(mesh, compat=compat)
             if presharded:
@@ -303,6 +305,11 @@ def run_em_sharded(
                 alpha_fixed=opts.alpha_fixed,
                 work_dtype=wdt,
                 S_total=S_total,
+                # the chain never crosses individuals, so the pallas
+                # tier composes with ind sharding; est_maf stays XLA
+                # (its accumulators psum over "ind" each pass)
+                chain_kernel="pallas" if opts.numerics == "pallas"
+                else "blocked",
             )
             vit_fn = make_grid_sharded_viterbi(mesh, compat=compat)
             if presharded:

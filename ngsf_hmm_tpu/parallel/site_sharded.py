@@ -134,6 +134,7 @@ def site_em_iteration(
     work_dtype=jnp.float32,
     S_total=None,
     maf_kernel="xla",
+    chain_kernel="blocked",
 ):
     """One EM iteration on a site-sharded slab (runs under shard_map).
 
@@ -145,6 +146,17 @@ def site_em_iteration(
     work_dtype: precision of the chain/gradient kernels (float32 is the
     speed default; None follows gl.dtype so f64 compat validation of
     sharded runs is possible).
+    chain_kernel: "pallas" runs every chain pass (E-step posteriors and
+    each L-BFGS value-and-grad probe) through the VMEM-resident Pallas
+    kernels (models/hmm_pallas.py) instead of the XLA blocked-linear
+    tier: the shard's transfer product comes from the streamed
+    block-transfer kernel (fused with its (F, alpha) tangents on
+    gradient probes -- ONE slab pass per evaluation), the cross-shard
+    gather is unchanged, and the gathered boundary carries re-enter the
+    per-site posterior kernels via hmm_pallas's carry-aware cross-block
+    combine. f32 only (the speed default); ignored when work_dtype
+    keeps the compat dtype. Composes with ind sharding (the chain never
+    crosses individuals) and with maf_kernel independently.
     maf_kernel: "pallas" runs the freq M-step's damped fixed point in
     the VMEM-resident Pallas kernel (ops/maf_pallas.py) instead of the
     XLA loop that re-reads the GL slab from HBM on every one of its up
@@ -186,17 +198,46 @@ def site_em_iteration(
         start = jax.lax.axis_index(axis_name) * S_loc
         pad_mask = (start + jnp.arange(S_loc)) >= S_total
 
+    use_pallas_chain = (
+        chain_kernel == "pallas" and wdt == jnp.float32
+    )
     e_lin = jnp.exp(state.e_prob).astype(wdt)
-    e_blk, _ = block_sites(e_lin, block_size, 1.0)
-    d_blk, _ = block_sites(dist.astype(wdt), block_size, 0.0)
     F32 = state.indF.astype(wdt)
     a32 = state.alpha.astype(wdt)
 
-    # ---- E-step (A_ln reused: the block-transfer pass runs once)
-    v0, wT, ll_f, ll_b, A_ln = _chain(F32, a32, e_blk, d_blk, axis_name)
-    p_raw, _, _ = posteriors_blocked_lin(
-        e_blk, d_blk, F32, a32, S_loc, v0=v0, wT=wT, A_ln=A_ln
-    )
+    if use_pallas_chain:
+        from ..models import hmm_pallas
+
+        bsp = hmm_pallas.pick_block_size(S_loc, N)
+        prep = hmm_pallas.make_prep(
+            *hmm_pallas.emission_slabs(e_lin, bsp),
+            hmm_pallas.dist_slab(dist.astype(jnp.float32), N, bsp),
+            S_loc, N, bsp,
+        )
+
+        def _chain_p(Fx, ax):
+            """One streamed transfer pass + cross-shard assembly."""
+            A_reps = hmm_pallas.block_transfers_pallas(
+                Fx[None], ax[None], prep
+            )
+            T, s = hmm_pallas.fold_transfers_pallas(A_reps[0])
+            v0_, wT_, llf_, llb_ = _gather_chain(T[0], s[0], Fx, axis_name)
+            return v0_, wT_, llf_, llb_, A_reps
+
+        # ---- E-step (A_reps reused: the transfer stream runs once)
+        v0, wT, ll_f, ll_b, A_reps = _chain_p(F32, a32)
+        p_raw, _, _ = hmm_pallas.posteriors_pallas(
+            F32, a32, prep, v0=v0, wT=wT, A_reps=A_reps
+        )
+    else:
+        e_blk, _ = block_sites(e_lin, block_size, 1.0)
+        d_blk, _ = block_sites(dist.astype(wdt), block_size, 0.0)
+
+        # ---- E-step (A_ln reused: the block-transfer pass runs once)
+        v0, wT, ll_f, ll_b, A_ln = _chain(F32, a32, e_blk, d_blk, axis_name)
+        p_raw, _, _ = posteriors_blocked_lin(
+            e_blk, d_blk, F32, a32, S_loc, v0=v0, wT=wT, A_ln=A_ln
+        )
     p_ibd = check_interv(p_raw).astype(dtype)
     ind_lkl = ll_f.astype(dtype)
     fwbw_maxdiff = jnp.max(jnp.abs(ll_f - ll_b)).astype(dtype)
@@ -227,29 +268,58 @@ def site_em_iteration(
             -1,
         )
 
-        def objective(x):
-            _, _, llf, _, _ = _chain(
-                x[:, 0].astype(wdt), x[:, 1].astype(wdt),
-                e_blk, d_blk, axis_name,
-            )
-            return -llf.astype(dtype)
+        if use_pallas_chain:
 
-        def objective_vag(x):
-            Fx = x[:, 0].astype(wdt)
-            ax = x[:, 1].astype(wdt)
-            v0x, wTx, llf, _, A_lnx = _chain(Fx, ax, e_blk, d_blk, axis_name)
-            # the initial-distribution dF term belongs to the whole
-            # chain's site 0: a traced 0/1 weight keeps it on shard 0
-            # only (psum broadcasts it), and A_ln reuse means ONE
-            # block-transfer pass per evaluation
-            Lloc, gF, ga = loglik_value_and_grad_blocked_lin(
-                Fx, ax, e_blk, d_blk, v0=v0x, wT=wTx,
-                with_init_term=first.astype(wdt), A_ln=A_lnx,
-            )
-            del Lloc  # segment-local; the global ll comes from the chain
-            g = jnp.stack([gF, ga], -1)
-            g = jax.lax.psum(g, axis_name)
-            return -llf.astype(dtype), -g.astype(dtype)
+            def objective(x):
+                _, _, llf, _, _ = _chain_p(
+                    x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32)
+                )
+                return -llf.astype(dtype)
+
+            def objective_vag(x):
+                Fx = x[:, 0].astype(jnp.float32)
+                ax = x[:, 1].astype(jnp.float32)
+                # ONE fused stream per evaluation: block transfers AND
+                # their (F, alpha) tangents; the gather then conditions
+                # the Fisher-identity block ratios on the global chain
+                A_g = hmm_pallas.transfer_grad_pallas(Fx, ax, prep)
+                T, s = hmm_pallas.fold_primal_pallas(A_g)
+                v0x, wTx, llf, _ = _gather_chain(T, s, Fx, axis_name)
+                _, gF, ga = hmm_pallas.grad_from_carries_pallas(
+                    A_g, Fx, v0x, wTx,
+                    with_init_term=first.astype(jnp.float32),
+                )
+                g = jnp.stack([gF, ga], -1)
+                g = jax.lax.psum(g, axis_name)
+                return -llf.astype(dtype), -g.astype(dtype)
+
+        else:
+
+            def objective(x):
+                _, _, llf, _, _ = _chain(
+                    x[:, 0].astype(wdt), x[:, 1].astype(wdt),
+                    e_blk, d_blk, axis_name,
+                )
+                return -llf.astype(dtype)
+
+            def objective_vag(x):
+                Fx = x[:, 0].astype(wdt)
+                ax = x[:, 1].astype(wdt)
+                v0x, wTx, llf, _, A_lnx = _chain(
+                    Fx, ax, e_blk, d_blk, axis_name
+                )
+                # the initial-distribution dF term belongs to the whole
+                # chain's site 0: a traced 0/1 weight keeps it on shard 0
+                # only (psum broadcasts it), and A_ln reuse means ONE
+                # block-transfer pass per evaluation
+                Lloc, gF, ga = loglik_value_and_grad_blocked_lin(
+                    Fx, ax, e_blk, d_blk, v0=v0x, wT=wTx,
+                    with_init_term=first.astype(wdt), A_ln=A_lnx,
+                )
+                del Lloc  # segment-local; global ll comes from the chain
+                g = jnp.stack([gF, ga], -1)
+                g = jax.lax.psum(g, axis_name)
+                return -llf.astype(dtype), -g.astype(dtype)
 
         x_opt, _, opt_iters = lbfgsb_minimize(
             objective, x0, lo, hi, value_and_grad=objective_vag
@@ -292,12 +362,12 @@ def site_em_iteration(
 def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
                               indF_fixed=False, alpha_fixed=False,
                               work_dtype=jnp.float32, S_total=None,
-                              maf_kernel="xla"):
+                              maf_kernel="xla", chain_kernel="blocked"):
     """Jitted shard_map'd EM step over a ("site",) mesh.
 
     gl [S, N, 3] and dist [S] sharded along sites; EMState: freq/e_prob/
     p_ibd sharded along sites, indF/alpha/ind_lkl replicated.
-    work_dtype/S_total/maf_kernel: see site_em_iteration.
+    work_dtype/S_total/maf_kernel/chain_kernel: see site_em_iteration.
     """
     state_specs = EMState(
         freq=P("site"),
@@ -317,6 +387,7 @@ def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
         work_dtype=work_dtype,
         S_total=S_total,
         maf_kernel=maf_kernel,
+        chain_kernel=chain_kernel,
     )
     step = shard_map(
         core,
@@ -469,7 +540,8 @@ def make_grid_mesh(n_ind_shards, n_site_shards, devices=None):
 
 def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
                               indF_fixed=False, alpha_fixed=False,
-                              work_dtype=jnp.float32, S_total=None):
+                              work_dtype=jnp.float32, S_total=None,
+                              chain_kernel="blocked"):
     """EM step over a 2-D (ind, site) mesh.
 
     Layout: gl [S, N, 3] sharded P("site", "ind"); freq sharded over
@@ -498,6 +570,7 @@ def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
             indF_fixed=indF_fixed, alpha_fixed=alpha_fixed,
             axis_name="site", ind_axis_name="ind",
             work_dtype=work_dtype, S_total=S_total,
+            chain_kernel=chain_kernel,
         )
 
     step = shard_map(

@@ -71,6 +71,49 @@ def test_full_run_matches_single_device(case, spec):
     assert got.path.shape == ref.path.shape
 
 
+@pytest.mark.parametrize(
+    "spec", ["ind=8", "site=8", "ind=2,site=4"], ids=["ind", "site", "grid"]
+)
+def test_full_run_pallas_matches_single_device(case, spec):
+    """numerics='pallas' end-to-end on every mesh layout: the ind mesh
+    runs the full pallas tier shard-local, the site/grid meshes run the
+    pallas chain + carries (and the pallas freq fixed point on the pure
+    site mesh); all must match the single-device pallas engine."""
+    import dataclasses
+
+    gl, dist, state = case
+    gl32 = gl.astype(jnp.float32)
+    dist32 = dist.astype(jnp.float32)
+    st32 = type(state)(*(x.astype(jnp.float32) for x in state))
+    # pinned iteration count: f32 reduction-order noise between the two
+    # est_maf/chain orderings flips the loose 1e-4 epsilon gate at this
+    # tiny config, and the test's claim is ENDPOINT equivalence
+    opts = dataclasses.replace(
+        OPTS, numerics="pallas", min_iters=6, max_iters=6
+    )
+    ref = run_em(gl32, dist32, st32, opts)
+    got = run_em_sharded(gl32, dist32, st32, opts, parse_mesh_spec(spec))
+
+    assert got.n_iters == ref.n_iters
+    np.testing.assert_allclose(got.tot_lkl, ref.tot_lkl, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(got.state.indF), np.asarray(ref.state.indF), atol=2e-3
+    )
+    # alpha is near-unidentifiable on this random-GL fixture (most
+    # entries sit on the 1e-15/10 bounds, the likelihood is flat in the
+    # interior ones), so two f32 engines with decorrelated rounding land
+    # visibly apart at the same likelihood -- bound loosely and lean on
+    # tot_lkl/indF/freq/path for the real equivalence claim
+    np.testing.assert_allclose(
+        np.asarray(got.state.alpha), np.asarray(ref.state.alpha), atol=0.25
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.freq), np.asarray(ref.state.freq), atol=3e-3
+    )
+    mism = int((got.path != ref.path).sum())
+    assert mism <= max(3, 0.002 * got.path.size)
+
+
 def test_site_mesh_f64_compat_is_exact(case):
     """opts.numerics='log' keeps the site-sharded kernels in f64
     (work_dtype follows the input dtype): per-iteration results should

@@ -76,11 +76,12 @@ def test_streaming_matches_monolithic(data):
     np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
 
 
-def test_streaming_pallas_maf_matches_xla(data):
-    """numerics="pallas" on a single-device stream swaps only the freq
-    fixed point for the VMEM-resident Pallas kernel (interpret mode on
-    CPU); every trajectory output must match the XLA est_maf stream to
-    f32 roundoff."""
+def test_streaming_pallas_tier_matches_xla(data):
+    """numerics="pallas" on a single-device stream runs EVERY chunk pass
+    (transfer fold, fused grad stream, posteriors with carries, freq
+    fixed point) through the Pallas kernels (interpret mode on CPU); the
+    trajectory must match the XLA blocked-linear stream to f32 kernel
+    tolerances."""
     gl, dist = data
     S, N = gl.shape[0], gl.shape[1]
     freq0 = np.full(S, 0.2)
@@ -95,10 +96,10 @@ def test_streaming_pallas_maf_matches_xla(data):
         freq0, F0, a0, EMOptions(numerics="pallas", **base)
     )
     assert it_p == it_x
-    np.testing.assert_allclose(f_p, f_x, atol=2e-6)
-    np.testing.assert_allclose(ll_p, ll_x, rtol=1e-6)
-    np.testing.assert_allclose(F_p, F_x, atol=1e-4)
-    np.testing.assert_allclose(a_p, a_x, atol=1e-4)
+    np.testing.assert_allclose(f_p, f_x, atol=1e-4)
+    np.testing.assert_allclose(ll_p, ll_x, rtol=1e-5)
+    np.testing.assert_allclose(F_p, F_x, atol=1e-3)
+    np.testing.assert_allclose(a_p, a_x, atol=1e-3)
 
 
 def test_fused_stream_gradient_matches_oracle(data):
