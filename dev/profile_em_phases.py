@@ -122,8 +122,10 @@ else:
 
 p_ibd = jnp.clip(p_raw, 0.0, 1.0)
 if want("maf"):
-    maf_fn = jax.jit(lambda p: est_maf_pallas(gl_tiles, p, S))
-    freq = tick("est_maf_pallas", maf_fn, p_ibd)
+    # gl_tiles must be jit ARGS: closing over them bakes 1.2GB of
+    # constants into the HLO and the cold compile takes minutes
+    maf_fn = jax.jit(lambda t, p: est_maf_pallas(t, p, S))
+    freq = tick("est_maf_pallas", lambda p: maf_fn(gl_tiles, p), p_ibd)
 if want("em"):
     em_fn = jax.jit(
         lambda f: jnp.log(emission_probs_linear(jnp.exp(gl), f[:, None])))
