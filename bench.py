@@ -63,9 +63,61 @@ REF_ITERS = 3  # extra iterations used to isolate ref per-iter time
 # 32 threads, config 100k x 32) -- fallback only.
 REF_FALLBACK_CELLS_PER_S = 2.0e6
 
-# v5e effective stream bandwidth measured through the same pallas 3-slab
-# pipeline these kernels use (HBM peak 819 GB/s); roofline denominator.
+# v5e effective stream bandwidth through the pallas 3-slab pipeline
+# (HBM peak 819 GB/s) -- FALLBACK roofline denominator only: every big-leg
+# run measures the actual rate with a read-stream pallas probe over ~1 GB
+# (measure_stream_gbps) and records it as "roofline_gbps" in the JSON.
 STREAM_GBPS = 600.0
+
+
+def measure_stream_gbps(t_sync):
+    """Measured 3-slab HBM stream bandwidth: a read-only pallas kernel
+    over ~1 GB laid out exactly like the HMM kernels' emission/distance
+    slabs ([steps, 8, C] f32, R rows per grid step), so the roofline
+    denominator is self-calibrating instead of the STREAM_GBPS constant."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu":
+        return None
+    R, C = 16, 2048
+    steps = 2800  # 3 slabs x steps x R x 8 x C x 4 B ~= 2.2 GB
+    slab = lambda: jnp.ones((steps * R, 8, C), jnp.float32)
+    a, b, c = slab(), slab(), slab()
+
+    def kernel(a_ref, b_ref, c_ref, o_ref):
+        o_ref[0] = (
+            jnp.sum(a_ref[...], axis=0)
+            + jnp.sum(b_ref[...], axis=0)
+            + jnp.sum(c_ref[...], axis=0)
+        )
+
+    blk = lambda: pl.BlockSpec(
+        (R, 8, C), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    run = jax.jit(lambda a, b, c: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((steps, 8, C), jnp.float32),
+        grid=(steps,),
+        in_specs=[blk(), blk(), blk()],
+        out_specs=pl.BlockSpec(
+            (1, 8, C), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+    )(a, b, c))
+    out = run(a, b, c)
+    float(np.asarray(jnp.sum(out[0])))  # warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = run(a, b, c)
+    float(np.asarray(jnp.sum(out[0])))
+    dt = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
+    gbps = 3 * steps * R * 8 * C * 4 / dt / 1e9
+    log(f"[bench] measured 3-slab stream bandwidth: {gbps:.0f} GB/s")
+    return gbps
 
 
 def log(msg):
@@ -189,11 +241,35 @@ def _time_em_loop(step, state0, hard_sync, reps, t_sync):
     return max(per_iter, 1e-9)
 
 
+def _make_step(gl, dist, gl_tiles):
+    """Fused pallas EM step threading BOTH cross-iteration caches: the
+    slab layout (prep_slabs) and the warm-started M-step's L-BFGS memory
+    (opt_memory). Returns (step, stats_holder); stats_holder["opt_iters"]
+    tracks the last iteration's outer L-BFGS count (device scalar, no
+    sync until read)."""
+    from ngsf_hmm_tpu.models.em import em_iteration
+
+    holder = {"slabs": None, "opt": None, "opt_iters": None}
+
+    def step(st):
+        st2, stats, slabs, opt = em_iteration(
+            gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
+            prep_slabs=holder["slabs"], return_prep=True,
+            opt_memory=holder["opt"], return_opt=True,
+        )
+        holder["slabs"] = slabs
+        holder["opt"] = opt
+        holder["opt_iters"] = stats.opt_iters
+        return st2
+
+    return step, holder
+
+
 def time_ours_small(gl, pos, t_sync):
     import jax
     import jax.numpy as jnp
 
-    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+    from ngsf_hmm_tpu.models.em import init_state
     from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
 
     dev = jax.devices()[0]
@@ -213,15 +289,7 @@ def time_ours_small(gl, pos, t_sync):
     )
     gl_tiles = prepare_gl_tiles(jnp.exp(gl_d))
 
-    holder = {"slabs": None}
-
-    def step(st):
-        st2, _, slabs = em_iteration(
-            gl_d, dist_d, st, numerics="pallas", gl_tiles=gl_tiles,
-            prep_slabs=holder["slabs"], return_prep=True,
-        )
-        holder["slabs"] = slabs
-        return st2
+    step, holder = _make_step(gl_d, dist_d, gl_tiles)
 
     def hard_sync(st):
         # On tunneled backends jax.block_until_ready can return before
@@ -231,9 +299,10 @@ def time_ours_small(gl, pos, t_sync):
 
     reps = max(ITERS, 24)
     per_iter = _time_em_loop(step, state, hard_sync, reps, t_sync)
+    opt_iters = int(np.asarray(holder["opt_iters"]))
     log(f"[bench] ours (small {S}x{N}): {per_iter * 1e3:.2f} ms/EM-iter "
-        f"({reps} iters, 1 sync)")
-    return per_iter
+        f"({reps} iters, 1 sync; warm L-BFGS outer iters: {opt_iters})")
+    return per_iter, opt_iters
 
 
 def time_ours_big(t_sync):
@@ -241,7 +310,7 @@ def time_ours_big(t_sync):
     import jax
     import jax.numpy as jnp
 
-    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+    from ngsf_hmm_tpu.models.em import init_state
     from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
 
     Sb, Nb = BIG_S, BIG_N
@@ -280,55 +349,52 @@ def time_ours_big(t_sync):
     log(f"[bench] big leg ({Sb}x{Nb}): on-device synth+init "
         f"{time.perf_counter() - t0:.1f}s")
 
-    holder = {"slabs": None}
-
-    def step(st):
-        st2, _, slabs = em_iteration(
-            gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
-            prep_slabs=holder["slabs"], return_prep=True,
-        )
-        holder["slabs"] = slabs
-        return st2
+    step, holder = _make_step(gl, dist, gl_tiles)
 
     def hard_sync(st):
         return float(np.asarray(jnp.sum(st.ind_lkl)))
 
     per_iter = _time_em_loop(step, state, hard_sync, 8, t_sync)
+    opt_iters = int(np.asarray(holder["opt_iters"]))
     log(f"[bench] ours (big {Sb}x{Nb}): {per_iter * 1e3:.2f} ms/EM-iter "
-        f"(8 iters, 1 sync)")
+        f"(8 iters, 1 sync; warm L-BFGS outer iters: {opt_iters})")
 
-    # est_maf alone: the one COMPUTE-bound stage (the damped fixed point
-    # runs all ~101 passes on realistic GLs, ops/maf_pallas.py roofline
-    # note), so the bytes-only roofline under-counts it; measured
-    # empirically so the JSON decomposes the iteration honestly.
+    # est_maf alone: the one COMPUTE-heavy stage (macro-stepping speed
+    # mode: K0 real + ~2x-cost gradient passes instead of the damped
+    # quirk's ~101, ops/maf.py docstring), so the bytes-only roofline
+    # under-counts it; measured empirically so the JSON decomposes the
+    # iteration honestly.
     from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas
 
     p_ibd = state.p_ibd
-    f = est_maf_pallas(gl_tiles, p_ibd, Sb)
+    f = est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
     float(np.asarray(jnp.sum(f)))
     t0 = time.perf_counter()
     for _ in range(4):
-        f = est_maf_pallas(gl_tiles, p_ibd, Sb)
+        f = est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
     float(np.asarray(jnp.sum(f)))
     t_maf = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
-    log(f"[bench] est_maf alone (big): {t_maf * 1e3:.2f} ms")
-    return per_iter, t_maf
+    log(f"[bench] est_maf alone (big, macro): {t_maf * 1e3:.2f} ms")
+    return per_iter, t_maf, opt_iters
 
 
-def roofline_bytes_per_cell(opt_iters=10):
+def roofline_bytes_per_cell(opt_evals):
     """Steady-state f32 HBM traffic per HMM cell (site x ind) of one
     fused EM iteration, by construction of the pallas pipeline:
 
       E-step   56 B: transfer reads e0/e1/d (12); bw reads 12 + writes
                      bw0/bw1 (8); fw_post reads 20 + writes p (4)
-      M-step   12 B x opt_iters: each L-BFGS value-and-grad probe
-                     re-streams e0/e1/d once (speculative-full-step
-                     search: ~1 probe per outer iteration)
-      est_maf  16 B: gl tiles (12) + posterior (4)
+      M-step   12 B x opt_evals: each L-BFGS value-and-grad probe
+                     re-streams e0/e1/d once. opt_evals is MEASURED
+                     (the warm-started optimizer's outer count + the
+                     initial gradient), not assumed.
+      est_maf  16 B: gl tiles (12) + posterior (4) -- subtracted by the
+                     caller, which uses the measured est_maf time
+                     instead (macro-stepping makes it partly compute)
       emission 28 B: gl (12) + e_prob log (8) + next e0/e1 slabs (8)
                      (d slab threaded, not rebuilt)
     """
-    return 56 + 12 * opt_iters + 16 + 28
+    return 56 + 12 * opt_evals + 16 + 28
 
 
 def _backend_alive(timeout_s=300):
@@ -374,7 +440,7 @@ def main():
     gl, pos = make_inputs(rng)
 
     t_sync = _sync_baseline()
-    t_small = time_ours_small(gl, pos, t_sync)
+    t_small, opt_iters_small = time_ours_small(gl, pos, t_sync)
     small_cps = S * N * 2 / t_small
 
     vs = None
@@ -402,6 +468,7 @@ def main():
         "vs_baseline": round(vs, 2),
         "small_config": f"{S}x{N}",
         "ms_per_em_iter_small": round(t_small * 1e3, 2),
+        "opt_iters_small": opt_iters_small,
     }
     if fallback:
         out["vs_baseline_is_fallback"] = True
@@ -409,22 +476,32 @@ def main():
         out["device_fallback"] = "cpu"
 
     if BIG:
-        t_big, t_maf = time_ours_big(t_sync)
-        bpc = roofline_bytes_per_cell()
+        t_big, t_maf, opt_iters = time_ours_big(t_sync)
+        gbps = measure_stream_gbps(t_sync)
+        gbps_fallback = gbps is None
+        if gbps_fallback:
+            gbps = STREAM_GBPS
+        # the warm-started M-step costs opt_iters speculative probes +
+        # the initial gradient, each one fused value-and-grad stream
+        evals = opt_iters + 1
+        bpc = roofline_bytes_per_cell(evals)
         # stream roofline for the bandwidth-bound stages + the MEASURED
-        # compute-bound est_maf stage (its bytes term, 16 B/cell, is
-        # dwarfed by its ~100-pass fixed-point flops)
-        roof_ms = BIG_S * BIG_N * (bpc - 16) / (STREAM_GBPS * 1e9) * 1e3
+        # partly-compute-bound est_maf stage (macro-stepped fixed point)
+        roof_ms = BIG_S * BIG_N * (bpc - 16) / (gbps * 1e9) * 1e3
         roof_ms += t_maf * 1e3
         out.update({
             "value": round(BIG_S * BIG_N * 2 / t_big, 1),
             "config": f"{BIG_S}x{BIG_N}",
             "ms_per_em_iter": round(t_big * 1e3, 2),
             "ms_est_maf": round(t_maf * 1e3, 2),
+            "opt_iters": opt_iters,
             "roofline_bytes_per_cell": bpc,
+            "roofline_gbps": round(gbps, 1),
             "roofline_ms": round(roof_ms, 1),
             "roofline_frac": round(roof_ms / (t_big * 1e3), 3),
         })
+        if gbps_fallback:
+            out["roofline_gbps_is_fallback"] = True
     else:
         out.update({
             "value": round(small_cps, 1),

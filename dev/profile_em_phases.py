@@ -123,13 +123,19 @@ else:
 p_ibd = jnp.clip(p_raw, 0.0, 1.0)
 if want("maf"):
     # gl_tiles must be jit ARGS: closing over them bakes 1.2GB of
-    # constants into the HLO and the cold compile takes minutes
+    # constants into the HLO and the remote compile request explodes
+    # (HTTP 413 / broken pipe from the compile helper)
     maf_fn = jax.jit(lambda t, p: est_maf_pallas(t, p, S))
-    freq = tick("est_maf_pallas", lambda p: maf_fn(gl_tiles, p), p_ibd)
+    freq = tick("est_maf_pallas (exact damped)",
+                lambda p: maf_fn(gl_tiles, p), p_ibd)
+    maf_m = jax.jit(lambda t, p: est_maf_pallas(t, p, S, macro=True))
+    tick("est_maf_pallas (macro)", lambda p: maf_m(gl_tiles, p), p_ibd)
 if want("em"):
+    # gl as a jit ARG for the same reason as gl_tiles above
     em_fn = jax.jit(
-        lambda f: jnp.log(emission_probs_linear(jnp.exp(gl), f[:, None])))
-    tick("emission recompute (incl exp)", em_fn, state.freq)
+        lambda g, f: jnp.log(emission_probs_linear(jnp.exp(g), f[:, None])))
+    tick("emission recompute (incl exp)",
+         lambda f: em_fn(gl, f), state.freq)
 
 # em_iteration is itself jitted -- no outer jit (that would bake the
 # 1.2GB gl closure into the HLO as a constant)
@@ -137,24 +143,29 @@ full = lambda st: em_iteration(gl, dist, st, numerics="pallas",
                                gl_tiles=gl_tiles)[0]
 if not want("full"):
     sys.exit(0)
-state2 = tick("FULL em_iteration", full, state, reps=6)
+state2 = tick("FULL em_iteration (cold opt)", full, state, reps=6)
 
 
-def full_threaded(st, slabs):
+def full_threaded(st, slabs, opt):
     return em_iteration(gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
-                        prep_slabs=slabs, return_prep=True)
+                        prep_slabs=slabs, return_prep=True,
+                        opt_memory=opt, return_opt=True)
 
 
-_, _, slabs0 = full_threaded(state, None)
+_, _, slabs0, opt0 = full_threaded(state, None, None)
+hold = {"slabs": tuple(slabs0), "opt": opt0}
 
 
-def full_steady(st, slabs):
-    st2, _, _ = full_threaded(st, tuple(slabs))
+def steady(st):
+    st2, stats, slabs, opt = full_threaded(st, hold["slabs"], hold["opt"])
+    hold["slabs"], hold["opt"] = tuple(slabs), opt
+    hold["opt_iters"] = stats.opt_iters
     return st2
 
 
-steady = lambda st: full_steady(st, tuple(slabs0))
-tick("FULL em_iteration (threaded)", steady, state2, reps=6)
+state3 = tick("FULL em_iteration (threaded+warm)", steady, state2, reps=6)
+print("  steady opt_iters:", int(np.asarray(hold["opt_iters"])),
+      file=sys.stderr, flush=True)
 
 
 if not want("lb"):

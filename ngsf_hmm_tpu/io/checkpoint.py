@@ -29,7 +29,22 @@ FORMAT = "ngsf-hmm-tpu-ckpt-v1"
 STREAM_FORMAT = "ngsf-hmm-tpu-stream-ckpt-v1"
 
 
+_OPT_MEM_KEYS = ("opt_S", "opt_Y", "opt_valid", "opt_head")
+
+
 def _atomic_savez(path, fmt, arrays, bookkeeping):
+    # The warm-started M-step's L-BFGS curvature memory rides the
+    # bookkeeping dict under "opt_mem" (models/em.run_em) -- O(m * N)
+    # arrays, stored as npz fields so resume reproduces the
+    # uninterrupted trajectory exactly. Checkpoints without it (older
+    # files, cold-start modes) resume with a cold-started optimizer.
+    opt_mem = bookkeeping.get("opt_mem")
+    if opt_mem is not None:
+        bookkeeping = {k: v for k, v in bookkeeping.items()
+                       if k != "opt_mem"}
+        arrays = dict(arrays)
+        for k, v in zip(_OPT_MEM_KEYS, opt_mem):
+            arrays[k] = np.asarray(v)
     meta = {
         "format": fmt,
         "version": VERSION,
@@ -78,6 +93,9 @@ def _load_npz(path, fmt, field_names, dtype=None, as_jax=True):
                 if dtype is not None:
                     a = a.astype(dtype)
                 fields[f] = jnp.asarray(a) if as_jax else a
+            opt_mem = None
+            if all(k in z.files for k in _OPT_MEM_KEYS):
+                opt_mem = tuple(z[k] for k in _OPT_MEM_KEYS)
     except ValueError:
         raise
     except Exception as e:  # KeyError, json/pickle errors, ...
@@ -89,6 +107,9 @@ def _load_npz(path, fmt, field_names, dtype=None, as_jax=True):
               "iters_done"):
         if k in bk and isinstance(bk[k], list):
             bk[k] = np.asarray(bk[k])
+    # optional L-BFGS warm-start memory (see _atomic_savez)
+    if opt_mem is not None:
+        bk["opt_mem"] = opt_mem
     return fields, bk
 
 

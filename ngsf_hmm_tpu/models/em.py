@@ -68,6 +68,16 @@ class EMOptions:
     lkl_check_tol: float = 0.001  # EM.cpp:166-170
     check_fwbw: bool = True
     verbose: int = 1
+    # Carry the (F, alpha) M-step's L-BFGS curvature memory across EM
+    # iterations (the objective changes only through the damped e_prob
+    # update, so the previous iteration's Hessian approximation is a
+    # near-perfect preconditioner: the M-step typically finishes in 1-3
+    # value-and-grad passes instead of a cold-started 10-40). The
+    # reference cold-starts its L-BFGS-B every iteration (EM.cpp:438);
+    # per-M-step ENDPOINTS still agree to the shared PGTOL so outputs
+    # stay within the golden tolerance gates. Memory is included in
+    # checkpoints, keeping resume exact.
+    warm_mstep: bool = True
     # None = sequential scan kernels (f64 reference-compatible); "auto" or
     # an int = blocked depth-O(sqrt S) kernels (TPU speed path).
     block_size: object = None
@@ -149,7 +159,7 @@ def in_loop_emission_form(freq_est, numerics, site_sharded=False):
     jax.jit,
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
-        "block_size", "numerics", "n_rep", "return_prep",
+        "block_size", "numerics", "n_rep", "return_prep", "return_opt",
     ),
 )
 def em_iteration(
@@ -167,6 +177,8 @@ def em_iteration(
     n_rep: int = 1,
     prep_slabs=None,
     return_prep: bool = False,
+    opt_memory=None,
+    return_opt: bool = False,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -202,6 +214,14 @@ def em_iteration(
     slab is passed through untouched). next_slabs is None for configs
     whose emission path has no fused layout (freq_est == 2 or
     e_prob_calc == 2) -- the next call then rebuilds from e_prob.
+
+    opt_memory / return_opt: thread the (F, alpha) M-step's L-BFGS
+    curvature memory (lbfgsb.lbfgsb_minimize's (S, Y, valid, head)
+    tuple) across EM iterations -- the warm start that makes the
+    speculative t = 1 step land almost every outer iteration. Pass the
+    tuple a previous call returned (None on the first iteration);
+    return_opt=True appends the updated memory to the return tuple
+    (after next_slabs when return_prep is also set).
 
     n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
     individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
@@ -278,6 +298,7 @@ def em_iteration(
 
 
     # ---- M-step 1: per-individual (F, alpha) (EM.cpp:189-206)
+    opt_mem = opt_memory
     if indF_fixed and alpha_fixed:
         indF, alpha = state.indF, state.alpha
         opt_iters = jnp.asarray(0, jnp.int32)
@@ -340,8 +361,9 @@ def em_iteration(
                 )
                 return -L, -jnp.stack([gF, ga], axis=-1)
 
-        x_opt, _, opt_iters = lbfgsb_minimize(
+        x_opt, _, opt_iters, opt_mem = lbfgsb_minimize(
             objective, x0, lo, hi, value_and_grad=objective_vag,
+            warm=opt_memory, return_memory=True,
         )
         if axis_name is not None:
             # each ind-shard's batched L-BFGS converges at its own pace;
@@ -363,7 +385,9 @@ def em_iteration(
         p_r = jnp.transpose(
             p_ibd.reshape(S, n_rep, N), (1, 0, 2)
         )  # [R, S, N]
-        freq = jax.vmap(lambda p: est_maf(gl_lin, p, linear=True))(p_r)
+        freq = jax.vmap(
+            lambda p: est_maf(gl_lin, p, linear=True, macro=True)
+        )(p_r)
         e_r = jax.vmap(
             lambda f: emission_probs_linear(gl_lin, f[:, None])
         )(freq)  # [R, S, N, 2]
@@ -375,13 +399,20 @@ def em_iteration(
             # Transcendental-free fixed point + emissions; state.e_prob
             # stays log-space (one log pass at the end).
             gl_lin = jnp.exp(gl)
+            # speed tiers emulate the damped fixed point by linearised
+            # macro-stepping (ops/maf.py docstring): ~5x fewer full-width
+            # passes, ~1e-5 trajectory deviation, and on meshes ~7x fewer
+            # est_maf collectives per EM iteration
             if use_pallas and gl_tiles is not None and axis_name is None:
                 from ..ops.maf_pallas import est_maf_pallas
 
-                freq = est_maf_pallas(gl_tiles, p_ibd, S).astype(dtype)
+                freq = est_maf_pallas(
+                    gl_tiles, p_ibd, S, macro=True
+                ).astype(dtype)
             else:
                 freq = est_maf(
-                    gl_lin, p_ibd, axis_name=axis_name, linear=True
+                    gl_lin, p_ibd, axis_name=axis_name, linear=True,
+                    macro=True,
                 )
         else:
             freq = est_maf(gl, p_ibd, axis_name=axis_name)
@@ -437,21 +468,52 @@ def em_iteration(
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
     stats = IterStats(fwbw_maxdiff, opt_iters)
-    if not return_prep:
-        return new_state, stats
-    if not use_pallas:
-        return new_state, stats, None
-    if freq_est == 0:
-        next_slabs = (prep["e0"], prep["e1"], prep["d"])
-    elif e_lin_new is not None:
-        e0s, e1s = hmm_pallas.emission_slabs(e_lin_new, bs_used)
-        next_slabs = (e0s, e1s, prep["d"])
-    else:
-        next_slabs = None  # LD / quirk emission paths: rebuild from e_prob
-    return new_state, stats, next_slabs
+    out = (new_state, stats)
+    if return_prep:
+        if not use_pallas:
+            next_slabs = None
+        elif freq_est == 0:
+            next_slabs = (prep["e0"], prep["e1"], prep["d"])
+        elif e_lin_new is not None:
+            e0s, e1s = hmm_pallas.emission_slabs(e_lin_new, bs_used)
+            next_slabs = (e0s, e1s, prep["d"])
+        else:
+            next_slabs = None  # LD / quirk emission paths: rebuild from e_prob
+        out = out + (next_slabs,)
+    if return_opt:
+        out = out + (opt_mem,)
+    return out
 
 
 from .driver import array_max_pos as _array_max_pos  # noqa: E402 (back-compat)
+
+
+def restore_opt_memory(raw, n_cols, dtype, m=None):
+    """Checkpointed L-BFGS memory -> device tuple, or None if it does not
+    fit this run (different n_ind/n_rep/m or a pre-memory checkpoint --
+    the resume then cold-starts the optimizer exactly like iteration 1).
+
+    raw: the "opt_mem" bookkeeping entry ((S, Y, valid, head) as host
+    arrays) or None; n_cols: this run's batch width (N or R*N)."""
+    from .lbfgsb import MVAL
+
+    if m is None:
+        m = MVAL
+    if raw is None:
+        return None
+    try:
+        S, Y, valid, head = raw
+    except (TypeError, ValueError):
+        return None
+    S = np.asarray(S)
+    if S.shape != (m, n_cols, 2):
+        return None
+    return (
+        jnp.asarray(S, dtype),
+        jnp.asarray(Y, dtype),
+        jnp.asarray(valid, bool),
+        jnp.asarray(head, jnp.int32),
+    )
 
 
 @dataclasses.dataclass
@@ -502,6 +564,18 @@ def run_em(
     # state.e_prob every call
     prep_holder = {"slabs": None}
 
+    # the warm-started M-step's curvature memory, threaded across
+    # iterations and through checkpoints (bookkeeping key "opt_mem") so
+    # a resumed run reproduces the uninterrupted trajectory exactly
+    warm = opts.warm_mstep and not (opts.indF_fixed and opts.alpha_fixed)
+    opt_holder = {"mem": None}
+    if warm and resume_bookkeeping:
+        resume_bookkeeping = dict(resume_bookkeeping)
+        opt_holder["mem"] = restore_opt_memory(
+            resume_bookkeeping.pop("opt_mem", None), state.indF.shape[0],
+            gl.dtype,
+        )
+
     def step(st, active):
         kw = dict(
             freq_est=opts.freq_est,
@@ -511,16 +585,32 @@ def run_em(
             block_size=opts.block_size,
             numerics=opts.numerics,
             gl_tiles=gl_tiles,
+            opt_memory=opt_holder["mem"] if warm else None,
+            return_opt=warm,
         )
         if opts.numerics == "pallas":
-            st2, stats, next_slabs = em_iteration(
+            out = em_iteration(
                 gl, dist, st, prep_slabs=prep_holder["slabs"],
                 return_prep=True, **kw
             )
-            prep_holder["slabs"] = next_slabs
+            st2, stats, prep_holder["slabs"] = out[0], out[1], out[2]
         else:
-            st2, stats = em_iteration(gl, dist, st, **kw)
+            out = em_iteration(gl, dist, st, **kw)
+            st2, stats = out[0], out[1]
+        if warm:
+            opt_holder["mem"] = out[-1]
         return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
+
+    cb = checkpoint_cb
+    if checkpoint_cb is not None and warm:
+
+        def cb(n_iter, st, bkd):
+            if opt_holder["mem"] is not None:
+                bkd = dict(bkd)
+                bkd["opt_mem"] = tuple(
+                    np.asarray(x) for x in opt_holder["mem"]
+                )
+            checkpoint_cb(n_iter, st, bkd)
 
     state, bk, _ = convergence_loop(
         step,
@@ -529,7 +619,7 @@ def run_em(
         n_ind=N,
         log_callback=log_callback,
         trace=trace,
-        checkpoint_cb=checkpoint_cb,
+        checkpoint_cb=cb,
         resume_bookkeeping=resume_bookkeeping,
         track_history=True,
     )

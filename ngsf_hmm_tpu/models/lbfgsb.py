@@ -115,12 +115,22 @@ def _lbfgsb_core(
     pgtol: float,
     factr: float,
     value_and_grad: Callable,
+    warm=None,
 ):
     """Backend-agnostic projected L-BFGS. See `lbfgsb_minimize` for the
     argument contract; `xp` is numpy or jax.numpy, `while_loop` is
     lax.while_loop or a Python loop, `set_at(arr, idx, val)` is the
     functional index-update primitive of the backend. Every probe goes
-    through `value_and_grad`; there is no value-only evaluation path."""
+    through `value_and_grad`; there is no value-only evaluation path.
+
+    warm: optional curvature memory (S [m, B, n], Y, valid [m, B], head)
+    from a previous solve of a NEARBY objective (the EM outer loop: the
+    forward likelihood changes only through the damped e_prob update, so
+    the previous iteration's Hessian approximation is a near-perfect
+    preconditioner). The first two-loop direction is then quasi-Newton
+    instead of steepest descent, and the speculative t = 1 probe
+    typically ends the whole M-step in 1-3 value-and-grad passes.
+    Returns (x, f, it, (S, Y, valid, head))."""
     B, n = x0.shape
     dtype = x0.dtype
     x0 = xp.clip(x0, lower, upper)
@@ -133,14 +143,22 @@ def _lbfgsb_core(
     def pg_norm(x, g):
         return xp.max(xp.abs(proj(x - g) - x), axis=-1)
 
+    if warm is None:
+        S0 = xp.zeros((m, B, n), dtype)
+        Y0 = xp.zeros((m, B, n), dtype)
+        valid0 = xp.zeros((m, B), bool)
+        head0 = xp.asarray(0, xp.int32)
+    else:
+        S0, Y0, valid0, head0 = warm
+
     init = _State(
         x=x0,
         f=f0,
         g=g0,
-        S=xp.zeros((m, B, n), dtype),
-        Y=xp.zeros((m, B, n), dtype),
-        valid=xp.zeros((m, B), bool),
-        head=xp.asarray(0, xp.int32),
+        S=S0,
+        Y=Y0,
+        valid=valid0,
+        head=head0,
         active=pg_norm(x0, g0) > pgtol,
         it=xp.asarray(0, xp.int32),
     )
@@ -247,7 +265,7 @@ def _lbfgsb_core(
         )
 
     out = while_loop(cond, body, init)
-    return out.x, out.f, out.it
+    return out.x, out.f, out.it, (out.S, out.Y, out.valid, out.head)
 
 
 def lbfgsb_minimize(
@@ -261,6 +279,8 @@ def lbfgsb_minimize(
     factr: float = FACTR,
     value_and_grad: Callable | None = None,
     fun_multi: Callable | None = None,
+    warm=None,
+    return_memory: bool = False,
 ):
     """Minimise a batched objective within box bounds (traceable/jittable).
 
@@ -273,7 +293,11 @@ def lbfgsb_minimize(
         interpolated backtracking), so there is no separate value-only
         path; `fun_multi` is accepted for backward compatibility and
         ignored.
-    Returns (x_opt [B, n], f_opt [B], n_outer_iters).
+    warm: optional (S, Y, valid, head) curvature memory returned by a
+        previous call (with return_memory=True) on a nearby objective --
+        the EM warm start. return_memory: append that tuple to the
+        return value.
+    Returns (x_opt [B, n], f_opt [B], n_outer_iters[, memory]).
     """
     del fun_multi
     if value_and_grad is None:
@@ -283,7 +307,7 @@ def lbfgsb_minimize(
             (g,) = vjp(jnp.ones_like(f))
             return f, g
 
-    return _lbfgsb_core(
+    out = _lbfgsb_core(
         jnp,
         jax.lax.while_loop,
         lambda arr, idx, val: arr.at[idx].set(val),
@@ -295,7 +319,9 @@ def lbfgsb_minimize(
         pgtol,
         factr,
         value_and_grad,
+        warm=warm,
     )
+    return out if return_memory else out[:3]
 
 
 def _np_set_at(arr, idx, val):
@@ -315,19 +341,21 @@ def lbfgsb_minimize_host(
     factr: float = FACTR,
     value_and_grad: Callable | None = None,
     fun_multi: Callable | None = None,
+    warm=None,
+    return_memory: bool = False,
 ):
     """NumPy/Python-loop backend of the SAME algorithm, for host-streamed
     objectives that cannot be traced (models/streaming.py). `fun` may be
     None when value_and_grad is supplied; `fun_multi` is accepted for
     backward compatibility and ignored (every probe is one
-    value-and-grad pass)."""
+    value-and-grad pass). warm/return_memory as in lbfgsb_minimize."""
     del fun_multi
     if value_and_grad is None:
         raise ValueError("host backend needs an explicit value_and_grad")
 
     del fun
     x0 = np.asarray(x0)
-    return _lbfgsb_core(
+    out = _lbfgsb_core(
         np,
         _py_while,
         _np_set_at,
@@ -339,4 +367,6 @@ def lbfgsb_minimize_host(
         pgtol,
         factr,
         value_and_grad,
+        warm=warm,
     )
+    return out if return_memory else out[:3]

@@ -149,10 +149,12 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
         from ..ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
 
         freq_new = est_maf_pallas(
-            prepare_gl_tiles(gl_lin), p_ibd, gl_lin.shape[0]
+            prepare_gl_tiles(gl_lin), p_ibd, gl_lin.shape[0], macro=True
         )
     else:
-        freq_new = est_maf(gl_lin, p_ibd, linear=True)
+        # streaming is always the linear speed tier: macro-stepping cuts
+        # the fixed point ~5x (and, on mesh streams, the psum count ~7x)
+        freq_new = est_maf(gl_lin, p_ibd, linear=True, macro=True)
     return p_ibd, freq_new
 
 

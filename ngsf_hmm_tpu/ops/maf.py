@@ -8,7 +8,21 @@ converged sites freeze, so per-site trajectories equal the serial loops.
 Quirk replicated (SURVEY.md §3.6b): the expected-allele-count accumulators
 ``num``/``den`` are initialised once OUTSIDE the fixed point and keep
 accumulating across its iterations (gen_func.cpp:976-1000), damping
-updates. ``.indF`` frequencies depend on this.
+updates. ``.indF`` frequencies depend on this. On realistic low-coverage
+GLs the damped 1/k steps never drop below EPSILON, so ~every site runs
+all ITER_MAX+1 passes -- making est_maf the flop ceiling of the whole EM
+iteration at scale.
+
+Macro-stepping (the speed-mode escape from that ceiling, ``macro=True``):
+after ``MACRO_K0`` real passes, each round evaluates the cross-individual
+accumulator sums AND their freq-derivatives once (a single jvp: ~2x one
+pass), then advances the damped recursion ``MACRO_M`` virtual passes with
+the per-site linearised model -- scalar site math, no [.., N] work, no
+collectives. The emulated trajectory tracks the exact damped iterate to
+~1e-5 (measured max 7e-5 at K0=8, M=16 on Poisson-2x GLs; gated by
+tests/test_maf.py) at ~20 instead of 101 full-width passes, and on
+ind-sharded meshes cuts est_maf's collective count per EM iteration from
+~101 psums to K0 + ~6 fused psums (~7x fewer, each one round-trip).
 """
 
 from typing import NamedTuple
@@ -19,6 +33,29 @@ import jax.numpy as jnp
 from ..utils.constants import EPSILON, ITER_MAX
 from .hwe import calc_hwe, post_prob, miss_data
 
+MACRO_K0 = 8  # real full-width passes before linearised macro-stepping
+MACRO_M = 16  # virtual (linearised) passes per jvp evaluation
+
+
+def macro_schedule(n_ind):
+    """(K0, M) for ``macro=True``, keyed on the individual count, or None
+    (= run exact) below the profitable/safe size.
+
+    The linearisation error scales with the squared per-window freq
+    movement, which shrinks as the cross-individual sums sharpen: at
+    N >= 96 the aggressive (8, 16) stays under ~7e-5 (measured on
+    Poisson-2x GLs; 1e-4 test gate), at 32 <= N < 96 the safer (16, 8)
+    holds ~1e-5, and below 32 individuals the residual moves too much
+    per window for a fixed schedule -- and exact passes are cheap there
+    anyway. Sharded callers key on their LOCAL width: the gate is an
+    absolute trajectory-error bound, not cross-layout bitwise equality.
+    """
+    if n_ind < 32:
+        return None
+    if n_ind < 96:
+        return (16, 8)
+    return (MACRO_K0, MACRO_M)
+
 
 class _MafState(NamedTuple):
     freq: jnp.ndarray  # [S]
@@ -28,7 +65,8 @@ class _MafState(NamedTuple):
     passes: jnp.ndarray  # scalar int
 
 
-def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
+def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False,
+            macro=False):
     """Per-site MAF via the damped EM fixed point.
 
     gl_s:  [.., N, 3] normalised genotype likelihoods (site-major; any
@@ -45,6 +83,13 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
            freq/active trajectories are identical on every shard, the
            while_loop trip count is too -- no shard can exit the loop
            early and orphan a collective.
+    macro: speed mode -- emulate the damped trajectory by linearised
+           macro-stepping (module docstring) instead of running every
+           pass at full width. Requires ``linear=True`` and an explicit
+           ``indF``. True resolves (K0, M) via ``macro_schedule(N)``
+           (exact below 32 individuals); a (K0, M) tuple overrides.
+           Results deviate from the exact damped iterate by ~1e-5 per
+           call (compat mode: leave False).
     Returns freq [..] (leading site shape).
 
     The loop-exit test matches the reference's post-increment condition
@@ -87,27 +132,42 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
     if axis_name is not None:
         T_w = jax.lax.psum(T_w, axis_name)
 
-    def body(st: _MafState) -> _MafState:
-        prev = st.freq
+    def _local_sums(freq):
+        """LOCAL (pre-psum) accumulator contributions at ``freq``."""
         if indF is None:
-            pp = _pp_linear(st.freq, F) if linear else jnp.exp(post_prob(gl_s, None))
+            pp = (
+                _pp_linear(freq, F) if linear
+                else jnp.exp(post_prob(gl_s, None))
+            )
         elif linear:
-            pp = _pp_linear(st.freq, F)
+            pp = _pp_linear(freq, F)
         else:
-            prior = calc_hwe(st.freq[..., None], F)  # log
+            prior = calc_hwe(freq[..., None], F)  # log
             pp = jnp.exp(post_prob(gl_s, prior))
         cn = jnp.sum(w * (pp[..., 1] + pp[..., 2] * two_m_F), axis=-1)
         cdv = jnp.sum(w * (pp[..., 1] * F), axis=-1)
-        if axis_name is not None:
-            # one fused collective per pass (tuple psum), not two
-            cn, cdv = jax.lax.psum((cn, cdv), axis_name)
-        cd = T_w + cdv
+        return cn, cdv
+
+    def _advance(st: _MafState, cn, cd) -> _MafState:
+        """One damped update + the reference's post-increment exit test."""
+        prev = st.freq
         num = jnp.where(st.active, st.num + cn, st.num)
         den = jnp.where(st.active, st.den + cd, st.den)
         freq = jnp.where(st.active, num / den, st.freq)
         passes = st.passes + 1
-        active = st.active & (jnp.abs(prev - freq) > EPSILON) & (passes <= ITER_MAX)
+        active = (
+            st.active
+            & (jnp.abs(prev - freq) > EPSILON)
+            & (passes <= ITER_MAX)
+        )
         return _MafState(freq, num, den, active, passes)
+
+    def body(st: _MafState) -> _MafState:
+        cn, cdv = _local_sums(st.freq)
+        if axis_name is not None:
+            # one fused collective per pass (tuple psum), not two
+            cn, cdv = jax.lax.psum((cn, cdv), axis_name)
+        return _advance(st, cn, T_w + cdv)
 
     init = _MafState(
         freq=jnp.full(lead, 0.01, dtype=dtype),
@@ -116,5 +176,45 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False):
         active=jnp.ones(lead, dtype=bool),
         passes=jnp.zeros((), dtype=jnp.int32),
     )
-    out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)
+
+    if not macro:
+        out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)
+        return out.freq
+
+    # ---- macro-stepping speed mode (module docstring)
+    if not linear or indF is None:
+        raise ValueError("est_maf macro mode requires linear=True and indF")
+    sched = macro_schedule(N) if macro is True else macro
+    if sched is None:
+        out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)
+        return out.freq
+    K0, M = sched
+
+    st = jax.lax.while_loop(
+        lambda st: jnp.any(st.active) & (st.passes < K0), body, init
+    )
+
+    def macro_round(st: _MafState) -> _MafState:
+        # one gradient-augmented evaluation (jvp ~ 2x a plain pass) ...
+        (cn, cdv), (dcn, dcdv) = jax.jvp(
+            _local_sums, (st.freq,), (jnp.ones_like(st.freq),)
+        )
+        if axis_name is not None:
+            cn, cdv, dcn, dcdv = jax.lax.psum(
+                (cn, cdv, dcn, dcdv), axis_name
+            )
+        f0 = st.freq
+
+        # ... then M virtual damped passes on the linearised model:
+        # per-site scalar math only (and, on meshes, collective-free --
+        # every operand here is already replicated across shards)
+        def vstep(_, st2: _MafState) -> _MafState:
+            df = st2.freq - f0
+            return _advance(st2, cn + dcn * df, T_w + cdv + dcdv * df)
+
+        return jax.lax.fori_loop(0, M, vstep, st)
+
+    out = jax.lax.while_loop(
+        lambda st: jnp.any(st.active), macro_round, st
+    )
     return out.freq

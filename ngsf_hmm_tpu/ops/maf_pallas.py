@@ -162,13 +162,148 @@ def _run(gl0, gl1, gl2, p, n_ind):
     )(gl0, gl1, gl2, p)
 
 
-def est_maf_pallas(gl_tiles, p_ibd, S):
+@partial(jax.jit, static_argnames=("n_ind", "K0", "M"))
+def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
+    """Macro-stepping kernel (ops/maf.py module docstring): K0 real
+    damped passes, then rounds of ONE gradient-augmented evaluation
+    (~2x a pass) + M virtual passes of per-site scalar math on the
+    linearised accumulator model. ~K0 + 2*ceil((101-K0)/M) full-width
+    pass-equivalents instead of 101; trajectory error vs the exact
+    damped iterate ~1e-5 (test_maf.py gates 1e-4).
+
+    The per-pass math is restructured into pass-invariant POLYNOMIAL
+    coefficient planes (hoisted): with u=(1-f)^2, v=f(1-f), w=f^2,
+      denom_i  = A u + B v + C w + K
+      cn_num_i = P v + Q w + K
+      cd_num_i = R v + K F
+    where K = [F==1] g1 * 1e-15 carries calc_HWE's heterozygote floor
+    (gen_func.cpp:946-956) as a freq-constant term, so the analytic
+    freq-derivatives below are exact for floored individuals too."""
+    n_tiles = gl0.shape[0]
+    N = n_ind
+
+    def kernel(g0_ref, g1_ref, g2_ref, p_ref, freq_ref):
+        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [N, TS]
+        F = p_ref[0]
+        two_m_F = 2.0 - F
+        het = F == 1.0
+        zero = jnp.zeros_like(F)
+        tn1 = jnp.where(het, zero, 2.0 - 2.0 * F)
+        K = jnp.where(het, g1 * jnp.float32(1e-15), zero)
+        A = g0
+        B = g1 * tn1 + (g0 + g2) * F
+        C = g2
+        P = g1 * tn1 + g2 * F * two_m_F
+        Q = g2 * two_m_F
+        R = g1 * tn1 * F
+        KF = K * F
+        T_row = jnp.sum(two_m_F, axis=0, keepdims=True)  # [1, TS]
+
+        def sums(freq):
+            u = (1.0 - freq) * (1.0 - freq)
+            v = freq * (1.0 - freq)
+            w = freq * freq
+            inv = 1.0 / (A * u + B * v + C * w + K)
+            cn = jnp.sum((P * v + Q * w + K) * inv, axis=0, keepdims=True)
+            cd = T_row + jnp.sum((R * v + KF) * inv, axis=0, keepdims=True)
+            return cn, cd
+
+        def sums_grad(freq):
+            u = (1.0 - freq) * (1.0 - freq)
+            v = freq * (1.0 - freq)
+            w = freq * freq
+            du = -2.0 * (1.0 - freq)
+            dv = 1.0 - 2.0 * freq
+            dw = 2.0 * freq
+            inv = 1.0 / (A * u + B * v + C * w + K)
+            dD = A * du + B * dv + C * dw
+            cni = (P * v + Q * w + K) * inv
+            cdi = (R * v + KF) * inv
+            cn = jnp.sum(cni, axis=0, keepdims=True)
+            cd = T_row + jnp.sum(cdi, axis=0, keepdims=True)
+            dcn = jnp.sum((P * dv + Q * dw - cni * dD) * inv,
+                          axis=0, keepdims=True)
+            dcd = jnp.sum((R * dv - cdi * dD) * inv,
+                          axis=0, keepdims=True)
+            return cn, cd, dcn, dcd
+
+        def advance(st, cn, cd):
+            freq, num, den, active, passes = st
+            prev = freq
+            num = num + active * cn
+            den = den + active * cd
+            freq = freq + active * (num / den - freq)
+            passes = passes + 1
+            moved = (jnp.abs(prev - freq) > EPSILON).astype(jnp.float32)
+            inside = jnp.float32(1.0) * (passes <= ITER_MAX)
+            return (freq, num, den, active * moved * inside, passes)
+
+        z = jnp.zeros((1, gl0.shape[2]), jnp.float32)
+        init = (
+            jnp.full((1, gl0.shape[2]), 0.01, jnp.float32),
+            z,
+            z,
+            jnp.ones((1, gl0.shape[2]), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+
+        def real_cond(st):
+            return (jnp.sum(st[3]) > 0.0) & (st[4] < K0)
+
+        def real_body(st):
+            cn, cd = sums(st[0])
+            return advance(st, cn, cd)
+
+        st = jax.lax.while_loop(real_cond, real_body, init)
+
+        def macro_cond(st):
+            return jnp.sum(st[3]) > 0.0
+
+        def macro_body(st):
+            cn, cd, dcn, dcd = sums_grad(st[0])
+            f0 = st[0]
+
+            def vstep(_, st2):
+                df = st2[0] - f0
+                return advance(st2, cn + dcn * df, cd + dcd * df)
+
+            return jax.lax.fori_loop(0, M, vstep, st)
+
+        out = jax.lax.while_loop(macro_cond, macro_body, st)
+        freq_ref[0] = out[0]
+
+    tile = lambda: pl.BlockSpec(
+        (1, N, TS), _imap_fwd, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TS), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[tile(), tile(), tile(), tile()],
+        out_specs=pl.BlockSpec(
+            (1, 1, TS), _imap_fwd, memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(gl0, gl1, gl2, p)
+
+
+def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
     """Per-site MAF from pre-tiled linear GLs + current IBD posterior.
 
     gl_tiles: prepare_gl_tiles output (cache it: gl is constant across EM
-    iterations). Returns freq [S] f32.
+    iterations). macro: linearised macro-stepping speed mode (True =
+    (MACRO_K0, MACRO_M) from ops/maf.py; or an explicit (K0, M) tuple);
+    False runs every damped pass at full width. Returns freq [S] f32.
     """
     gl0, gl1, gl2 = gl_tiles
     p = prepare_p_tiles(p_ibd)
-    freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
+    if macro is True:
+        from .maf import macro_schedule
+
+        macro = macro_schedule(gl0.shape[1])
+    if macro:
+        K0, M = macro
+        freq = _run_macro(gl0, gl1, gl2, p, gl0.shape[1], K0, M)
+    else:
+        freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
     return freq.reshape(-1)[:S]

@@ -340,11 +340,15 @@ def site_em_iteration(
             # shard's GL slab) -- still ~100x less slab traffic than the
             # XLA fixed point's per-pass HBM re-reads
             freq = est_maf_pallas(
-                prepare_gl_tiles(gl_lin), p_ibd, S_loc
+                prepare_gl_tiles(gl_lin), p_ibd, S_loc, macro=True
             ).astype(dtype)
         else:
+            # macro-stepping only on the f32 speed tier: the f64 compat
+            # tier (numerics "log") must keep exact damped trajectories
+            # for oracle validation
             freq = est_maf(
-                gl_lin, p_ibd, linear=True, axis_name=ind_axis_name
+                gl_lin, p_ibd, linear=True, axis_name=ind_axis_name,
+                macro=(wdt == jnp.float32),
             ).astype(dtype)
         e_prob = jnp.log(emission_probs_linear(gl_lin, freq[:, None]))
         if pad_mask is not None:

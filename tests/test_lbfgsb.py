@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ngsf_hmm_tpu.models.lbfgsb import lbfgsb_minimize
 
@@ -53,6 +54,65 @@ def test_pinned_coordinates():
     x, f, it = lbfgsb_minimize(fun, x0, lower, upper)
     np.testing.assert_allclose(np.asarray(x[:, 0]), 0.7, atol=0)
     np.testing.assert_allclose(np.asarray(x[:, 1]), 3.0, atol=1e-3)
+
+
+def test_warm_start_cuts_iterations():
+    """Re-solving a slightly-perturbed problem from the previous solve's
+    curvature memory (the EM warm start) must converge to the same
+    optimum in fewer outer iterations than a cold start."""
+    rng = np.random.default_rng(7)
+    B, n = 32, 2
+    mu = rng.uniform(-2, 2, size=(B, n))
+    c = rng.uniform(0.5, 4.0, size=(B, n))
+    lower = jnp.full((B, n), -10.0)
+    upper = jnp.full((B, n), 10.0)
+
+    def make_fun(mu_):
+        mu_j = jnp.asarray(mu_)
+        c_j = jnp.asarray(c)
+
+        def fun(x):
+            # anisotropic + cross-term so the Hessian is non-trivial
+            d = x - mu_j
+            return jnp.sum(c_j * d**2, -1) + 0.3 * d[:, 0] * d[:, 1]
+
+        return fun
+
+    x0 = jnp.zeros((B, n))
+    x1, _, it1, mem = lbfgsb_minimize(
+        make_fun(mu), x0, lower, upper, return_memory=True
+    )
+    mu2 = mu + rng.normal(0, 0.01, mu.shape)  # the "next EM iteration"
+    xw, _, itw = lbfgsb_minimize(make_fun(mu2), x1, lower, upper, warm=mem)
+    xc, _, itc = lbfgsb_minimize(make_fun(mu2), x1, lower, upper)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xc), atol=2e-3)
+    assert int(itw) <= int(itc)
+    assert int(itw) <= 3  # warm solve is a handful of probes
+
+
+def test_warm_start_em_trajectory_matches_cold():
+    """run_em with the warm-started M-step (default) reaches the same
+    optimizer endpoints as the cold-started loop within PGTOL-bounded
+    tolerances -- the guarantee the golden gates rely on."""
+    import oracle
+    from ngsf_hmm_tpu.models.em import EMOptions, init_state, run_em
+
+    rng = np.random.default_rng(9)
+    gl, freq, dist, F, alpha, e = oracle.random_case(rng, S=200, N=6)
+    gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)))
+    d_j = jnp.asarray(dist)
+    st0 = init_state(gl_j, jnp.asarray(freq), jnp.asarray(F),
+                     jnp.asarray(alpha))
+    base = dict(min_iters=3, max_iters=6, min_epsilon=1e-12)
+    warm = run_em(gl_j, d_j, st0, EMOptions(warm_mstep=True, **base))
+    cold = run_em(gl_j, d_j, st0, EMOptions(warm_mstep=False, **base))
+    assert warm.tot_lkl == pytest.approx(cold.tot_lkl, rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(warm.state.indF), np.asarray(cold.state.indF), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(warm.state.freq), np.asarray(cold.state.freq), atol=1e-4
+    )
 
 
 def test_hmm_objective_improves_loglik():

@@ -57,6 +57,109 @@ def test_est_maf_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
 
+def _realistic_gls(rng, S, N, depth_mean=2.0, err=0.01):
+    """Poisson-depth binomial-error GLs (the simulator's model) --
+    LINEAR space, normalised."""
+    depth = rng.poisson(depth_mean, size=(S, N))
+    tf = rng.uniform(0.05, 0.45, size=S)
+    g = (rng.random((S, N)) < tf[:, None]).astype(int) + (
+        rng.random((S, N)) < tf[:, None]
+    ).astype(int)
+    p_der = np.array([err, 0.5, 1 - err])[g]
+    der = rng.binomial(depth, p_der)
+    k = der[..., None].astype(float)
+    n = depth[..., None].astype(float)
+    p = np.array([err, 0.5, 1 - err])[None, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ll = k * np.log(p) + (n - k) * np.log1p(-p)
+    ll = np.where(n == 0, 0.0, ll)
+    gl = np.exp(ll - ll.max(-1, keepdims=True))
+    return gl / gl.sum(-1, keepdims=True)
+
+
+def test_est_maf_macro_tracks_exact_damped():
+    """Macro-stepping (speed mode) must track the exact damped iterate to
+    <= 1e-4 on realistic low-coverage GLs (VERDICT round-2 gate), at
+    every schedule tier, including the F==1 het-floor case."""
+    rng = np.random.default_rng(77)
+    for N in (32, 100, 160):
+        S = 3000
+        gl = _realistic_gls(rng, S, N)
+        F = rng.random((S, N)) * 0.9
+        F[0, :] = 1.0  # het-floor tier
+        gl_j = jnp.asarray(gl)
+        F_j = jnp.asarray(F)
+        exact = np.asarray(est_maf(gl_j, F_j, linear=True))
+        fast = np.asarray(est_maf(gl_j, F_j, linear=True, macro=True))
+        d = np.abs(exact - fast)
+        assert d.max() <= 1e-4, f"N={N}: macro drift {d.max():.2e}"
+
+
+def test_est_maf_macro_small_n_is_exact():
+    """macro=True below the schedule threshold (N < 32) resolves to the
+    exact damped loop -- tiny-N cases (like the 6x500 golden matrix)
+    must not pay linearisation error."""
+    rng = np.random.default_rng(78)
+    S, N = 400, 8
+    gl = jnp.asarray(_realistic_gls(rng, S, N))
+    F = jnp.asarray(rng.random((S, N)) * 0.9)
+    exact = np.asarray(est_maf(gl, F, linear=True))
+    auto = np.asarray(est_maf(gl, F, linear=True, macro=True))
+    np.testing.assert_array_equal(auto, exact)
+
+
+def test_est_maf_macro_pallas_matches_xla():
+    """The pallas macro kernel and the XLA macro path emulate the same
+    trajectory (identical (K0, M) schedule, f32-level agreement)."""
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
+
+    rng = np.random.default_rng(79)
+    S, N = 2100, 100  # crosses tile boundaries with a ragged tail
+    gl = _realistic_gls(rng, S, N)
+    F = rng.random((S, N)) * 0.9
+    F[5, :] = 1.0
+    gl32 = jnp.asarray(gl, jnp.float32)
+    F32 = jnp.asarray(F, jnp.float32)
+    want = np.asarray(est_maf(gl32, F32, linear=True, macro=True))
+    got = np.asarray(
+        est_maf_pallas(prepare_gl_tiles(gl32), F32, S, macro=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_est_maf_macro_sharded_matches_serial():
+    """Macro-stepping under an ind-sharded mesh (psum'd jvp evaluations,
+    K0 + ~6 collectives instead of ~101) equals the serial macro path."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rng = np.random.default_rng(80)
+    S, N = 500, 64
+    gl = jnp.asarray(_realistic_gls(rng, S, N))
+    F = jnp.asarray(rng.random((S, N)) * 0.9)
+    # force the sharded run onto the SAME schedule the serial call picks
+    # (shard-local width differs; the policy is documented local-width)
+    from ngsf_hmm_tpu.ops.maf import macro_schedule
+
+    sched = macro_schedule(N)
+    want = est_maf(gl, F, linear=True, macro=sched)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ind",))
+    fn = shard_map(
+        lambda g, f: est_maf(g, f, linear=True, macro=sched,
+                             axis_name="ind"),
+        mesh=mesh,
+        in_specs=(P(None, "ind", None), P(None, "ind")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = jax.jit(fn)(gl, F)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_est_maf_pallas_het_certain_at_full_ibd():
     """A heterozygote-certain GL at p_ibd == 1 must NOT produce NaN:
     calc_HWE's F==1 het floor (gen_func.cpp:946-956) applies in the
