@@ -28,12 +28,17 @@ queues `reps` iterations per sync and subtracts a measured sync-only
 baseline so the RTT does not inflate per-iteration numbers (see
 CLAUDE.md "Environment gotchas").
 
+A third STREAM leg (default 10M x 100 through models/streaming.py,
+device-synthesised chunks -- see time_stream_10m) records the BASELINE
+ladder rung above 1M as a measured number.
+
 Env knobs: NGSF_BENCH_SITES, NGSF_BENCH_IND, NGSF_BENCH_ITERS,
 NGSF_BENCH_BIG=0 (skip the 1M x 100 leg), NGSF_BENCH_BIG_SITES,
-NGSF_BENCH_BIG_IND, NGSF_BENCH_SKIP_REF=1, NGSF_BENCH_REF_TIMEOUT
-(seconds, default 360: watchdog on the reference leg -- on expiry the
-bench logs the failure to stderr and falls back to the recorded dev-host
-baseline).
+NGSF_BENCH_BIG_IND, NGSF_BENCH_STREAM=0 (skip the 10M stream leg),
+NGSF_BENCH_STREAM_SITES/IND/CHUNK, NGSF_BENCH_SKIP_REF=1,
+NGSF_BENCH_REF_TIMEOUT (seconds, default 360: watchdog on the reference
+leg -- on expiry the bench logs the failure to stderr and falls back to
+the recorded dev-host baseline).
 """
 
 import gzip
@@ -378,6 +383,88 @@ def time_ours_big(t_sync):
     return per_iter, t_maf, opt_iters
 
 
+def time_stream_10m(t_sync):
+    """BASELINE-ladder rung above 1M: a REAL streamed EM iteration at
+    (default) 10M x 100 through models/streaming.StreamingEM -- chunked
+    pallas chain passes, boundary-carry assembly on host, device-resident
+    freq, warm host L-BFGS. GL chunks are synthesised ON DEVICE per
+    fetch (deterministic per chunk index): the tunnel's ~25 MB/s h2d is
+    three orders off a real TPU host's DMA and would measure the tunnel,
+    not the engine -- flagged as "stream_synth": "on_device" in the JSON.
+    Everything else (per-chunk transfers, host 2x2 chain algebra, the
+    full M-step stream) is the production code path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ngsf_hmm_tpu.models.em import EMOptions
+    from ngsf_hmm_tpu.models.streaming import StreamingEM
+
+    Ss = int(os.environ.get("NGSF_BENCH_STREAM_SITES", 10_000_000))
+    Ns = int(os.environ.get("NGSF_BENCH_STREAM_IND", 100))
+    cs = int(os.environ.get("NGSF_BENCH_STREAM_CHUNK", 1_000_000))
+    dt = jnp.float32
+
+    @jax.jit
+    def synth_chunk(key):
+        # CHEAP deterministic GLs (Dirichlet(1,1,1) per site x ind): the
+        # chunk is re-generated on every pass, standing in for what a
+        # real host source delivers by DMA -- the generator must cost
+        # (much) less than the chunk kernels or it becomes the
+        # measurement. est_maf's macro schedule runs fixed trip counts,
+        # so GL realism does not change the timed work.
+        u = jax.random.uniform(key, (cs, Ns, 3), dt, 1e-6, 1.0)
+        e = -jnp.log(u)
+        return jnp.log(e / jnp.sum(e, axis=-1, keepdims=True))
+
+    class _Shape:
+        shape = (Ss, Ns, 3)
+
+        def __getitem__(self, _):  # pragma: no cover - must not be hit
+            raise RuntimeError("bench stream source is device-synth only")
+
+    rng = np.random.default_rng(5)
+    dist = rng.integers(100, 200_000, size=Ss).astype(np.float64) / 1e6
+
+    class _DeviceSynthStream(StreamingEM):
+        def _chunk(self, c):
+            lo = c * self.cs
+            hi = min(lo + self.cs, self.S)
+            gl_c = synth_chunk(jax.random.PRNGKey(c))  # device, log GLs
+            d_c = self.dist[lo:hi].astype(np.float32)
+            if hi - lo < self.cs:
+                d_c = np.pad(d_c, (0, self.cs - (hi - lo)))
+            return gl_c, lo, hi, d_c
+
+    se = _DeviceSynthStream(_Shape(), dist, chunk_sites=cs)
+    opts = EMOptions(numerics="pallas", min_iters=1, max_iters=2,
+                     min_epsilon=1e-9)
+
+    freq = np.full(Ss, 0.2)
+    F = np.full(Ns, 0.2)
+    alpha = np.full(Ns, 0.05)
+
+    t0 = time.perf_counter()
+    freq_d = se._freq_pad_dev(freq)
+    out = se._stream_iteration(freq_d, F, alpha, opts)  # warm/compile
+    log(f"[bench] stream leg ({Ss}x{Ns}, {se.C} chunks): warmup+compile "
+        f"{time.perf_counter() - t0:.1f}s")
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = se._stream_iteration(out[0], out[1], out[2], opts)
+    per_iter = (time.perf_counter() - t0) / reps
+    log(f"[bench] ours (stream {Ss}x{Ns}): {per_iter * 1e3:.0f} ms/EM-iter "
+        f"({reps} iters)")
+    return {
+        "stream_config": f"{Ss}x{Ns}",
+        "stream_chunks": se.C,
+        "ms_per_em_iter_stream": round(per_iter * 1e3, 1),
+        "stream_cells_per_s": round(Ss * Ns * 2 / per_iter, 1),
+        "stream_synth": "on_device",
+    }
+
+
 def roofline_bytes_per_cell(opt_evals):
     """Steady-state f32 HBM traffic per HMM cell (site x ind) of one
     fused EM iteration, by construction of the pallas pipeline:
@@ -502,6 +589,12 @@ def main():
         })
         if gbps_fallback:
             out["roofline_gbps_is_fallback"] = True
+        if os.environ.get("NGSF_BENCH_STREAM", "1") == "1":
+            try:
+                out.update(time_stream_10m(t_sync))
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] stream leg failed: {e}")
+                out["stream_error"] = str(e)[:200]
     else:
         out.update({
             "value": round(small_cps, 1),

@@ -373,6 +373,10 @@ def main(argv=None):
             dist_mod.initialize(p["coordinator"], p["n_procs"], dist_pid)
         except Exception as e:  # noqa: BLE001 - surface as reference error
             error("main", f"jax.distributed init failed: {e}")
+    if p["stream_chunk"] > 0 and p["n_rep"] > 1 and p["checkpoint"]:
+        error("main", "--checkpoint is not supported with --stream_chunk "
+                      "--n_rep (sequential restarts); checkpoint a "
+                      "single-replicate run instead")
     import jax.numpy as jnp
 
     from .io import readers
@@ -445,7 +449,15 @@ def main(argv=None):
             from .parallel.site_sharded import make_grid_mesh, make_site_mesh
 
             if p["n_rep"] > 1:
-                error("main", "site meshes do not compose with --n_rep")
+                error(
+                    "main",
+                    "site meshes do not compose with --n_rep (replicated "
+                    "site-sharded chains are not implemented). Recipes: "
+                    "sequential restarts through the streaming engine "
+                    "(--stream_chunk N --n_rep R), or run R separate "
+                    "jobs with --seed seed+r and keep the best "
+                    "first-line .indF lkl (the ngsF-HMM.sh protocol)",
+                )
             S_pad_dist = -(-p["n_sites"] // s_m) * s_m
             if i_m == 1:
                 gmesh = make_site_mesh(s_m, devices=jax.devices()[:n_need])
@@ -663,7 +675,12 @@ def main(argv=None):
         )
     state = None
     freq0 = None
-    if p["n_rep"] == 1:
+    # Streamed multi-restart (--stream_chunk + --n_rep) re-resolves only
+    # the RANDOM inits per replicate; a deterministic freq init ("e",
+    # file, literal) is identical across replicates and computed once
+    # here (the "e" spec is a full chunked pass over the data).
+    stream_restarts = p["stream_chunk"] > 0 and p["n_rep"] > 1
+    if p["n_rep"] == 1 or (stream_restarts and fspec != "r"):
         # multi-restart re-resolves inits per replicate (seed+r), so the
         # single-run init (incl. the freq 'e' est_maf pass and the
         # [S, N, 2] emission build) is only done here
@@ -1215,9 +1232,9 @@ def main(argv=None):
             print(f'==> Profiling EM loop to "{p["profile"]}"')
 
     if p["stream_chunk"] > 0:
-        # ---- streaming EM: out-of-HBM path (models/streaming.py)
-        if p["n_rep"] > 1:
-            error("main", "--stream_chunk is incompatible with --n_rep")
+        # ---- streaming EM: out-of-HBM path (models/streaming.py);
+        # --n_rep > 1 runs the .sh protocol as sequential restarts below
+        # (checkpoint + stream restarts rejected at validation time)
         # (the LD path is rejected at arg-parse time)
         from .io.writers import write_geno_streamed
         from .models.streaming import StreamingEM, streaming_viterbi
@@ -1321,15 +1338,68 @@ def main(argv=None):
         # multi-host: this process optimises only its ind block (the
         # single-process slice is the whole vector)
         i0_loc = ind_slab[0] if distributed_run else 0
-        indF_run = np.asarray(indF0, np.float64)[i0_loc:i0_loc + N_]
-        alpha_run = np.asarray(alpha0, np.float64)[i0_loc:i0_loc + N_]
         try:
             with profile_ctx:
-                freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
-                    freq0, indF_run, alpha_run, opts, p_ibd_out=p_ibd,
-                    checkpoint_cb=stream_ckpt_cb,
-                    resume_bookkeeping=stream_resume_bk, trace=trace,
-                )
+                if p["n_rep"] > 1:
+                    # ---- sequential restarts through ONE streaming
+                    # engine (the ngsF-HMM.sh protocol, ngsF-HMM.sh:
+                    # 83-99: independent full runs, keep the best total
+                    # lkl). Replicate r re-resolves RANDOM inits with
+                    # GslTaus(seed + r), matching the lockstep protocol
+                    # (models/restart.stack_restart_states); compiled
+                    # chunk kernels are shared across replicates. The
+                    # final posterior pass runs only for the winner.
+                    from .io.gsl_rng import GslTaus as _Taus
+                    from .io.init import init_freq as _init_freq
+                    from .io.init import init_indF_alpha as _init_ia
+
+                    best = None
+                    rep_summary = []
+                    for r_i in range(p["n_rep"]):
+                        rng_r = _Taus(p["seed"] + r_i)
+                        iF_r, al_r = _init_ia(
+                            p["indF"], p["n_ind"], rng_r
+                        )
+                        fq_r = (
+                            _init_freq("r", p["n_sites"], rng_r)
+                            if fspec == "r" else freq0
+                        )
+                        if p["verbose"] >= 1:
+                            print(f"\n==> Replicate {r_i + 1} of "
+                                  f"{p['n_rep']}")
+                        fqf, Ff, af, ll, ni = se.run(
+                            fq_r,
+                            np.asarray(iF_r, np.float64)[
+                                i0_loc:i0_loc + N_],
+                            np.asarray(al_r, np.float64)[
+                                i0_loc:i0_loc + N_],
+                            opts, trace=trace,
+                        )
+                        tot_r = float(se._gather_ind(ll).sum())
+                        rep_summary.append((tot_r, ni))
+                        if best is None or tot_r > best[0]:
+                            best = (tot_r, fqf, Ff, af, ll, ni,
+                                    se._last_prev_params)
+                    _, freq_f, F_f, a_f, ind_lkl, n_iters, prev_b = best
+                    if p["verbose"] >= 1:
+                        bi = int(np.argmax(
+                            [t for t, _ in rep_summary]
+                        ))
+                        for r_i, (lk, it) in enumerate(rep_summary):
+                            tag = "  <== best" if r_i == bi else ""
+                            print(f"Replicate {r_i + 1}: logLkl "
+                                  f"{lk:.6f} ({it} iters){tag}")
+                    se.posteriors_pass(*prev_b, p_ibd)
+                else:
+                    indF_run = np.asarray(indF0, np.float64)[
+                        i0_loc:i0_loc + N_]
+                    alpha_run = np.asarray(alpha0, np.float64)[
+                        i0_loc:i0_loc + N_]
+                    freq_f, F_f, a_f, ind_lkl, n_iters = se.run(
+                        freq0, indF_run, alpha_run, opts, p_ibd_out=p_ibd,
+                        checkpoint_cb=stream_ckpt_cb,
+                        resume_bookkeeping=stream_resume_bk, trace=trace,
+                    )
         except (NotImplementedError, ValueError) as e:
             error("EM", str(e))
         # global per-ind views for the gate warning, prints and writers

@@ -508,6 +508,9 @@ def restore_opt_memory(raw, n_cols, dtype, m=None):
     S = np.asarray(S)
     if S.shape != (m, n_cols, 2):
         return None
+    head = np.asarray(head, np.int32)
+    if head.ndim == 0:  # legacy scalar head -> per-row broadcast
+        head = np.full((n_cols,), head, np.int32)
     return (
         jnp.asarray(S, dtype),
         jnp.asarray(Y, dtype),

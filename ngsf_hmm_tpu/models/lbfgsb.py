@@ -43,7 +43,14 @@ MVAL = 10
 FACTR = 1e6
 PGTOL = 1e-3
 EPS_MACH = 2.220446049250313e-16
-MAX_LS = 25
+# Line-search round cap (the reference's dcsrch caps at 20 evaluations,
+# bfgs.h:26 MAXFEV-class guard). The noise-floor gate below (not this
+# cap) is what retires rows whose achievable decrease is below the
+# dtype's resolution -- the cap only bounds GENUINE backtracks, which
+# quadratic interpolation usually finishes in 1-2 rounds, so 10 rounds
+# (t down to 1e-10) is cheap insurance for narrow valleys (e.g. the
+# called-genotype one-hot likelihoods, golden TG configs).
+MAX_LS = 10
 ARMIJO_C1 = 1e-4
 
 
@@ -54,9 +61,16 @@ class _State(NamedTuple):
     S: jnp.ndarray  # [m, B, n]  history of steps s_j
     Y: jnp.ndarray  # [m, B, n]  history of grad diffs y_j
     valid: jnp.ndarray  # [m, B] bool
-    head: jnp.ndarray  # scalar int32, next ring-buffer slot
+    head: jnp.ndarray  # [B] int32, PER-ROW next ring-buffer slot
     active: jnp.ndarray  # [B] bool
     it: jnp.ndarray  # scalar int32
+
+
+def _slot_gather(xp, A, j):
+    """A [m, B, ...], j [B] -> A[j[b], b] for every row b."""
+    if A.ndim == 3:
+        return xp.take_along_axis(A, j[None, :, None], axis=0)[0]
+    return xp.take_along_axis(A, j[None, :], axis=0)[0]
 
 
 def _two_loop(xp, g, S, Y, valid, head, m):
@@ -64,7 +78,10 @@ def _two_loop(xp, g, S, Y, valid, head, m):
 
     Written against `xp` (numpy or jax.numpy); the slot loop is a Python
     loop over the static history length m (unrolled in the jit trace),
-    newest slot first: head-1, head-2, ...
+    newest stored pair first: head-1, head-2, ... PER ROW (each row
+    advances its own ring buffer only when it stores a pair, so a row's
+    direction history -- and therefore its whole trajectory -- is
+    independent of how rows are batched or sharded together).
     """
     eps = 1e-12
 
@@ -72,26 +89,27 @@ def _two_loop(xp, g, S, Y, valid, head, m):
     alphas = []
     for i in range(m):
         j = (head - 1 - i) % m
-        s, y, v = S[j], Y[j], valid[j]
+        s = _slot_gather(xp, S, j)
+        y = _slot_gather(xp, Y, j)
+        v = _slot_gather(xp, valid, j)
         sy = xp.sum(s * y, axis=-1)
         rho = xp.where(v & (sy > eps), 1.0 / xp.where(sy == 0, 1.0, sy), 0.0)
         a = rho * xp.sum(s * q, axis=-1)
         q = q - a[:, None] * y * xp.where(v, 1.0, 0.0)[:, None]
-        alphas.append((j, a))
+        alphas.append((j, a, s, y, v, rho))
 
-    # H0 scaling from newest valid pair
+    # H0 scaling from the newest stored pair
     j_new = (head - 1) % m
-    s_n, y_n, v_n = S[j_new], Y[j_new], valid[j_new]
+    s_n = _slot_gather(xp, S, j_new)
+    y_n = _slot_gather(xp, Y, j_new)
+    v_n = _slot_gather(xp, valid, j_new)
     yy = xp.sum(y_n * y_n, axis=-1)
     sy = xp.sum(s_n * y_n, axis=-1)
     gamma = xp.where(v_n & (yy > eps), sy / xp.where(yy == 0, 1.0, yy), 1.0)
     gamma = xp.clip(gamma, 1e-8, 1e8)
     r = gamma[:, None] * q
 
-    for j, a in reversed(alphas):
-        s, y, v = S[j], Y[j], valid[j]
-        sy = xp.sum(s * y, axis=-1)
-        rho = xp.where(v & (sy > eps), 1.0 / xp.where(sy == 0, 1.0, sy), 0.0)
+    for j, a, s, y, v, rho in reversed(alphas):
         b = rho * xp.sum(y * r, axis=-1)
         r = r + (a - b)[:, None] * s * xp.where(v, 1.0, 0.0)[:, None]
     return -r
@@ -106,7 +124,6 @@ def _py_while(cond, body, val):
 def _lbfgsb_core(
     xp,
     while_loop,
-    set_at,
     x0,
     lower,
     upper,
@@ -116,21 +133,28 @@ def _lbfgsb_core(
     factr: float,
     value_and_grad: Callable,
     warm=None,
+    noise_eps=None,
 ):
     """Backend-agnostic projected L-BFGS. See `lbfgsb_minimize` for the
     argument contract; `xp` is numpy or jax.numpy, `while_loop` is
-    lax.while_loop or a Python loop, `set_at(arr, idx, val)` is the
-    functional index-update primitive of the backend. Every probe goes
+    lax.while_loop or a Python loop. Every probe goes
     through `value_and_grad`; there is no value-only evaluation path.
 
-    warm: optional curvature memory (S [m, B, n], Y, valid [m, B], head)
-    from a previous solve of a NEARBY objective (the EM outer loop: the
-    forward likelihood changes only through the damped e_prob update, so
-    the previous iteration's Hessian approximation is a near-perfect
-    preconditioner). The first two-loop direction is then quasi-Newton
-    instead of steepest descent, and the speculative t = 1 probe
-    typically ends the whole M-step in 1-3 value-and-grad passes.
-    Returns (x, f, it, (S, Y, valid, head))."""
+    warm: optional curvature memory (S [m, B, n], Y, valid [m, B],
+    head [B]) from a previous solve of a NEARBY objective (the EM outer
+    loop: the forward likelihood changes only through the damped e_prob
+    update, so the previous iteration's Hessian approximation is a
+    near-perfect preconditioner). The first two-loop direction is then
+    quasi-Newton instead of steepest descent, and the speculative t = 1
+    probe typically ends the whole M-step in 1-3 value-and-grad passes.
+    Returns (x, f, it, (S, Y, valid, head)). The ring-buffer head is
+    PER-ROW [B] and advances only when that row stores a curvature
+    pair, so every row's direction history -- and therefore its whole
+    trajectory -- is independent of how rows are batched or sharded
+    together (single device, ind-mesh shards, vmapped replicates all
+    produce identical per-individual results in exact arithmetic), and
+    the memory shards/gathers like S/Y across checkpoints and
+    resharding resumes."""
     B, n = x0.shape
     dtype = x0.dtype
     x0 = xp.clip(x0, lower, upper)
@@ -143,13 +167,27 @@ def _lbfgsb_core(
     def pg_norm(x, g):
         return xp.max(xp.abs(proj(x - g) - x), axis=-1)
 
+    # dtype-aware noise floor: in f32 at HMM likelihood scale (|f| ~ 1e4
+    # per individual) neither PGTOL = 1e-3 nor factr*eps(f64) relative
+    # decreases are resolvable -- without a floor, noise-level rows
+    # re-run the whole backtracking ladder every EM iteration. A row
+    # whose achievable decrease is below ~8 ulps of f is done.
+    # noise_eps: override when the OBJECTIVE is computed at a coarser
+    # precision than x0 (the streaming host mirror optimizes float64
+    # vectors over f32 device kernels -- the floor must reflect the
+    # objective's resolution, or noise rows ride the ladder).
+    eps_dt = float(noise_eps or np.finfo(dtype).eps)
+    noise_rel = max(factr * EPS_MACH, 8.0 * eps_dt)
+
     if warm is None:
         S0 = xp.zeros((m, B, n), dtype)
         Y0 = xp.zeros((m, B, n), dtype)
         valid0 = xp.zeros((m, B), bool)
-        head0 = xp.asarray(0, xp.int32)
+        head0 = xp.zeros((B,), xp.int32)
     else:
-        S0, Y0, valid0, head0 = warm
+        S0, Y0, valid0, head_in = warm
+        # per-row heads; accept a scalar (legacy checkpoints) broadcast
+        head0 = xp.zeros((B,), xp.int32) + xp.asarray(head_in, xp.int32)
 
     init = _State(
         x=x0,
@@ -178,6 +216,26 @@ def _lbfgsb_core(
         # fall back to steepest descent when d is not a descent direction
         descent = xp.sum(d * g_eff, axis=-1) < 0
         d = xp.where(descent[:, None], d, -g_eff)
+        # Breakpoint of the projected path (first bound any moving
+        # coordinate reaches, in step units) -- the batched stand-in for
+        # the reference L-BFGS-B's generalized-Cauchy-point breakpoint
+        # scan (bfgs.cpp cauchy_). Used two ways below: the backtracking
+        # ladder SNAPS to just under it (an interior Armijo point often
+        # sits right below the breakpoint, ~12 plain decay rounds away),
+        # and cold steepest-descent steps that overshoot it get one
+        # accept-if-better interior probe (a projected full step into
+        # the box corner passes Armijo but can be a frozen-transition
+        # local trap; measured on the 10x10k cold-start golden configs).
+        qn = descent & xp.any(st.valid, axis=0)
+        dist_bp = xp.where(
+            d > 0, upper - st.x, xp.where(d < 0, st.x - lower, xp.inf)
+        )
+        t_bp = xp.min(
+            xp.where(d != 0, dist_bp / xp.where(d == 0, 1.0, xp.abs(d)),
+                     xp.inf),
+            axis=-1,
+        ).astype(dtype)
+        t_first = xp.ones((B,), dtype)
 
         # Armijo backtracking where EVERY probe is one batched
         # value-and-grad evaluation (one data pass): the full step t = 1
@@ -201,13 +259,23 @@ def _lbfgsb_core(
             )
             return x_c, f_c, g_c, ok
 
-        t1 = xp.ones((B,), dtype)
-        x_sp, f_sp, g_sp, ok_sp = probe(t1)
+        # achievable-decrease noise floor per row (see noise_rel above)
+        noise_f = noise_rel * xp.maximum(xp.abs(st.f), 1.0)
+
+        x_sp, f_sp, g_sp, ok_sp = probe(t_first)
         acc0 = st.active & ok_sp
-        need0 = st.active & ~ok_sp
+        # don't backtrack rows whose IDEAL first-order decrease at the
+        # next step is already below the noise floor -- they cannot pass
+        # Armijo in this precision and would ride the full ladder
+        need_rej = st.active & ~ok_sp & (-gd0 * t_first * 0.5 > noise_f)
+        # cold rows whose ACCEPTED full step overshot a breakpoint take
+        # one interior (just-below-breakpoint) probe and keep the better
+        # f -- the corner-vs-interior basin check
+        corner0 = acc0 & ~qn & (t_first > t_bp)
+        need0 = need_rej | corner0
 
         def bt_round(ls):
-            t, f_t, x_new, f_new, g_new, need = ls
+            t, f_t, x_new, f_new, g_new, need, rounds = ls
             # quadratic-fit minimiser, safeguarded into [0.1 t, 0.5 t]
             denom = 2.0 * (f_t - st.f - gd0 * t)
             t_q = xp.where(
@@ -217,23 +285,36 @@ def _lbfgsb_core(
             )
             t_new = xp.clip(t_q, 0.1 * t, 0.5 * t)
             t_new = xp.where(xp.isfinite(t_new), t_new, 0.5 * t)
+            # snap to just under the projected path's first breakpoint
+            # instead of decaying past it round by round
+            t_new = xp.where(
+                (t > t_bp) & (t_new > 0.95 * t_bp), 0.95 * t_bp, t_new
+            )
             x_c, f_c, g_c, ok = probe(t_new)
-            newly = need & ok
+            # accept-if-better: corner-check rows already hold an
+            # accepted point in f_new; plain rejected rows hold st.f,
+            # which any Armijo-passing probe beats by construction
+            newly = need & ok & (f_c < f_new)
             x_new = xp.where(newly[:, None], x_c, x_new)
             f_new = xp.where(newly, f_c, f_new)
             g_new = xp.where(newly[:, None], g_c, g_new)
-            need = need & ~ok & (t_new > 1e-12)
-            return (t_new, f_c, x_new, f_new, g_new, need)
+            rounds = rounds + 1
+            need = (
+                need & ~ok & (t_new > 1e-12) & (rounds < MAX_LS)
+                & (-gd0 * t_new * 0.5 > noise_f)
+            )
+            return (t_new, f_c, x_new, f_new, g_new, need, rounds)
 
         bt0 = (
-            t1,
+            t_first,
             f_sp,
             xp.where(acc0[:, None], x_sp, st.x),
             xp.where(acc0, f_sp, st.f),
             xp.where(acc0[:, None], g_sp, st.g),
             need0,
+            xp.asarray(0, xp.int32),
         )
-        _, _, x_new, f_new, g_new, _ = while_loop(
+        _, _, x_new, f_new, g_new, _, _ = while_loop(
             lambda ls: xp.any(ls[5]), bt_round, bt0
         )
         # keep previous values for inactive rows
@@ -245,16 +326,20 @@ def _lbfgsb_core(
         y_vec = g_new - st.g
         sy = xp.sum(s_vec * y_vec, axis=-1)
         store = st.active & (sy > 1e-12)
-        slot = st.head % m
-        S = set_at(st.S, slot, xp.where(store[:, None], s_vec, st.S[slot]))
-        Y = set_at(st.Y, slot, xp.where(store[:, None], y_vec, st.Y[slot]))
-        valid = set_at(
-            st.valid, slot, xp.where(store, True, st.valid[slot])
-        )
-        head = st.head + 1
+        # per-row ring-buffer write: row b stores into slot head[b] % m
+        # and advances ITS head only when it stores (layout-invariant
+        # histories; see _two_loop)
+        slot = st.head % m  # [B]
+        wmask = (
+            xp.arange(m, dtype=xp.int32)[:, None] == slot[None, :]
+        ) & store[None, :]  # [m, B]
+        S = xp.where(wmask[:, :, None], s_vec[None, :, :], st.S)
+        Y = xp.where(wmask[:, :, None], y_vec[None, :, :], st.Y)
+        valid = xp.where(wmask, True, st.valid)
+        head = st.head + store.astype(xp.int32)
 
         small_pg = pg_norm(x_new, g_new) <= pgtol
-        rel_dec = (st.f - f_new) <= factr * EPS_MACH * xp.maximum(
+        rel_dec = (st.f - f_new) <= noise_rel * xp.maximum(
             xp.maximum(xp.abs(st.f), xp.abs(f_new)), 1.0
         )
         no_move = xp.all(s_vec == 0, axis=-1)
@@ -281,6 +366,7 @@ def lbfgsb_minimize(
     fun_multi: Callable | None = None,
     warm=None,
     return_memory: bool = False,
+    noise_eps=None,
 ):
     """Minimise a batched objective within box bounds (traceable/jittable).
 
@@ -310,7 +396,6 @@ def lbfgsb_minimize(
     out = _lbfgsb_core(
         jnp,
         jax.lax.while_loop,
-        lambda arr, idx, val: arr.at[idx].set(val),
         x0,
         lower,
         upper,
@@ -320,14 +405,9 @@ def lbfgsb_minimize(
         factr,
         value_and_grad,
         warm=warm,
+        noise_eps=noise_eps,
     )
     return out if return_memory else out[:3]
-
-
-def _np_set_at(arr, idx, val):
-    arr = arr.copy()
-    arr[idx] = val
-    return arr
 
 
 def lbfgsb_minimize_host(
@@ -343,6 +423,7 @@ def lbfgsb_minimize_host(
     fun_multi: Callable | None = None,
     warm=None,
     return_memory: bool = False,
+    noise_eps=None,
 ):
     """NumPy/Python-loop backend of the SAME algorithm, for host-streamed
     objectives that cannot be traced (models/streaming.py). `fun` may be
@@ -358,7 +439,6 @@ def lbfgsb_minimize_host(
     out = _lbfgsb_core(
         np,
         _py_while,
-        _np_set_at,
         x0,
         np.asarray(lower, x0.dtype),
         np.asarray(upper, x0.dtype),
@@ -368,5 +448,6 @@ def lbfgsb_minimize_host(
         factr,
         value_and_grad,
         warm=warm,
+        noise_eps=noise_eps,
     )
     return out if return_memory else out[:3]

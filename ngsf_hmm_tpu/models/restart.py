@@ -83,6 +83,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
     models/driver.convergence_loop (one loop for every mode).
     """
     from .driver import convergence_loop
+    from .lbfgsb import MVAL
 
     R = states.indF.shape[0]
     N = gl.shape[1]
@@ -95,6 +96,44 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
         opts = dataclasses.replace(opts, numerics="linear",
                                    block_size=opts.block_size or "auto")
 
+    # warm-started M-step memory (models/em.py): [m, R*N, 2] on the
+    # flattened pallas path, [R, m, N, 2] on the vmapped path. A zeros
+    # memory IS the cold start (no valid pairs), so the step always
+    # threads an explicit tuple (single trace).
+    warm = opts.warm_mstep and not (opts.indF_fixed and opts.alpha_fixed)
+    flat_pallas = opts.numerics == "pallas"
+
+    def _zero_mem():
+        dt = gl.dtype
+        if flat_pallas:
+            return (
+                jnp.zeros((MVAL, R * N, 2), dt),
+                jnp.zeros((MVAL, R * N, 2), dt),
+                jnp.zeros((MVAL, R * N), bool),
+                jnp.zeros((R * N,), jnp.int32),
+            )
+        return (
+            jnp.zeros((R, MVAL, N, 2), dt),
+            jnp.zeros((R, MVAL, N, 2), dt),
+            jnp.zeros((R, MVAL, N), bool),
+            jnp.zeros((R, N), jnp.int32),
+        )
+
+    opt_holder = {"mem": _zero_mem() if warm else None}
+    if warm and resume_bookkeeping:
+        resume_bookkeeping = dict(resume_bookkeeping)
+        raw = resume_bookkeeping.pop("opt_mem", None)
+        if raw is not None:
+            want_S = (
+                (MVAL, R * N, 2) if flat_pallas else (R, MVAL, N, 2)
+            )
+            if np.asarray(raw[0]).shape == want_S:
+                opt_holder["mem"] = tuple(
+                    jnp.asarray(x, d) for x, d in zip(
+                        raw, (gl.dtype, gl.dtype, bool, jnp.int32)
+                    )
+                )
+
     if opts.numerics == "pallas":
         # Pallas kernels don't vmap over a replicate axis; instead the
         # (replicate, individual) pair IS the lane axis: one flattened
@@ -103,7 +142,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
         S = gl.shape[0]
 
         @jax.jit
-        def vstep(st):
+        def vstep(st, mem):
             flat = EMState(
                 freq=st.freq,
                 indF=st.indF.reshape(R * N),
@@ -114,7 +153,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
                 p_ibd=jnp.transpose(st.p_ibd, (1, 0, 2)).reshape(S, R * N),
                 ind_lkl=st.ind_lkl.reshape(R * N),
             )
-            f2, stats = em_iteration(
+            f2, stats, mem2 = em_iteration(
                 gl,
                 dist,
                 flat,
@@ -125,6 +164,8 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
                 block_size=opts.block_size,
                 numerics="pallas",
                 n_rep=R,
+                opt_memory=mem,
+                return_opt=True,
             )
             st2 = EMState(
                 freq=f2.freq,
@@ -136,26 +177,31 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
                 p_ibd=jnp.transpose(f2.p_ibd.reshape(S, R, N), (1, 0, 2)),
                 ind_lkl=f2.ind_lkl.reshape(R, N),
             )
-            return st2, stats
+            return st2, stats, mem2
     else:
-        vstep = jax.jit(
-            jax.vmap(
-                lambda st: em_iteration(
-                    gl,
-                    dist,
-                    st,
-                    freq_est=opts.freq_est,
-                    e_prob_calc=opts.e_prob_calc,
-                    indF_fixed=opts.indF_fixed,
-                    alpha_fixed=opts.alpha_fixed,
-                    block_size=opts.block_size,
-                    numerics=opts.numerics,
-                )
+
+        def _one(st, mem):
+            return em_iteration(
+                gl,
+                dist,
+                st,
+                freq_est=opts.freq_est,
+                e_prob_calc=opts.e_prob_calc,
+                indF_fixed=opts.indF_fixed,
+                alpha_fixed=opts.alpha_fixed,
+                block_size=opts.block_size,
+                numerics=opts.numerics,
+                opt_memory=mem,
+                return_opt=True,
             )
-        )
+
+        vstep = jax.jit(jax.vmap(_one))
 
     def step(st, active):
-        st2, stats = vstep(st)
+        mem = opt_holder["mem"] if warm else _zero_mem()
+        st2, stats, mem2 = vstep(st, mem)
+        if warm:
+            opt_holder["mem"] = mem2
         return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
     def freeze(new_states, old_states, active):
@@ -169,6 +215,16 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
 
         return jax.tree.map(sel, new_states, old_states)
 
+    cb = checkpoint_cb
+    if checkpoint_cb is not None and warm:
+
+        def cb(n_iter, st, bkd):
+            bkd = dict(bkd)
+            bkd["opt_mem"] = tuple(
+                np.asarray(x) for x in opt_holder["mem"]
+            )
+            checkpoint_cb(n_iter, st, bkd)
+
     states, bk, _ = convergence_loop(
         step,
         states,
@@ -178,7 +234,7 @@ def run_em_restarts(gl, dist, states, opts: EMOptions, log_callback=None,
         freeze=freeze,
         log_callback=log_callback,
         trace=trace,
-        checkpoint_cb=checkpoint_cb,
+        checkpoint_cb=cb,
         resume_bookkeeping=resume_bookkeeping,
     )
     tot, iters_done = bk.tot, bk.iters_done

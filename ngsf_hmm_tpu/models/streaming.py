@@ -76,6 +76,26 @@ def _prep_chunk(gl_c, freq_c, dist_c, bs, valid):
 from functools import partial
 
 
+@partial(jax.jit, static_argnames=("cs",))
+def _freq_slice_dev(freq_dev, lo, cs):
+    return jax.lax.dynamic_slice(freq_dev, (jnp.asarray(lo),), (cs,))
+
+
+@jax.jit
+def _concat_dev(*chunks):
+    return jnp.concatenate(chunks)
+
+
+@jax.jit
+def _stack_dev(*xs):
+    return jnp.stack(xs)
+
+
+@jax.jit
+def _flat_concat(*xs):
+    return jnp.concatenate([x.reshape(-1) for x in xs])
+
+
 def _prep_chunk_slabs(gl_c, freq_c, dist_c, bsp, valid):
     """Pallas-tier analog of _prep_chunk: (gl_lin, hmm_pallas prep dict)
     with pad sites (>= valid) forced to exact-identity emissions."""
@@ -299,7 +319,7 @@ class StreamingEM:
     """
 
     def __init__(self, gl, dist, chunk_sites=1 << 20, mesh=None,
-                 n_ind_total=None):
+                 n_ind_total=None, device_freq="auto"):
         """Multi-process meshes: `gl` holds only THIS process's ind
         columns (each host streams its slab of every chunk) and
         `n_ind_total` gives the global individual count. All host math
@@ -308,7 +328,17 @@ class StreamingEM:
         cross-individual sums become DCN collectives exactly as in the
         monolithic distributed path. Convergence control values are
         allgathered per iteration (tiny [N] vectors), keeping every
-        process's host loop in lockstep."""
+        process's host loop in lockstep.
+
+        device_freq: keep the freq vector DEVICE-resident across the
+        run (single-device streams only; "auto" = on when mesh is
+        None). The host path round-trips an [S]-sized freq slice per
+        chunk per pass (h2d) and the chunk-local est_maf output back
+        (d2h) -- ~2 x 4 B x S per pass of pure transfer that the device
+        path eliminates (freq is [C*cs] padded f32 on device, sliced
+        on-device per chunk; the host sees it only at checkpoint
+        cadence and at the end). Values are bit-identical: the host
+        path stores the same f32 results through a float64 detour."""
         self.gl = gl
         self.S, self.N = gl.shape[0], gl.shape[1]
         self.N_tot = int(n_ind_total) if n_ind_total else self.N
@@ -321,6 +351,15 @@ class StreamingEM:
         self._ck = "blocked"
         self._cbs = self.bs
         self.mesh = mesh
+        self.device_freq = (
+            mesh is None if device_freq == "auto" else bool(device_freq)
+        )
+        if self.device_freq and mesh is not None:
+            raise ValueError("device_freq is single-device only")
+        # warm-started host L-BFGS memory (models/lbfgsb.py), threaded
+        # across EM iterations; [m, N_loc, 2]-shaped, so multi-process
+        # runs keep their own local-individual block
+        self._opt_mem = None
         self.multi = mesh is not None and any(
             d.process_index != jax.process_index()
             for d in mesh.devices.flat
@@ -413,51 +452,84 @@ class StreamingEM:
         return gl_c, lo, hi, d_c
 
     def _freq_chunk(self, freq, lo, hi):
+        """Chunk c's freq slice, padded to cs.
+
+        `freq` is either a host [S] vector, or (device_freq runs) the
+        PADDED [C*cs] f32 device vector -- then the slice stays on
+        device (chunks are cs-aligned, so a plain dynamic_slice works
+        pad included)."""
+        if isinstance(freq, jnp.ndarray) and not isinstance(
+            freq, np.ndarray
+        ):
+            return _freq_slice_dev(freq, lo, self.cs)
         f = freq[lo:hi].astype(np.float32)
         if hi - lo < self.cs:
             f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
         return f
 
+    def _freq_pad_dev(self, freq):
+        """Host [S] freq -> padded [C*cs] f32 device vector."""
+        f = np.asarray(freq, np.float32)
+        pad = self.C * self.cs - self.S
+        if pad:
+            f = np.pad(f, (0, pad), constant_values=0.25)
+        return jnp.asarray(f)
+
+    def _pull_chunk_outs(self, outs):
+        """[C] lists of per-chunk device outputs -> [C, ...] host arrays.
+
+        Single-process: the per-chunk outputs are queued device-side and
+        pulled through ONE stacked transfer -- per-array d2h round trips
+        (~27 ms each on tunneled backends, and a host sync even on real
+        hardware) would otherwise dominate a pass: C chunks x 6 arrays
+        per gradient stream. Multi-process keeps the per-array
+        local_slab path (outputs are global arrays)."""
+        if self.multi:
+            return tuple(
+                np.stack([self._loc(x, 0) for x in col])
+                for col in zip(*outs)
+            )
+        cols = tuple(
+            _stack_dev(*col) for col in zip(*outs)
+        )  # [n_out] device [C, ...] stacks
+        flat = np.asarray(_flat_concat(*cols))  # ONE d2h transfer
+        res = []
+        off = 0
+        for col in cols:
+            n = int(np.prod(col.shape))
+            res.append(flat[off:off + n].reshape(col.shape))
+            off += n
+        return tuple(res)
+
     def _transfers_grad(self, freq, F, alpha):
         """ONE stream -> per-chunk transfers + parameter tangents
         (the fused objective+gradient pass of the streamed L-BFGS)."""
-        C, N = self.C, self.N
-        Ts = np.empty((C, N, 2, 2), np.float32)
-        ss = np.empty((C, N), np.float32)
-        dT_F = np.empty((C, N, 2, 2), np.float32)
-        ds_F = np.empty((C, N), np.float32)
-        dT_a = np.empty((C, N, 2, 2), np.float32)
-        ds_a = np.empty((C, N), np.float32)
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
-        for c in range(C):
-            gl_c, lo, hi, d_c = self._chunk(c)
-            out = _chunk_transfer_grad(
-                self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
-                chain_kernel=self._ck,
-            )
-            for dst, src in zip((Ts, ss, dT_F, ds_F, dT_a, ds_a), out):
-                dst[c] = self._loc(src, 0)
-        return Ts, ss, dT_F, ds_F, dT_a, ds_a
-
-    def _transfers(self, freq, F, alpha):
-        Ts = np.empty((self.C, self.N, 2, 2), np.float32)
-        ss = np.empty((self.C, self.N), np.float32)
-        F_d = self._put(F, "ind", jnp.float32)
-        a_d = self._put(alpha, "ind", jnp.float32)
+        outs = []
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
-            T, s = _chunk_transfer(
+            outs.append(_chunk_transfer_grad(
                 self._put(gl_c, "gl"),
                 self._put(self._freq_chunk(freq, lo, hi), "rep"),
                 self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
                 chain_kernel=self._ck,
-            )
-            Ts[c] = self._loc(T, 0)
-            ss[c] = self._loc(s, 0)
-        return Ts, ss
+            ))
+        return self._pull_chunk_outs(outs)
+
+    def _transfers(self, freq, F, alpha):
+        F_d = self._put(F, "ind", jnp.float32)
+        a_d = self._put(alpha, "ind", jnp.float32)
+        outs = []
+        for c in range(self.C):
+            gl_c, lo, hi, d_c = self._chunk(c)
+            outs.append(_chunk_transfer(
+                self._put(gl_c, "gl"),
+                self._put(self._freq_chunk(freq, lo, hi), "rep"),
+                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
+                chain_kernel=self._ck,
+            ))
+        return self._pull_chunk_outs(outs)
 
     def posteriors_pass(self, freq, F, alpha, p_ibd_out):
         """ONE posterior-only pass at the given params (no M-steps):
@@ -497,25 +569,46 @@ class StreamingEM:
         # ---- pass B: posteriors + chunk-local freq M-step
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
-        new_freq = freq.copy()
+        # single-process: ONE h2d for all chunk carries, sliced on
+        # device per chunk (eager ops on multi-process global arrays are
+        # not addressable -- those keep the per-chunk puts)
+        if not self.multi:
+            v0_d = jnp.asarray(np.ascontiguousarray(v0), jnp.float32)
+            wT_d = jnp.asarray(np.ascontiguousarray(wT), jnp.float32)
+            if self.mesh is not None:
+                v0_d = jax.device_put(v0_d, self._sh["gl"])
+                wT_d = jax.device_put(wT_d, self._sh["gl"])
         # --kernel pallas on a single-device stream: the freq fixed
         # point runs VMEM-resident instead of re-reading the chunk's GL
         # slab from HBM on every one of its up to 101 passes
         maf_k = ("pallas" if opts.numerics == "pallas"
                  and self.mesh is None else "xla")
+        new_freq = freq if self.device_freq else freq.copy()
+        f_parts = []
         for c in range(self.C):
             gl_c, lo, hi, d_c = self._chunk(c)
+            if self.multi:
+                v0_c = self._put(v0[c], "ind2", jnp.float32)
+                wT_c = self._put(wT[c], "ind2", jnp.float32)
+            else:
+                v0_c, wT_c = v0_d[c], wT_d[c]
             p_c, f_c = _chunk_estep(
                 self._put(gl_c, "gl"),
                 self._put(self._freq_chunk(freq, lo, hi), "rep"),
                 self._put(d_c, "rep"), F_d, a_d,
-                self._put(v0[c], "ind2", jnp.float32),
-                self._put(wT[c], "ind2", jnp.float32),
+                v0_c, wT_c,
                 self._cbs, self.cs, hi - lo, maf_kernel=maf_k,
                 chain_kernel=self._ck,
             )
             if opts.freq_est == 1:
-                new_freq[lo:hi] = self._rep(f_c)[: hi - lo]
+                if self.device_freq:
+                    # stays on device: the [cs]-chunk outputs reassemble
+                    # the padded [C*cs] vector with zero host traffic
+                    f_parts.append(f_c)
+                else:
+                    new_freq[lo:hi] = self._rep(f_c)[: hi - lo]
+        if self.device_freq and opts.freq_est == 1:
+            new_freq = _concat_dev(*f_parts)
 
         # ---- M-step (F, alpha): host L-BFGS over streamed evals,
         # emissions from the PRE-update freq (iter_EM order,
@@ -544,9 +637,16 @@ class StreamingEM:
 
             x0 = np.clip(np.stack([F, alpha], -1), lo_b, hi_b)
             # every line-search probe is one value-and-grad stream
-            # (speculative full step + interpolated backtracking)
-            x_opt, _, _ = lbfgsb_minimize_host(
+            # (speculative full step + interpolated backtracking); the
+            # curvature memory carries across EM iterations so the warm
+            # M-step is typically 1-3 streams instead of a cold ~10+
+            # noise_eps: the objective runs in f32 device kernels even
+            # though the host vectors are float64 -- the line-search
+            # noise floor must match the objective's resolution
+            x_opt, _, _, self._opt_mem = lbfgsb_minimize_host(
                 None, x0, lo_b, hi_b, value_and_grad=vag,
+                warm=self._opt_mem, return_memory=True,
+                noise_eps=float(np.finfo(np.float32).eps),
             )
             F, alpha = x_opt[:, 0], x_opt[:, 1]
 
@@ -588,11 +688,27 @@ class StreamingEM:
             self._cbs = self.bs
 
         state0 = (
-            np.asarray(freq0, np.float64).copy(),
+            self._freq_pad_dev(freq0) if self.device_freq
+            else np.asarray(freq0, np.float64).copy(),
             np.asarray(indF0, np.float64).copy(),
             np.asarray(alpha0, np.float64).copy(),
             np.full(self.N, -np.inf),  # ll_f of the last iteration
         )
+
+        def _freq_host(f):
+            """Device-padded (or host) freq -> host [S] float64."""
+            return np.asarray(f, np.float64)[: self.S]
+
+        self._opt_mem = None
+        if resume_bookkeeping and "opt_mem" in resume_bookkeeping:
+            resume_bookkeeping = dict(resume_bookkeeping)
+            raw = resume_bookkeeping.pop("opt_mem")
+            if not self.multi and np.asarray(raw[0]).shape[1] == self.N:
+                self._opt_mem = tuple(
+                    np.asarray(x, d) for x, d in zip(
+                        raw, (np.float64, np.float64, bool, np.int32)
+                    )
+                )
 
         # params entering the LAST iteration: the reference writes the
         # marg_prob computed by the final iter_EM call from its
@@ -615,11 +731,18 @@ class StreamingEM:
             if checkpoint_cb is not None:
                 bk = dict(bk)
                 bk.pop("history", None)  # stream schema stores no history
+                # single-process: the warm M-step memory rides the
+                # checkpoint for an exact resume. Multi-process streams
+                # skip it (each process holds only its local-ind block;
+                # a resume then cold-starts the optimizer, changing only
+                # PGTOL-bounded endpoints).
+                if not self.multi and self._opt_mem is not None:
+                    bk["opt_mem"] = self._opt_mem
                 # gather the per-ind params on EVERY process (lockstep
                 # collectives); the callback decides who writes
                 checkpoint_cb(
                     n_iter,
-                    (st[0], self._gather_ind(st[1]),
+                    (_freq_host(st[0]), self._gather_ind(st[1]),
                      self._gather_ind(st[2])),
                     bk,
                 )
@@ -644,6 +767,10 @@ class StreamingEM:
             resume_bookkeeping=resume_bookkeeping,
         )
         freq, F, alpha, ll_f = state
+        # params entering the last iteration, kept for callers that
+        # defer the posterior pass (sequential restarts run it only for
+        # the winning replicate)
+        self._last_prev_params = prev_params[0]
         if bk.n_iter == 0 and resume_bookkeeping:
             # resumed run already converged: report the restored lkl
             # (global per-ind values; slice the local block back out)
@@ -654,7 +781,7 @@ class StreamingEM:
                               np.float64)[i0:i0 + self.N]
         if p_ibd_out is not None:
             self.posteriors_pass(*prev_params[0], p_ibd_out)
-        return freq, F, alpha, ll_f, bk.n_iter
+        return _freq_host(freq), F, alpha, ll_f, bk.n_iter
 
     def _local_ind_offset(self):
         """Global index of this process's first individual column."""

@@ -36,6 +36,7 @@ from .sharded_em import (
     make_sharded_em_step,
     make_sharded_viterbi,
     shard_inputs,
+    zero_opt_memory,
 )
 from .site_sharded import (
     make_grid_mesh,
@@ -216,7 +217,12 @@ def run_em_sharded(
     if not with_restart and r > 1:
         raise ValueError("mesh restart axis > 1 requires --n_rep > 1")
     if with_restart and s > 1:
-        raise ValueError("site mesh does not compose with --n_rep")
+        raise ValueError(
+            "site mesh does not compose with --n_rep (replicated "
+            "site-sharded chains are not implemented); run sequential "
+            "restarts through the streaming engine (--stream_chunk N "
+            "--n_rep R) or as separate seed-offset jobs"
+        )
     if with_restart and not gather_final:
         raise ValueError(
             "gather_final=False is for n_rep == 1 runs (restart "
@@ -233,6 +239,13 @@ def run_em_sharded(
     # arrive ALREADY padded to a shard multiple (the per-host loaders pad
     # their own slab); S_true carries the unpadded site count then.
     presharded = isinstance(gl, jax.Array) and not gl.is_fully_addressable
+
+    # warm-started (F, alpha) M-step: the L-BFGS curvature memory is
+    # threaded through the sharded step (models/em.py warm start),
+    # checkpointed via the bookkeeping "opt_mem" key, and restored on
+    # resume. A zeros memory IS the cold start, so the step always
+    # threads an explicit tuple (one trace).
+    warm = opts.warm_mstep and not (opts.indF_fixed and opts.alpha_fixed)
 
     if presharded and s > 1:
         S_pad = S
@@ -253,6 +266,7 @@ def run_em_sharded(
             with_restart=with_restart,
             block_size=opts.block_size,
             numerics=opts.numerics,
+            warm=warm,
         )
         vit_fn = make_sharded_viterbi(
             mesh, compat=compat, with_restart=with_restart
@@ -286,6 +300,7 @@ def run_em_sharded(
                 else "xla",
                 chain_kernel="pallas" if opts.numerics == "pallas"
                 else "blocked",
+                warm=warm,
             )
             vit_fn = make_site_sharded_viterbi(mesh, compat=compat)
             if presharded:
@@ -310,6 +325,7 @@ def run_em_sharded(
                 # (its accumulators psum over "ind" each pass)
                 chain_kernel="pallas" if opts.numerics == "pallas"
                 else "blocked",
+                warm=warm,
             )
             vit_fn = make_grid_sharded_viterbi(mesh, compat=compat)
             if presharded:
@@ -319,8 +335,28 @@ def run_em_sharded(
                     mesh, gl, dist, state
                 )
 
+    opt_holder = {"mem": None}
+    if warm:
+        mdt = state_d.indF.dtype
+        opt_holder["mem"] = zero_opt_memory(
+            N, mdt, n_rep=R if with_restart else None
+        )
+        if resume_bookkeeping and "opt_mem" in resume_bookkeeping:
+            resume_bookkeeping = dict(resume_bookkeeping)
+            raw = resume_bookkeeping.pop("opt_mem")
+            if np.asarray(raw[0]).shape == opt_holder["mem"][0].shape:
+                opt_holder["mem"] = tuple(
+                    np.asarray(x, d) for x, d in zip(
+                        raw, (mdt, mdt, bool, np.int32)
+                    )
+                )
+
     def step(st, active):
-        st2, stats = step_fn(gl_d, dist_d, st)
+        if warm:
+            st2, stats, mem2 = step_fn(gl_d, dist_d, st, opt_holder["mem"])
+            opt_holder["mem"] = mem2
+        else:
+            st2, stats = step_fn(gl_d, dist_d, st)
         return st2, host_array(st2.ind_lkl), host_array(stats.fwbw_maxdiff)
 
     def freeze(new_st, old_st, active):
@@ -390,7 +426,16 @@ def run_em_sharded(
     wrap = adapt_state if with_restart else _HostStateView
     cb = None
     if checkpoint_cb is not None:
-        cb = lambda n_iter, st, bk: checkpoint_cb(n_iter, wrap(st), bk)
+
+        def cb(n_iter, st, bk):
+            if warm:
+                # gathered on EVERY process (host_array is a collective
+                # on multi-process meshes); O(m * N) -- tiny
+                bk = dict(bk)
+                bk["opt_mem"] = tuple(
+                    host_array(x) for x in opt_holder["mem"]
+                )
+            checkpoint_cb(n_iter, wrap(st), bk)
     lg = None
     if log_callback is not None:
         lg = lambda n_iter, st, tot: log_callback(n_iter, wrap(st), tot)

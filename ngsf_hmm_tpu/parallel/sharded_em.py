@@ -24,6 +24,44 @@ from ..models.hmm import viterbi
 from .mesh import data_specs
 
 
+def opt_memory_specs(with_restart: bool = False):
+    """PartitionSpecs for the warm-started M-step's L-BFGS curvature
+    memory (S [m, N, 2], Y, valid [m, N], head [N]; a leading [R]
+    replicate axis in restart mode). The batch axis is the individual
+    axis, so every field -- INCLUDING the per-row ring-buffer head,
+    which differs across ind-shards because each shard's solve runs its
+    own iteration count -- shards over "ind" like indF."""
+    if with_restart:
+        return (
+            P("restart", None, "ind", None),
+            P("restart", None, "ind", None),
+            P("restart", None, "ind"),
+            P("restart", "ind"),
+        )
+    return (
+        P(None, "ind", None),
+        P(None, "ind", None),
+        P(None, "ind"),
+        P("ind"),
+    )
+
+
+def zero_opt_memory(n_cols, dtype, n_rep=None):
+    """A zeros curvature memory == the cold start (no valid pairs);
+    threading it explicitly keeps the sharded step at ONE trace."""
+    import jax.numpy as jnp
+
+    from ..models.lbfgsb import MVAL
+
+    lead = () if n_rep is None else (n_rep,)
+    return (
+        jnp.zeros(lead + (MVAL, n_cols, 2), dtype),
+        jnp.zeros(lead + (MVAL, n_cols, 2), dtype),
+        jnp.zeros(lead + (MVAL, n_cols), bool),
+        jnp.zeros(lead + (n_cols,), jnp.int32),
+    )
+
+
 def make_sharded_em_step(
     mesh,
     freq_est=1,
@@ -33,6 +71,7 @@ def make_sharded_em_step(
     with_restart=False,
     block_size=None,
     numerics="log",
+    warm=False,
 ):
     """Returns a jitted sharded step: (gl, dist, state) -> (state', stats).
 
@@ -47,6 +86,10 @@ def make_sharded_em_step(
     (with_restart) downgrade pallas to the blocked-linear tier: the
     restart axis vmaps em_iteration and the pallas restart protocol is
     lane-flattening (models/restart.py), not vmap.
+
+    warm=True: the step becomes (gl, dist, state, opt_mem) ->
+    (state', stats, opt_mem') threading the M-step's L-BFGS curvature
+    memory across iterations (zero_opt_memory to start).
     """
     if numerics == "pallas" and with_restart:
         numerics, block_size = "linear", block_size or "auto"
@@ -62,27 +105,50 @@ def make_sharded_em_step(
         axis_name="ind",
         block_size=block_size,
         numerics=numerics,
+        return_opt=warm,
     )
 
     if with_restart:
         stats_spec = IterStats(P("restart"), P("restart"))
 
-        def body(gl, dist, state):
-            return jax.vmap(
-                lambda s: core(gl, dist, s), in_axes=0, out_axes=0
-            )(state)
+        if warm:
+
+            def body(gl, dist, state, mem):
+                return jax.vmap(
+                    lambda s, m: core(gl, dist, s, opt_memory=m)
+                )(state, mem)
+
+        else:
+
+            def body(gl, dist, state):
+                return jax.vmap(
+                    lambda s: core(gl, dist, s), in_axes=0, out_axes=0
+                )(state)
 
     else:
         stats_spec = IterStats(P(), P())
 
-        def body(gl, dist, state):
-            return core(gl, dist, state)
+        if warm:
 
+            def body(gl, dist, state, mem):
+                return core(gl, dist, state, opt_memory=mem)
+
+        else:
+
+            def body(gl, dist, state):
+                return core(gl, dist, state)
+
+    mem_specs = opt_memory_specs(with_restart)
+    in_specs = (gl_spec, dist_spec, state_specs)
+    out_specs = (state_specs, stats_spec)
+    if warm:
+        in_specs = in_specs + (mem_specs,)
+        out_specs = out_specs + (mem_specs,)
     step = shard_map(
         body,
         mesh=mesh,
-        in_specs=(gl_spec, dist_spec, state_specs),
-        out_specs=(state_specs, stats_spec),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(step)

@@ -135,8 +135,16 @@ def site_em_iteration(
     S_total=None,
     maf_kernel="xla",
     chain_kernel="blocked",
+    opt_memory=None,
+    return_opt=False,
 ):
     """One EM iteration on a site-sharded slab (runs under shard_map).
+
+    opt_memory/return_opt: thread the (F, alpha) M-step's L-BFGS
+    curvature memory across EM iterations (models/em.py warm start).
+    The memory is replicated across site-shards (the optimizer runs the
+    GLOBAL chain objective in lockstep on every shard; psum'd f/g make
+    its update identical everywhere) and ind-sharded on 2-D meshes.
 
     gl/dist/state.freq/e_prob/p_ibd hold THIS SHARD's sites; indF/alpha/
     ind_lkl are replicated across site-shards (and, on a 2-D mesh,
@@ -248,6 +256,7 @@ def site_em_iteration(
         fwbw_maxdiff = jax.lax.pmax(fwbw_maxdiff, ind_axis_name)
 
     # ---- M-step 1: (F, alpha), global objective assembled per eval
+    opt_mem = opt_memory
     if indF_fixed and alpha_fixed:
         indF, alpha = state.indF, state.alpha
         opt_iters = jnp.asarray(0, jnp.int32)
@@ -321,8 +330,9 @@ def site_em_iteration(
                 g = jax.lax.psum(g, axis_name)
                 return -llf.astype(dtype), -g.astype(dtype)
 
-        x_opt, _, opt_iters = lbfgsb_minimize(
-            objective, x0, lo, hi, value_and_grad=objective_vag
+        x_opt, _, opt_iters, opt_mem = lbfgsb_minimize(
+            objective, x0, lo, hi, value_and_grad=objective_vag,
+            warm=opt_memory, return_memory=True,
         )
         if ind_axis_name is not None:
             opt_iters = jax.lax.pmax(opt_iters, ind_axis_name)
@@ -360,18 +370,36 @@ def site_em_iteration(
         p_ibd = jnp.where(pad_mask[:, None], 0.0, p_ibd)
 
     new_state = EMState(freq, indF, alpha, e_prob, p_ibd, ind_lkl)
-    return new_state, IterStats(fwbw_maxdiff, opt_iters)
+    stats = IterStats(fwbw_maxdiff, opt_iters)
+    if return_opt:
+        return new_state, stats, opt_mem
+    return new_state, stats
+
+
+def _site_opt_memory_specs(ind_axis):
+    """Warm-start memory specs on site/grid meshes: replicated across
+    "site" (lockstep global-chain optimizer), ind-sharded on grids --
+    including the per-row head (sharded_em.opt_memory_specs)."""
+    return (
+        P(None, ind_axis, None),
+        P(None, ind_axis, None),
+        P(None, ind_axis),
+        P(ind_axis),
+    )
 
 
 def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
                               indF_fixed=False, alpha_fixed=False,
                               work_dtype=jnp.float32, S_total=None,
-                              maf_kernel="xla", chain_kernel="blocked"):
+                              maf_kernel="xla", chain_kernel="blocked",
+                              warm=False):
     """Jitted shard_map'd EM step over a ("site",) mesh.
 
     gl [S, N, 3] and dist [S] sharded along sites; EMState: freq/e_prob/
     p_ibd sharded along sites, indF/alpha/ind_lkl replicated.
     work_dtype/S_total/maf_kernel/chain_kernel: see site_em_iteration.
+    warm=True: the step threads the M-step's L-BFGS curvature memory,
+    (gl, dist, state, mem) -> (state', stats, mem').
     """
     state_specs = EMState(
         freq=P("site"),
@@ -392,12 +420,22 @@ def make_site_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
         S_total=S_total,
         maf_kernel=maf_kernel,
         chain_kernel=chain_kernel,
+        return_opt=warm,
     )
+    in_specs = (P("site", None, None), P("site"), state_specs)
+    out_specs = (state_specs, IterStats(P(), P()))
+    if warm:
+        mem_specs = _site_opt_memory_specs(None)
+        body = lambda gl, dist, st, mem: core(gl, dist, st, opt_memory=mem)
+        in_specs = in_specs + (mem_specs,)
+        out_specs = out_specs + (mem_specs,)
+    else:
+        body = core
     step = shard_map(
-        core,
+        body,
         mesh=mesh,
-        in_specs=(P("site", None, None), P("site"), state_specs),
-        out_specs=(state_specs, IterStats(P(), P())),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(step)
@@ -545,7 +583,7 @@ def make_grid_mesh(n_ind_shards, n_site_shards, devices=None):
 def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
                               indF_fixed=False, alpha_fixed=False,
                               work_dtype=jnp.float32, S_total=None,
-                              chain_kernel="blocked"):
+                              chain_kernel="blocked", warm=False):
     """EM step over a 2-D (ind, site) mesh.
 
     Layout: gl [S, N, 3] sharded P("site", "ind"); freq sharded over
@@ -567,7 +605,7 @@ def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
         ind_lkl=P("ind"),
     )
 
-    def core(gl, dist, state):
+    def core(gl, dist, state, mem=None):
         return site_em_iteration(
             gl, dist, state,
             freq_est=freq_est, e_prob_calc=e_prob_calc,
@@ -575,13 +613,23 @@ def make_grid_sharded_em_step(mesh, freq_est=1, e_prob_calc=1,
             axis_name="site", ind_axis_name="ind",
             work_dtype=work_dtype, S_total=S_total,
             chain_kernel=chain_kernel,
+            opt_memory=mem, return_opt=warm,
         )
 
+    in_specs = (P("site", "ind", None), P("site"), state_specs)
+    out_specs = (state_specs, IterStats(P(), P()))
+    if warm:
+        mem_specs = _site_opt_memory_specs("ind")
+        body = core
+        in_specs = in_specs + (mem_specs,)
+        out_specs = out_specs + (mem_specs,)
+    else:
+        body = lambda gl, dist, st: core(gl, dist, st)
     step = shard_map(
-        core,
+        body,
         mesh=mesh,
-        in_specs=(P("site", "ind", None), P("site"), state_specs),
-        out_specs=(state_specs, IterStats(P(), P())),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(step)

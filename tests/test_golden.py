@@ -100,24 +100,27 @@ def run_ours(workdir, args, out):
     return buf.getvalue()
 
 
-def _read_indf(path):
+def _read_indf(path, n_ind=N_IND):
     lines = pathlib.Path(path).read_text().splitlines()
     tot = float(lines[0])
     F, alpha = [], []
-    for ln in lines[1 : 1 + N_IND]:
+    for ln in lines[1 : 1 + n_ind]:
         a, b = ln.split("\t")
         F.append(float(a))
         alpha.append(np.nan if b == "NA" else float(b))
-    freq = np.array([float(x) for x in lines[1 + N_IND :]])
+    freq = np.array([float(x) for x in lines[1 + n_ind :]])
     return tot, np.array(F), np.array(alpha), freq
 
 
-def _read_ibd(path):
+def _read_ibd(path, n_ind=N_IND):
     lines = pathlib.Path(path).read_text().splitlines()
     lkl = np.array([float(x) for x in lines[0].split("\t")[1:]])
-    paths = [lines[1 + i] for i in range(N_IND)]
+    paths = [lines[1 + i] for i in range(n_ind)]
     post = np.array(
-        [[float(x) for x in lines[1 + N_IND + i].split("\t")] for i in range(N_IND)]
+        [
+            [float(x) for x in lines[1 + n_ind + i].split("\t")]
+            for i in range(n_ind)
+        ]
     )
     return lkl, paths, post
 
@@ -283,6 +286,167 @@ def sim10k_dir(tmp_path_factory):
         out=str(d / "sim"),
     )
     return d
+
+
+_IDS_EST = {k: v for k, v in _IDS.items() if k != "FIXED"}
+
+
+@pytest.mark.parametrize(
+    "name,geno,cfg",
+    [
+        (f"{i}_{t}", geno, cfg)
+        for t, geno in _TYPES.items()
+        for i, cfg in _IDS_EST.items()
+    ],
+    ids=[f"{i}_{t}" for t in _TYPES for i in _IDS_EST],
+)
+def test_golden_10k_estimated(name, geno, cfg, sim10k_dir,
+                              reference_binary):
+    """The reference's own full gate matrix (5 estimated configs x 3
+    input types, examples/test.sh:28-54) at ITS scale: 10 ind x 10k
+    sites. 20x more est_maf fixed points and 20x longer chains than the
+    6x500 matrix above; live-M-step agreement must hold with the same
+    tolerance gates. Capped at --max_iters 20 (the reference's own
+    ANGSD-leg budget, test.sh:69) to keep the matrix affordable; ours
+    runs the f64 BLOCKED kernel tier (reassociation-level ~1e-12
+    differences, far inside the gates) so the 15-config sweep stays
+    CPU-feasible."""
+    args = (
+        f"--verbose 1 --n_threads {N_IND_10K} --seed 12345 "
+        f"--n_ind {N_IND_10K} --n_sites {N_SITES_10K} --max_iters 20 "
+        f"{geno} --pos sim.pos.gz {cfg}"
+    )
+    run_ref(reference_binary, sim10k_dir, args, f"ref.e10k_{name}")
+    run_ours(sim10k_dir, args + " --kernel blocked", f"tpu.e10k_{name}")
+
+    tot_r, F_r, al_r, fr_r = _read_indf(
+        sim10k_dir / f"ref.e10k_{name}.indF", n_ind=N_IND_10K
+    )
+    tot_t, F_t, al_t, fr_t = _read_indf(
+        sim10k_dir / f"tpu.e10k_{name}.indF", n_ind=N_IND_10K
+    )
+    # gates a notch looser than the 6x500 matrix (1e-4 / 2e-3 / 3e-2):
+    # at a HARD 20-iteration cap the runs stop mid-convergence, so
+    # optimizer-path differences (exact Fisher-identity gradients here
+    # vs the reference's coarse central differences) show up directly
+    # instead of being pulled together by the converged fixed point --
+    # the called-genotype one-hot surfaces lag worst. At full
+    # convergence the engines agree to ~1e-7 relative on the total
+    # (test_golden_10k_converged_total below).
+    assert tot_t == pytest.approx(tot_r, rel=5e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=3e-3)
+    both = ~np.isnan(al_r) & ~np.isnan(al_t)
+    np.testing.assert_array_equal(np.isnan(al_r), np.isnan(al_t))
+    # alpha is compared only in its DETERMINED regime (alpha <= 1): at
+    # large alpha the transition matrix is ~stationary for typical
+    # inter-site distances and the likelihood goes flat in alpha, so
+    # mid-trajectory values are optimizer-path artifacts (the engines'
+    # totals above agree to 5e-4 while such alphas can sit 2x apart)
+    det = both & (al_r <= 1.0) & (al_t <= 1.0)
+    np.testing.assert_allclose(al_t[det], al_r[det], atol=8e-2)
+    # indF_fixed x called-genotypes is the one config whose 20-iteration
+    # snapshot genuinely diverges state-wise (alpha is near-flat with F
+    # pinned on one-hot likelihoods, so the two optimizer paths drift
+    # sites' posteriors/freqs apart mid-run -- measured freq p50 1e-3 /
+    # max 3e-2, paths 0.7% -- while the fit agrees to 3e-4 and the
+    # CONVERGED states re-coincide: test_golden_10k_converged_total pins
+    # that config's converged total to 1e-6 and freq to 1e-4). Gate its
+    # state loosely, everything else tightly.
+    laggy = name == "indF_fixed_GL_CG"
+    np.testing.assert_allclose(fr_t, fr_r, atol=5e-2 if laggy else 1e-3)
+
+    lkl_r, paths_r, post_r = _read_ibd(
+        sim10k_dir / f"ref.e10k_{name}.ibd", n_ind=N_IND_10K
+    )
+    lkl_t, paths_t, post_t = _read_ibd(
+        sim10k_dir / f"tpu.e10k_{name}.ibd", n_ind=N_IND_10K
+    )
+    np.testing.assert_allclose(lkl_t, lkl_r, rtol=1e-2 if laggy else 5e-4)
+    mism = sum(
+        sum(a != b for a, b in zip(pr, pt))
+        for pr, pt in zip(paths_r, paths_t)
+    )
+    cap = 0.01 if laggy else 0.002
+    assert mism <= cap * N_IND_10K * N_SITES_10K, \
+        f"{mism} Viterbi path mismatches"
+    np.testing.assert_allclose(post_t, post_r, atol=0.5 if laggy else 8e-3)
+
+
+def test_golden_10k_converged_total(sim10k_dir, reference_binary):
+    """The mid-trajectory gates above leave slack for optimizer-path
+    differences at the hard 20-iteration cap; this pins the CONVERGED
+    answer: run the worst-lagging config (indF_fixed x called genotypes)
+    to the convergence criterion and require near-exact total-likelihood
+    agreement."""
+    args = (
+        f"--verbose 1 --n_threads {N_IND_10K} --seed 12345 "
+        f"--n_ind {N_IND_10K} --n_sites {N_SITES_10K} --max_iters 100 "
+        "--geno sim.glf.gz --loglkl --call_geno --pos sim.pos.gz "
+        "--freq 0.1 --indF 0.5,0.01 --indF_fixed"
+    )
+    run_ref(reference_binary, sim10k_dir, args, "ref.conv")
+    run_ours(sim10k_dir, args + " --kernel blocked", "tpu.conv")
+    tot_r, _, _, fr_r = _read_indf(sim10k_dir / "ref.conv.indF",
+                                   n_ind=N_IND_10K)
+    tot_t, _, _, fr_t = _read_indf(sim10k_dir / "tpu.conv.indF",
+                                   n_ind=N_IND_10K)
+    assert tot_t == pytest.approx(tot_r, rel=1e-6)
+    np.testing.assert_allclose(fr_t, fr_r, atol=1e-4)
+
+
+N_IND_BIN = 20
+
+
+def test_golden_20ind_binary_gl(tmp_path_factory, reference_binary):
+    """The reference's second test leg runs 20-individual BINARY double
+    GLs with --max_iters 20 (examples/test.sh:66-77, ANGSD-derived
+    there; simulator-derived here so the leg is self-contained). Both
+    the --loglkl (log-space doubles) and --lkl (linear doubles) binary
+    modes must agree with the reference within the live-M-step gates."""
+    import gzip
+    import sys as _sys
+
+    d = tmp_path_factory.mktemp("golden20bin")
+    _sys.path.insert(0, str(REPO))
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    simulate(n_ind=N_IND_BIN, n_sites=N_SITES_10K, freq="0.2",
+             site_pos="r", indF="0.4", alpha="0.02", depth="2",
+             error=0.01, seed=777, out=str(d / "sim"))
+    with gzip.open(d / "sim.glf.gz", "rt") as fh:
+        logs = np.array(
+            [[float(x) for x in ln.split()] for ln in fh if ln.strip()]
+        )  # [S, N*3] log GLs
+    assert logs.shape == (N_SITES_10K, N_IND_BIN * 3)
+    logs.astype(np.float64).tofile(d / "sim.log.glf")
+    np.exp(logs).astype(np.float64).tofile(d / "sim.lin.glf")
+
+    for tag, geno in (
+        ("loglkl", "--geno sim.log.glf --loglkl"),
+        ("lkl", "--geno sim.lin.glf --lkl"),
+    ):
+        args = (
+            f"--verbose 1 --n_threads {N_IND_BIN} --seed 12345 "
+            f"--n_ind {N_IND_BIN} --n_sites {N_SITES_10K} "
+            f"--max_iters 20 {geno} --pos sim.pos.gz "
+            f"--freq 0.2 --indF 0.3,0.05"
+        )
+        run_ref(reference_binary, d, args, f"ref.bin_{tag}")
+        run_ours(d, args + " --kernel blocked", f"tpu.bin_{tag}")
+        tot_r, F_r, al_r, fr_r = _read_indf(
+            d / f"ref.bin_{tag}.indF", n_ind=N_IND_BIN
+        )
+        tot_t, F_t, al_t, fr_t = _read_indf(
+            d / f"tpu.bin_{tag}.indF", n_ind=N_IND_BIN
+        )
+        assert tot_t == pytest.approx(tot_r, rel=1e-4), tag
+        np.testing.assert_allclose(F_t, F_r, atol=2e-3, err_msg=tag)
+        np.testing.assert_allclose(fr_t, fr_r, atol=1e-3, err_msg=tag)
+    # the two input modes encode the same data: the reference itself
+    # must agree across them (sanity that the leg is meaningful)
+    t1, _, _, _ = _read_indf(d / "ref.bin_loglkl.indF", n_ind=N_IND_BIN)
+    t2, _, _, _ = _read_indf(d / "ref.bin_lkl.indF", n_ind=N_IND_BIN)
+    assert t1 == pytest.approx(t2, rel=1e-6)
 
 
 @pytest.mark.parametrize("typ", list(_TYPES))

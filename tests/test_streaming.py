@@ -71,8 +71,15 @@ def test_streaming_matches_monolithic(data):
     assert iters_s == iters_mono
     np.testing.assert_allclose(ll_s, np.asarray(st.ind_lkl), rtol=2e-5)
     np.testing.assert_allclose(freq_s, np.asarray(st.freq), atol=5e-4)
-    np.testing.assert_allclose(F_s, np.asarray(st.indF), atol=2e-3)
-    np.testing.assert_allclose(a_s, np.asarray(st.alpha), atol=2e-2)
+    F_m = np.asarray(st.indF)
+    np.testing.assert_allclose(F_s, F_m, atol=2e-3)
+    # alpha is unidentifiable where F sits on a bound (the chain is all-
+    # non-IBD/all-IBD regardless of the rate; the reference itself
+    # prints alpha = NA there, EM.cpp:306-313) -- the two optimizer
+    # backends legitimately park it at different points on the flat
+    ident = (F_m > 1e-5) & (F_m < 1 - 1e-5)
+    np.testing.assert_allclose(a_s[ident], np.asarray(st.alpha)[ident],
+                               atol=2e-2)
     np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
 
 
@@ -312,6 +319,106 @@ def test_streaming_mesh_cli(data, tmp_path, monkeypatch):
     ga = np.fromfile(d / "sm.geno")
     gb = np.fromfile(d / "s1.geno")
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=2e-3)
+
+
+def test_streaming_device_freq_matches_host_path(data):
+    """device_freq=True (freq held as the padded [C*cs] f32 device
+    vector, sliced on-device per chunk) must reproduce the host-freq
+    path EXACTLY: the host path stores the same f32 est_maf outputs
+    through a float64 detour, so trajectories are bit-identical."""
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    opts = EMOptions(min_iters=3, max_iters=6, min_epsilon=1e-4)
+
+    p_a = np.zeros((S, N))
+    se_a = StreamingEM(gl, dist, chunk_sites=300, device_freq=False)
+    fa, Fa, aa, lla, ita = se_a.run(freq0, F0, a0, opts, p_ibd_out=p_a)
+
+    p_b = np.zeros((S, N))
+    se_b = StreamingEM(gl, dist, chunk_sites=300, device_freq=True)
+    assert se_b.device_freq
+    fb, Fb, ab, llb, itb = se_b.run(freq0, F0, a0, opts, p_ibd_out=p_b)
+
+    assert itb == ita
+    np.testing.assert_array_equal(fb, fa)
+    np.testing.assert_array_equal(Fb, Fa)
+    np.testing.assert_array_equal(ab, aa)
+    np.testing.assert_array_equal(llb, lla)
+    np.testing.assert_array_equal(p_b, p_a)
+
+
+def test_streaming_n_rep_sequential_restarts(tmp_path):
+    """--stream_chunk + --n_rep runs the ngsF-HMM.sh protocol as
+    sequential restarts through one streaming engine: the multi-restart
+    outputs must be BYTE-IDENTICAL to the best of the equivalent
+    single-replicate runs at seeds seed+r (replicate r re-resolves its
+    random inits with GslTaus(seed + r), like stack_restart_states)."""
+    import os
+
+    from ngsf_hmm_tpu.cli import main
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    d = tmp_path
+    simulate(n_ind=6, n_sites=300, freq="0.2", site_pos="r", indF="0.4",
+             alpha="0.05", depth="2", seed=31, out=str(d / "sim"))
+    base = (
+        "--geno sim.glf.gz --loglkl --pos sim.pos.gz --n_ind 6 "
+        "--n_sites 300 --freq 0.2 --indF r "
+        "--min_iters 3 --max_iters 8 --min_epsilon 1e-4 "
+        "--stream_chunk 120 "
+    )
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(d)
+        with contextlib.redirect_stdout(buf):
+            rc = main((base + "--seed 9 --n_rep 3 --out multi").split())
+        assert rc == 0
+        tots = []
+        for r in range(3):
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = main(
+                    (base + f"--seed {9 + r} --out rep{r}").split()
+                )
+            assert rc == 0
+            tots.append(float(
+                (d / f"rep{r}.indF").read_text().splitlines()[0]
+            ))
+    finally:
+        os.chdir(cwd)
+    out = buf.getvalue()
+    assert "Replicate 3: logLkl" in out
+    best = int(np.argmax(tots))
+    for ext in (".indF", ".ibd"):
+        assert (d / f"multi{ext}").read_bytes() == (
+            d / f"rep{best}{ext}"
+        ).read_bytes(), f"{ext} differs from the best single run"
+    np.testing.assert_array_equal(
+        np.fromfile(d / "multi.geno"), np.fromfile(d / f"rep{best}.geno")
+    )
+
+
+def test_streaming_n_rep_checkpoint_rejected(tmp_path, capsys):
+    """--checkpoint + --stream_chunk + --n_rep fails fast through the
+    reference-style error path."""
+    import os
+
+    from ngsf_hmm_tpu.cli import main
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        with pytest.raises(SystemExit):
+            main(
+                "--geno x.glf --pos y.gz --n_ind 4 --n_sites 10 --out o "
+                "--stream_chunk 5 --n_rep 2 --checkpoint ck.npz".split()
+            )
+    finally:
+        os.chdir(cwd)
+    assert "not supported with" in capsys.readouterr().err
 
 
 def test_streaming_cli_errors_are_reference_style(tmp_path, capsys):
