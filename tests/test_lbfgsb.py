@@ -117,6 +117,72 @@ def test_warm_start_em_trajectory_matches_cold():
     )
 
 
+def test_cold_start_escapes_corner_trap():
+    """A cold steepest-descent step projected into a box corner passes
+    Armijo but can be a local trap; the breakpoint logic must probe the
+    interior of the projected path and keep the better point (the
+    batched stand-in for L-BFGS-B's generalized Cauchy point). Surface:
+    a deep interior valley at small y, plus a corner that is better
+    than the start but worse than the valley."""
+
+    def fun(x):
+        a, b = x[:, 0], x[:, 1]
+        # gradient at the start pushes b hard toward its lower bound
+        # and a toward its upper; the (a=1, b=0) corner improves on the
+        # start but the true optimum is interior: (0.6, 0.05)
+        return 100.0 * (b - 0.05) ** 2 + 40.0 * (a - 0.6) ** 2
+
+    B = 3
+    x0 = jnp.tile(jnp.array([[0.1, 0.9]]), (B, 1))
+    lower = jnp.zeros((B, 2))
+    upper = jnp.tile(jnp.array([[1.0, 1.0]]), (B, 1))
+    x, f, it = lbfgsb_minimize(fun, x0, lower, upper)
+    np.testing.assert_allclose(
+        np.asarray(x), np.tile([[0.6, 0.05]], (B, 1)), atol=1e-3
+    )
+
+
+def test_cold_start_interior_below_breakpoint():
+    """The Armijo point can sit BELOW the first bound breakpoint of the
+    projected path (the 10x10k cold-start geometry): a plain 0.1-0.5x
+    decay ladder needs ~12 rounds to reach it and a capped ladder
+    freezes the row at its start; the breakpoint snap must land it."""
+
+    def fun(x):
+        a, b = x[:, 0], x[:, 1]
+        # steep wall right at b's lower bound, optimum just inside it;
+        # |grad_b| at the start is ~400 like the measured HMM case
+        return 2000.0 * (b - 0.01) ** 2 + 0.5 * (a - 0.5) ** 2
+
+    B = 2
+    x0 = jnp.tile(jnp.array([[0.1, 0.2]]), (B, 1))
+    lower = jnp.full((B, 2), 1e-15)
+    upper = jnp.tile(jnp.array([[1.0, 10.0]]), (B, 1))
+    x, f, it = lbfgsb_minimize(fun, x0, lower, upper)
+    assert np.all(np.asarray(x)[:, 1] > 1e-3), "row froze at its start"
+    np.testing.assert_allclose(
+        np.asarray(x), np.tile([[0.5, 0.01]], (B, 1)), atol=1e-3
+    )
+
+
+def test_bound_seeking_rows_still_reach_bounds():
+    """Rows whose optimum IS on a bound must still get there (the
+    breakpoint logic must not wall off the boundary): minimise a
+    monotone objective pushing both coordinates to opposite bounds."""
+
+    def fun(x):
+        return 3.0 * x[:, 0] - 2.0 * x[:, 1]
+
+    B = 2
+    x0 = jnp.tile(jnp.array([[0.5, 0.5]]), (B, 1))
+    lower = jnp.zeros((B, 2))
+    upper = jnp.ones((B, 2))
+    x, f, it = lbfgsb_minimize(fun, x0, lower, upper)
+    np.testing.assert_allclose(
+        np.asarray(x), np.tile([[0.0, 1.0]], (B, 1)), atol=1e-6
+    )
+
+
 def test_hmm_objective_improves_loglik():
     """Optimising (F, alpha) on the real forward-likelihood objective
     increases the likelihood and stays inside the reference bounds."""
