@@ -332,13 +332,14 @@ class StreamingEM:
 
         device_freq: keep the freq vector DEVICE-resident across the
         run (single-device streams only; "auto" = on when mesh is
-        None). The host path round-trips an [S]-sized freq slice per
-        chunk per pass (h2d) and the chunk-local est_maf output back
-        (d2h) -- ~2 x 4 B x S per pass of pure transfer that the device
-        path eliminates (freq is [C*cs] padded f32 on device, sliced
-        on-device per chunk; the host sees it only at checkpoint
-        cadence and at the end). Values are bit-identical: the host
-        path stores the same f32 results through a float64 detour."""
+        None). The host path pushes each chunk's [cs] freq slice h2d
+        once per EM iteration (the _freq_dev cache dedups the per-pass
+        re-puts) and pulls the chunk-local est_maf output back (d2h)
+        per iteration -- transfers the device path eliminates entirely
+        (freq is [C*cs] padded f32 on device, sliced on-device per
+        chunk; the host sees it only at checkpoint cadence and at the
+        end). Values are bit-identical: the host path stores the same
+        f32 results through a float64 detour."""
         self.gl = gl
         self.S, self.N = gl.shape[0], gl.shape[1]
         self.N_tot = int(n_ind_total) if n_ind_total else self.N
@@ -360,6 +361,19 @@ class StreamingEM:
         # across EM iterations; [m, N_loc, 2]-shaped, so multi-process
         # runs keep their own local-individual block
         self._opt_mem = None
+        # Device caches for per-chunk inputs that are pass-invariant.
+        # Distances never change: cache for the whole run (S x 4 B of
+        # HBM). freq changes only BETWEEN EM iterations, but pass A,
+        # pass B and every M-step line-search eval inside one iteration
+        # re-push the same slice -- keyed on the freq object's identity
+        # so a new freq vector invalidates the cache. On a tunneled
+        # backend each redundant put is a ~4 MB h2d (~160 ms at 25 MB/s
+        # per chunk-pass, the dominant term of the measured 16.6 s
+        # streamed iteration at 10M x 100 -- dev/probe_stream_phases.py);
+        # on real hosts it still saves a DMA + layout per chunk-pass.
+        self._dist_cache = {}
+        self._freq_key = None
+        self._freq_cache = {}
         self.multi = mesh is not None and any(
             d.process_index != jax.process_index()
             for d in mesh.devices.flat
@@ -467,6 +481,32 @@ class StreamingEM:
             f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
         return f
 
+    def _dist_dev(self, c, d_c):
+        """Device-resident distance chunk c (cached across passes AND
+        EM iterations -- distances are constants of the run)."""
+        out = self._dist_cache.get(c)
+        if out is None:
+            out = self._put(d_c, "rep")
+            self._dist_cache[c] = out
+        return out
+
+    def _freq_dev(self, freq, c, lo, hi):
+        """Device-resident freq chunk c for the CURRENT freq vector.
+
+        Every pass of one EM iteration (chain, posteriors, each M-step
+        eval) shares the same freq, so its chunk slices are pushed
+        once; identity of `freq` is the cache key (a new iteration's
+        vector is a new object). device_freq runs slice on-device
+        already -- the cache just memoises the slice."""
+        if self._freq_key is not freq:
+            self._freq_key = freq
+            self._freq_cache = {}
+        out = self._freq_cache.get(c)
+        if out is None:
+            out = self._put(self._freq_chunk(freq, lo, hi), "rep")
+            self._freq_cache[c] = out
+        return out
+
     def _freq_pad_dev(self, freq):
         """Host [S] freq -> padded [C*cs] f32 device vector."""
         f = np.asarray(freq, np.float32)
@@ -511,8 +551,8 @@ class StreamingEM:
             gl_c, lo, hi, d_c = self._chunk(c)
             outs.append(_chunk_transfer_grad(
                 self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
+                self._freq_dev(freq, c, lo, hi),
+                self._dist_dev(c, d_c), F_d, a_d, self._cbs, hi - lo,
                 chain_kernel=self._ck,
             ))
         return self._pull_chunk_outs(outs)
@@ -525,8 +565,8 @@ class StreamingEM:
             gl_c, lo, hi, d_c = self._chunk(c)
             outs.append(_chunk_transfer(
                 self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d, self._cbs, hi - lo,
+                self._freq_dev(freq, c, lo, hi),
+                self._dist_dev(c, d_c), F_d, a_d, self._cbs, hi - lo,
                 chain_kernel=self._ck,
             ))
         return self._pull_chunk_outs(outs)
@@ -546,8 +586,8 @@ class StreamingEM:
             gl_c, lo, hi, d_c = self._chunk(c)
             p_c, _ = _chunk_estep(
                 self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d,
+                self._freq_dev(freq, c, lo, hi),
+                self._dist_dev(c, d_c), F_d, a_d,
                 self._put(v0[c], "ind2", jnp.float32),
                 self._put(wT[c], "ind2", jnp.float32),
                 self._cbs, self.cs, hi - lo, with_freq=False,
@@ -594,8 +634,8 @@ class StreamingEM:
                 v0_c, wT_c = v0_d[c], wT_d[c]
             p_c, f_c = _chunk_estep(
                 self._put(gl_c, "gl"),
-                self._put(self._freq_chunk(freq, lo, hi), "rep"),
-                self._put(d_c, "rep"), F_d, a_d,
+                self._freq_dev(freq, c, lo, hi),
+                self._dist_dev(c, d_c), F_d, a_d,
                 v0_c, wT_c,
                 self._cbs, self.cs, hi - lo, maf_kernel=maf_k,
                 chain_kernel=self._ck,
@@ -875,8 +915,8 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
         gl_c, lo, hi, d_c = se._chunk(c)
         V = _chunk_maxplus(
             se._put(gl_c, "gl"),
-            se._put(se._freq_chunk(freq, lo, hi), "rep"),
-            se._put(d_c, "rep"), F32, a32, hi - lo, compat,
+            se._freq_dev(freq, c, lo, hi),
+            se._dist_dev(c, d_c), F32, a32, hi - lo, compat,
         )
         Vs[c] = se._loc(V, 0)
     entries, exits = _maxplus_chain(Vs, np.asarray(F, np.float64))
@@ -885,11 +925,11 @@ def streaming_viterbi(se: "StreamingEM", freq, F, alpha, compat=True,
         gl_c, lo, hi, d_c = se._chunk(c)
         e_log = _chunk_elog(
             se._put(gl_c, "gl"),
-            se._put(se._freq_chunk(freq, lo, hi), "rep"),
+            se._freq_dev(freq, c, lo, hi),
             hi - lo,
         )
         path_c = _chunk_viterbi(
-            e_log, se._put(d_c, "rep"), F32, a32,
+            e_log, se._dist_dev(c, d_c), F32, a32,
             se._put(entries[c], "ind2", jnp.float32),
             se._put(exits[c], "ind"), compat,
         )
