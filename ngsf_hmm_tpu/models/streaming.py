@@ -115,32 +115,99 @@ def _prep_chunk_slabs(gl_c, freq_c, dist_c, bsp, valid):
 
 
 @partial(jax.jit, static_argnames=("bs", "valid", "chain_kernel"))
+def _chunk_eslabs(gl_c, freq_c, bs, valid, chain_kernel="blocked"):
+    """The (gl, freq)-only half of chunk prep: emission slabs, laid out
+    for the chosen chain kernel. Within one EM iteration, pass A, pass
+    B's chain and EVERY M-step line-search eval rebuild IDENTICAL slabs
+    from the same freq -- StreamingEM caches this output per (chunk,
+    freq identity) so those passes skip the emission math + relayout
+    (55.6 of 61.6 ms/chunk-pass at 1M-site chunks, dev/PROFILE_1Mx100.md)
+    AND the chunk-source gl fetch itself (a disk read for --stream_file).
+    Same masking as _prep_chunk/_prep_chunk_slabs: pad sites (>= valid)
+    get exact-identity emissions."""
+    gl_lin = jnp.exp(gl_c)
+    e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
+    pad_mask = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
+    e_lin = jnp.where(pad_mask, 1.0, e_lin)
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        return hmm_pallas.emission_slabs(e_lin, bs)
+    e_blk, _ = block_sites(e_lin, bs, 1.0)
+    return (e_blk,)
+
+
+@partial(jax.jit, static_argnames=("bs", "N", "chain_kernel"))
+def _chunk_dslab(dist_c, bs, N, chain_kernel="blocked"):
+    """The dist-only half of chunk prep -- a constant of the whole run
+    (cached per chunk for the run's lifetime when the HBM budget
+    allows; the pallas slab repeats the distance per individual, so it
+    is N x the size of the [cs] vector)."""
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        return hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bs)
+    d_blk, _ = block_sites(dist_c.astype(jnp.float32), bs, 0.0)
+    return d_blk
+
+
+def _pre_prep(pre, dist_c, bs, cs, N, chain_kernel):
+    """Assemble kernel-ready prep from cached slabs (traced context).
+
+    pre: (e0, e1, d) pallas / (e_blk, d_blk) blocked; the d member is
+    None when only the emission slabs are cached (then the dist slab is
+    rebuilt in-kernel from the tiny [cs] dist vector)."""
+    if chain_kernel == "pallas":
+        from . import hmm_pallas
+
+        e0, e1, d = pre
+        if d is None:
+            d = hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bs)
+        return hmm_pallas.make_prep(e0, e1, d, cs, N, bs)
+    e_blk, d_blk = pre
+    if d_blk is None:
+        d_blk, _ = block_sites(dist_c.astype(jnp.float32), bs, 0.0)
+    return e_blk, d_blk
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "valid", "chain_kernel", "cs", "N"))
 def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid,
-                    chain_kernel="blocked"):
+                    chain_kernel="blocked", pre=None, cs=None, N=None):
     """(T [N,2,2] normalised, s [N] log scale) for one chunk.
 
     chain_kernel="pallas" streams the chunk through the VMEM-resident
     block-transfer kernel instead of the XLA blocked fold (bs is then
-    the PALLAS block size, hmm_pallas.pick_block_size)."""
+    the PALLAS block size, hmm_pallas.pick_block_size).
+
+    pre: cached slabs from _chunk_eslabs/_chunk_dslab (then gl_c/freq_c
+    are None and cs/N carry the chunk geometry statically)."""
     if chain_kernel == "pallas":
         from . import hmm_pallas
 
-        _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
+        if pre is not None:
+            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
+        else:
+            _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
         A_reps = hmm_pallas.block_transfers_pallas(
             F[None], alpha[None], prep
         )
         T, s = hmm_pallas.fold_transfers_pallas(A_reps[0])
         return T[0], s[0]
-    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+    if pre is not None:
+        e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
+    else:
+        _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
     A, ln = _block_transfer_lin(e_blk, d_blk, F, alpha)
     return fold_transfer_lin(A, ln)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "S_c", "valid", "with_freq", "maf_kernel",
-                          "chain_kernel"))
+                          "chain_kernel", "cs", "N"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
-                 with_freq=True, maf_kernel="xla", chain_kernel="blocked"):
+                 with_freq=True, maf_kernel="xla", chain_kernel="blocked",
+                 pre=None, cs=None, N=None):
     """Posteriors with boundary carries + chunk-local freq M-step.
 
     with_freq=False skips the est_maf fixed point (and its cross-ind
@@ -148,8 +215,27 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     maf_kernel/chain_kernel="pallas" run the fixed point / the chain
     passes VMEM-resident (single-device streams only: on a mesh the
     cross-ind accumulator sums need the GSPMD-inserted collectives the
-    XLA path gets for free)."""
-    if chain_kernel == "pallas":
+    XLA path gets for free).
+
+    pre: cached emission/dist slabs -- the chain part then skips the
+    prep; gl_c is still needed (and freq_c not) when with_freq=True
+    (est_maf reads the raw GLs), and may be None otherwise."""
+    if pre is not None:
+        gl_lin = None if gl_c is None else jnp.exp(gl_c)
+        if chain_kernel == "pallas":
+            from . import hmm_pallas
+
+            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
+            p_raw, _, _ = hmm_pallas.posteriors_pallas(
+                F, alpha, prep,
+                v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
+            )
+        else:
+            e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
+            p_raw, _, _ = posteriors_blocked_lin(
+                e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
+            )
+    elif chain_kernel == "pallas":
         from . import hmm_pallas
 
         gl_lin, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
@@ -178,9 +264,10 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     return p_ibd, freq_new
 
 
-@partial(jax.jit, static_argnames=("bs", "valid", "chain_kernel"))
+@partial(jax.jit,
+         static_argnames=("bs", "valid", "chain_kernel", "cs", "N"))
 def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
-                         chain_kernel="blocked"):
+                         chain_kernel="blocked", pre=None, cs=None, N=None):
     """ONE stream -> chunk transfer product AND its parameter tangents.
 
     chain_kernel="pallas": the fused transfer+tangent Pallas stream
@@ -203,12 +290,18 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
     if chain_kernel == "pallas":
         from . import hmm_pallas
 
-        _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
+        if pre is not None:
+            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
+        else:
+            _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
         A_g = hmm_pallas.transfer_grad_pallas(F, alpha, prep)
         T, s, DF, Da = hmm_pallas.fold_grad_pallas(A_g)
         z = jnp.zeros_like(s)
         return T, s, DF, z, Da, z
-    _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
+    if pre is not None:
+        e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
+    else:
+        _, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
 
     def f(F_, a_):
         A, ln = _block_transfer_lin(e_blk, d_blk, F_, a_)
@@ -374,6 +467,21 @@ class StreamingEM:
         self._dist_cache = {}
         self._freq_key = None
         self._freq_cache = {}
+        # Budget-gated SLAB caches (single-process, non-mesh streams;
+        # planned per run() once the kernel tier fixes the slab
+        # geometry -- see _plan_slab_caches):
+        #   _eslab_cache: per (chunk, freq identity) emission slabs --
+        #     pass A builds them (one gl fetch per chunk per EM
+        #     iteration), then pass B's chain and every M-step
+        #     line-search eval skip BOTH the chunk-source gl fetch and
+        #     the emission+relayout prep (dev/PROFILE_1Mx100.md: 55.6 of
+        #     61.6 ms per 1M-site chunk-pass).
+        #   _dslab_cache: per-chunk dist slabs, constants of the run.
+        self._eslab_cache = {}
+        self._dslab_cache = {}
+        self._cache_e = False
+        self._cache_d = False
+        self._planned = False
         self.multi = mesh is not None and any(
             d.process_index != jax.process_index()
             for d in mesh.devices.flat
@@ -481,14 +589,33 @@ class StreamingEM:
             f = np.pad(f, (0, self.cs - (hi - lo)), constant_values=0.25)
         return f
 
-    def _dist_dev(self, c, d_c):
+    def _dist_c(self, c):
+        """Chunk c's padded [cs] f32 distance vector (host)."""
+        lo = c * self.cs
+        hi = min(lo + self.cs, self.S)
+        d_c = self.dist[lo:hi].astype(np.float32)
+        if hi - lo < self.cs:
+            d_c = np.pad(d_c, (0, self.cs - (hi - lo)),
+                         constant_values=0.0)
+        return d_c
+
+    def _dist_dev(self, c, d_c=None):
         """Device-resident distance chunk c (cached across passes AND
         EM iterations -- distances are constants of the run)."""
         out = self._dist_cache.get(c)
         if out is None:
-            out = self._put(d_c, "rep")
+            out = self._put(self._dist_c(c) if d_c is None else d_c,
+                            "rep")
             self._dist_cache[c] = out
         return out
+
+    def _freq_epoch(self, freq):
+        """Invalidate the freq-keyed caches when the freq vector
+        changes (each EM iteration produces a NEW freq object)."""
+        if self._freq_key is not freq:
+            self._freq_key = freq
+            self._freq_cache = {}
+            self._eslab_cache = {}
 
     def _freq_dev(self, freq, c, lo, hi):
         """Device-resident freq chunk c for the CURRENT freq vector.
@@ -498,13 +625,125 @@ class StreamingEM:
         once; identity of `freq` is the cache key (a new iteration's
         vector is a new object). device_freq runs slice on-device
         already -- the cache just memoises the slice."""
-        if self._freq_key is not freq:
-            self._freq_key = freq
-            self._freq_cache = {}
+        self._freq_epoch(freq)
         out = self._freq_cache.get(c)
         if out is None:
             out = self._put(self._freq_chunk(freq, lo, hi), "rep")
             self._freq_cache[c] = out
+        return out
+
+    def _slab_bytes(self):
+        """(e-slab bytes, d-slab bytes) per chunk for the active tier."""
+        if self._ck == "pallas":
+            from . import hmm_pallas
+
+            _, _, _, C, _, bs_pad = hmm_pallas._geom(
+                self.cs, self.N, self._cbs
+            )
+            per = bs_pad * 8 * C * 4
+            return 2 * per, per
+        cs_pad = -(-self.cs // self._cbs) * self._cbs
+        return cs_pad * self.N * 2 * 4, cs_pad * 4
+
+    def _plan_slab_caches(self):
+        """Decide, from an HBM budget, whether to keep the prepped
+        emission / dist slabs device-resident across chunk passes.
+
+        Caching only pays if EVERY chunk's slabs fit simultaneously
+        (the pass order cycles 0..C-1, so partial caches always evict
+        before reuse). Budget: NGSF_STREAM_CACHE_BYTES env override
+        (0 disables), else 45% of the backend's reported bytes_limit,
+        else a conservative 4 GiB. Emission slabs first (they save the
+        gl fetch + emission math + relayout on every pass), the dist
+        slabs with what remains. Single-process, non-mesh streams only:
+        the folded slab layouts interleave sites and individuals, so
+        they have no clean mesh sharding."""
+        import os
+
+        self._cache_e = self._cache_d = False
+        self._eslab_cache = {}
+        self._dslab_cache = {}
+        if self.mesh is not None or self.multi:
+            return
+        raw = os.environ.get("NGSF_STREAM_CACHE_BYTES")
+        if raw is not None:
+            budget = int(raw)
+        else:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                budget = int(stats["bytes_limit"] * 0.45)
+            except Exception:
+                budget = 4 << 30
+        if budget <= 0:
+            return
+        e_b, d_b = self._slab_bytes()
+        if self.C * e_b <= budget:
+            self._cache_e = True
+            budget -= self.C * e_b
+        if self._cache_e and self.C * d_b <= budget:
+            self._cache_d = True
+
+    def _config_kernel(self, opts):
+        """Fix the chunk-kernel tier from opts and (re)plan the slab
+        caches -- idempotent; called by run() and _stream_iteration so
+        direct _stream_iteration drivers (bench, probes) get the same
+        tier + caching as the product path.
+
+        --kernel pallas on a single-device stream: every chunk pass
+        (transfers, fused grad stream, posteriors) runs the
+        VMEM-resident kernels; mesh streams keep the XLA tier (GSPMD
+        cannot partition a pallas_call over the ind axis)."""
+        ck = ("pallas" if opts.numerics == "pallas" and self.mesh is None
+              else "blocked")
+        if self._planned and ck == self._ck:
+            return
+        if ck == "pallas":
+            from . import hmm_pallas
+
+            self._cbs = hmm_pallas.pick_block_size(self.cs, self.N)
+        else:
+            self._cbs = self.bs
+        self._ck = ck
+        self._plan_slab_caches()
+        self._planned = True
+
+    def _chunk_inputs(self, freq, c, need_gl=False):
+        """Cache-aware kernel inputs for chunk c:
+        (gl_d, freq_d, dist_d, pre, lo, hi).
+
+        With slab caching on, `pre` holds the (e..., d) slabs, gl_d and
+        freq_d are None (unless need_gl -- pass B's est_maf reads raw
+        GLs) and the chunk source is NOT touched on cache hits."""
+        lo = c * self.cs
+        hi = min(lo + self.cs, self.S)
+        if not self._cache_e:
+            gl_c, lo, hi, d_c = self._chunk(c)
+            return (self._put(gl_c, "gl"),
+                    self._freq_dev(freq, c, lo, hi),
+                    self._dist_dev(c, d_c), None, lo, hi)
+        self._freq_epoch(freq)
+        es = self._eslab_cache.get(c)
+        gl_d = None
+        if es is None or need_gl:
+            gl_c, lo, hi, _ = self._chunk(c)
+            gl_d = self._put(gl_c, "gl")
+        if es is None:
+            es = _chunk_eslabs(
+                gl_d, self._freq_dev(freq, c, lo, hi),
+                self._cbs, hi - lo, chain_kernel=self._ck,
+            )
+            self._eslab_cache[c] = es
+        d_pre = self._dslab_dev(c) if self._cache_d else None
+        return (gl_d if need_gl else None, None, self._dist_dev(c),
+                (*es, d_pre), lo, hi)
+
+    def _dslab_dev(self, c):
+        """Run-lifetime device cache of chunk c's laid-out dist slab."""
+        out = self._dslab_cache.get(c)
+        if out is None:
+            out = _chunk_dslab(self._dist_dev(c), self._cbs, self.N,
+                               chain_kernel=self._ck)
+            self._dslab_cache[c] = out
         return out
 
     def _freq_pad_dev(self, freq):
@@ -548,12 +787,13 @@ class StreamingEM:
         a_d = self._put(alpha, "ind", jnp.float32)
         outs = []
         for c in range(self.C):
-            gl_c, lo, hi, d_c = self._chunk(c)
+            gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(freq, c)
             outs.append(_chunk_transfer_grad(
-                self._put(gl_c, "gl"),
-                self._freq_dev(freq, c, lo, hi),
-                self._dist_dev(c, d_c), F_d, a_d, self._cbs, hi - lo,
-                chain_kernel=self._ck,
+                gl_d, fq_d, d_d, F_d, a_d, self._cbs,
+                self.cs if pre is not None else hi - lo,
+                chain_kernel=self._ck, pre=pre,
+                cs=self.cs if pre is not None else None,
+                N=self.N if pre is not None else None,
             ))
         return self._pull_chunk_outs(outs)
 
@@ -562,12 +802,13 @@ class StreamingEM:
         a_d = self._put(alpha, "ind", jnp.float32)
         outs = []
         for c in range(self.C):
-            gl_c, lo, hi, d_c = self._chunk(c)
+            gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(freq, c)
             outs.append(_chunk_transfer(
-                self._put(gl_c, "gl"),
-                self._freq_dev(freq, c, lo, hi),
-                self._dist_dev(c, d_c), F_d, a_d, self._cbs, hi - lo,
-                chain_kernel=self._ck,
+                gl_d, fq_d, d_d, F_d, a_d, self._cbs,
+                self.cs if pre is not None else hi - lo,
+                chain_kernel=self._ck, pre=pre,
+                cs=self.cs if pre is not None else None,
+                N=self.N if pre is not None else None,
             ))
         return self._pull_chunk_outs(outs)
 
@@ -583,15 +824,16 @@ class StreamingEM:
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
         for c in range(self.C):
-            gl_c, lo, hi, d_c = self._chunk(c)
+            gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(freq, c)
             p_c, _ = _chunk_estep(
-                self._put(gl_c, "gl"),
-                self._freq_dev(freq, c, lo, hi),
-                self._dist_dev(c, d_c), F_d, a_d,
+                gl_d, fq_d, d_d, F_d, a_d,
                 self._put(v0[c], "ind2", jnp.float32),
                 self._put(wT[c], "ind2", jnp.float32),
-                self._cbs, self.cs, hi - lo, with_freq=False,
-                chain_kernel=self._ck,
+                self._cbs, self.cs,
+                self.cs if pre is not None else hi - lo,
+                with_freq=False, chain_kernel=self._ck, pre=pre,
+                cs=self.cs if pre is not None else None,
+                N=self.N if pre is not None else None,
             )
             p_ibd_out[lo:hi] = self._loc(p_c, 1)[: hi - lo]
 
@@ -599,6 +841,7 @@ class StreamingEM:
         """One streamed EM iteration: chain pass, posterior/freq pass,
         and the host-L-BFGS (F, alpha) M-step.  Returns
         (freq', F', alpha', ll_f, fwbw_maxdiff)."""
+        self._config_kernel(opts)
         N = self.N
         # ---- pass A: chain at current params
         Ts, ss = self._transfers(freq, F, alpha)
@@ -606,13 +849,16 @@ class StreamingEM:
         # fw/bw check over ALL individuals (gathered when multi-process)
         fwbw = float(self._gather_ind(np.abs(ll_f - ll_b)).max())
 
-        # ---- pass B: posteriors + chunk-local freq M-step
+        # ---- pass B: posteriors + chunk-local freq M-step. Skipped
+        # whole when freq is fixed: its only live outputs are the
+        # est_maf freq updates (posteriors are recomputed by the final
+        # posteriors_pass; here they existed only to feed est_maf)
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
         # single-process: ONE h2d for all chunk carries, sliced on
         # device per chunk (eager ops on multi-process global arrays are
         # not addressable -- those keep the per-chunk puts)
-        if not self.multi:
+        if not self.multi and opts.freq_est == 1:
             v0_d = jnp.asarray(np.ascontiguousarray(v0), jnp.float32)
             wT_d = jnp.asarray(np.ascontiguousarray(wT), jnp.float32)
             if self.mesh is not None:
@@ -625,20 +871,23 @@ class StreamingEM:
                  and self.mesh is None else "xla")
         new_freq = freq if self.device_freq else freq.copy()
         f_parts = []
-        for c in range(self.C):
-            gl_c, lo, hi, d_c = self._chunk(c)
+        for c in range(self.C if opts.freq_est == 1 else 0):
+            gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(
+                freq, c, need_gl=True  # est_maf reads raw GLs
+            )
             if self.multi:
                 v0_c = self._put(v0[c], "ind2", jnp.float32)
                 wT_c = self._put(wT[c], "ind2", jnp.float32)
             else:
                 v0_c, wT_c = v0_d[c], wT_d[c]
             p_c, f_c = _chunk_estep(
-                self._put(gl_c, "gl"),
-                self._freq_dev(freq, c, lo, hi),
-                self._dist_dev(c, d_c), F_d, a_d,
+                gl_d, fq_d, d_d, F_d, a_d,
                 v0_c, wT_c,
-                self._cbs, self.cs, hi - lo, maf_kernel=maf_k,
-                chain_kernel=self._ck,
+                self._cbs, self.cs,
+                self.cs if pre is not None else hi - lo,
+                maf_kernel=maf_k, chain_kernel=self._ck, pre=pre,
+                cs=self.cs if pre is not None else None,
+                N=self.N if pre is not None else None,
             )
             if opts.freq_est == 1:
                 if self.device_freq:
@@ -714,18 +963,7 @@ class StreamingEM:
                 "need the monolithic engine)"
             )
 
-        # --kernel pallas on a single-device stream: every chunk pass
-        # (transfers, fused grad stream, posteriors) runs the
-        # VMEM-resident kernels; mesh streams keep the XLA tier (GSPMD
-        # cannot partition a pallas_call over the ind axis)
-        if opts.numerics == "pallas" and self.mesh is None:
-            from . import hmm_pallas
-
-            self._ck = "pallas"
-            self._cbs = hmm_pallas.pick_block_size(self.cs, self.N)
-        else:
-            self._ck = "blocked"
-            self._cbs = self.bs
+        self._config_kernel(opts)
 
         state0 = (
             self._freq_pad_dev(freq0) if self.device_freq

@@ -505,3 +505,54 @@ def test_cli_stream_file_requires_stream_chunk():
         with pytest.raises(SystemExit):
             main("--geno x --pos y --n_ind 2 --n_sites 10 "
                  "--stream_file --out z".split())
+
+
+def test_slab_caches_bit_identical_and_skip_gl_fetches(data):
+    """The budget-gated emission/dist slab caches must be invisible:
+    a cached run's full trajectory is BIT-identical to the uncached
+    path (the slabs come out of the same jitted math, only memoised),
+    and with the cache on, M-step line-search evals must not touch the
+    chunk source at all (for --stream_file that is a disk read per
+    chunk per eval)."""
+    import os
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    opts = EMOptions(min_iters=3, max_iters=6, min_epsilon=1e-6)
+
+    class Counting(StreamingEM):
+        fetches = 0
+
+        def _chunk(self, c):
+            Counting.fetches += 1
+            return super()._chunk(c)
+
+    def run(cache_bytes):
+        old = os.environ.get("NGSF_STREAM_CACHE_BYTES")
+        os.environ["NGSF_STREAM_CACHE_BYTES"] = cache_bytes
+        try:
+            Counting.fetches = 0
+            se = Counting(gl, dist, chunk_sites=300)
+            out = se.run(np.full(S, 0.2), np.full(N, 0.2),
+                         np.full(N, 0.05), opts)
+            return se, out, Counting.fetches
+        finally:
+            if old is None:
+                del os.environ["NGSF_STREAM_CACHE_BYTES"]
+            else:
+                os.environ["NGSF_STREAM_CACHE_BYTES"] = old
+
+    se_on, out_on, fetch_on = run(str(1 << 30))
+    assert se_on._cache_e and se_on._cache_d
+    se_off, out_off, fetch_off = run("0")
+    assert not se_off._cache_e and not se_off._cache_d
+
+    for a, b in zip(out_on, out_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # cached: pass A (slab build) + pass B (est_maf needs raw GLs) per
+    # chunk per iteration -- every M-step eval is slab-fed, and the
+    # final posterior pass reuses the last iteration's still-warm slabs
+    # (it runs at the pre-update freq, which is that epoch's cache key)
+    n_iter = out_on[4]
+    assert fetch_on == se_on.C * 2 * n_iter
+    assert fetch_off > fetch_on * 2  # the evals were real fetches before
