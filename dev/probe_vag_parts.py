@@ -50,20 +50,28 @@ print(f"nb={prep['nb']} bs={prep['bs']} C={prep['C']} R={prep['R']}",
       file=sys.stderr, flush=True)
 
 
-def chain(label, fn, k=10):
-    """fn(F, alpha) -> (F', alpha') serially k times inside one jit."""
-    jf = jax.jit(lambda e0, e1, d, F, a: jax.lax.fori_loop(
-        0, k, lambda i, c: fn(dict(prep, e0=e0, e1=e1, d=d), c[0], c[1]),
-        (F, a)))
+def chain(label, fn, k=12):
+    """fn(F, alpha) -> (F', alpha') serially inside one jit. Timed at
+    two chain lengths (k and 3k); the difference cancels the ~27ms
+    scalar-sync RTT that a single (total/k) would smear over the reps
+    (+2.7ms/step at k=10 -- the round-3 numbers carried this bias)."""
+    jf = jax.jit(lambda e0, e1, d, F, a, reps: jax.lax.fori_loop(
+        0, reps, lambda i, c: fn(dict(prep, e0=e0, e1=e1, d=d), c[0], c[1]),
+        (F, a)), static_argnames=("reps",))
     F0 = jnp.full((N,), 0.2, dt)
     a0 = jnp.full((N,), 0.05, dt)
     call = functools.partial(jf, prep["e0"], prep["e1"], prep["d"])
-    out = call(F0, a0)
-    sync(out[0])
-    t0 = time.perf_counter()
-    out = call(F0, a0)
-    sync(out[0])
-    dtm = (time.perf_counter() - t0) / k * 1e3
+
+    def run(reps):
+        out = call(F0, a0, reps)
+        sync(out[0])
+        t0 = time.perf_counter()
+        out = call(F0, a0, reps)
+        sync(out[0])
+        return time.perf_counter() - t0
+
+    t_long, t_short = run(3 * k), run(k)
+    dtm = (t_long - t_short) / (2 * k) * 1e3
     print(f"{label:44s} {dtm:8.2f} ms/step", file=sys.stderr, flush=True)
 
 

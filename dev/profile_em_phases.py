@@ -70,20 +70,61 @@ print(f"synth+init done in {time.perf_counter()-t0:.1f}s",
 
 
 def tick(label, fn, *args, reps=24):
+    """Time fn(*args) by LOOP-CHAINING it inside the caller-provided fn
+    when it is already self-threading, else by queued reps. Two chain
+    lengths are differenced so the ~27ms scalar-sync RTT cancels; a
+    single (total/reps) smears the RTT over the reps (+27/reps ms --
+    the round-3 phase table carried that bias). Queued independent
+    calls are additionally unreliable on this backend: results whose
+    buffers are dropped before the sync can be elided entirely (see
+    dev/probe_kernel_flops.py), so fns timed here must THREAD their
+    output into the next call's input when possible."""
     t0 = time.perf_counter()
     out = fn(*args)
     leaves = jax.tree_util.tree_leaves(out)
     sync(leaves[0])
     t_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    leaves = jax.tree_util.tree_leaves(out)
-    sync(leaves[0])
-    dtm = (time.perf_counter() - t0) / reps * 1e3
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(k):
+            o = fn(*args)
+        sync(jax.tree_util.tree_leaves(o)[0])
+        return time.perf_counter() - t0
+
+    t_long, t_short = run(reps), run(max(reps // 3, 1))
+    dtm = (t_long - t_short) / (reps - max(reps // 3, 1)) * 1e3
     print(f"{label:35s} {dtm:9.2f} ms   (cold {t_cold:.1f}s)",
           file=sys.stderr, flush=True)
     return out
+
+
+def chain_tick(label, step, consts, x0, reps=24):
+    """step: (consts, x) -> x (same pytree structure as x0), jitted and
+    fori-chained at two lengths; the difference cancels sync RTT and
+    dispatch, and the data dependency defeats queue elision. `consts`
+    holds the big loop-invariant arrays (slabs, gl) -- they must be jit
+    ARGS, not closure captures (captures bake into the HLO as constants
+    and the tunneled compile request explodes)."""
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chained(cs, x, k):
+        return jax.lax.fori_loop(0, k, lambda i, c: step(cs, c), x)
+
+    def run(k):
+        o = chained(consts, x0, k)
+        sync(jax.tree_util.tree_leaves(o)[0])
+        t0 = time.perf_counter()
+        o = chained(consts, x0, k)
+        sync(jax.tree_util.tree_leaves(o)[0])
+        return time.perf_counter() - t0
+
+    t_long, t_short = run(reps), run(max(reps // 3, 1))
+    dtm = (t_long - t_short) / (reps - max(reps // 3, 1)) * 1e3
+    print(f"{label:35s} {dtm:9.2f} ms", file=sys.stderr, flush=True)
+    return dtm
 
 
 PHASES = set(os.environ.get("PHASES", "prep,post,maf,em,full,lb").split(","))
@@ -113,29 +154,53 @@ def with_slabs(fn):
     return functools.partial(jf, prep["e0"], prep["e1"], prep["d"])
 
 
+slab_consts = (prep["e0"], prep["e1"], prep["d"])
+EPSI = 1e-30
+
+
+def _with(pr_consts):
+    e0, e1, d = pr_consts
+    return dict(prep, e0=e0, e1=e1, d=d)
+
+
 post_fn = with_slabs(lambda pr, st: hmm_pallas.posteriors_pallas(
     st.indF, st.alpha, pr))
+p_raw, ll_f, ll_b = post_fn(state)
 if want("post"):
-    p_raw, ll_f, ll_b = tick("posteriors_pallas", post_fn, state)
-else:
-    p_raw, ll_f, ll_b = post_fn(state)
+    def post_step(cs, c):
+        F, a = c
+        p, lf, lb = hmm_pallas.posteriors_pallas(F, a, _with(cs))
+        z = jnp.sum(p) * EPSI + jnp.sum(lf) * EPSI
+        return (F + z, a + z)
+
+    chain_tick("posteriors_pallas", post_step, slab_consts,
+               (state.indF, state.alpha))
 
 p_ibd = jnp.clip(p_raw, 0.0, 1.0)
 if want("maf"):
     # gl_tiles must be jit ARGS: closing over them bakes 1.2GB of
     # constants into the HLO and the remote compile request explodes
-    # (HTTP 413 / broken pipe from the compile helper)
-    maf_fn = jax.jit(lambda t, p: est_maf_pallas(t, p, S))
-    freq = tick("est_maf_pallas (exact damped)",
-                lambda p: maf_fn(gl_tiles, p), p_ibd)
-    maf_m = jax.jit(lambda t, p: est_maf_pallas(t, p, S, macro=True))
-    tick("est_maf_pallas (macro)", lambda p: maf_m(gl_tiles, p), p_ibd)
+    # (HTTP 413 / broken pipe from the compile helper).
+    # NOTE: the chain perturbation (p + z) adds one [S, N] write+read
+    # (~1 ms at this shape) to each rep -- a small overcount.
+    def maf_step(macro):
+        def step(cs, p):
+            freq = est_maf_pallas(cs, p, S, macro=macro)
+            return p + jnp.sum(freq) * EPSI
+
+        return step
+
+    freq = jax.jit(lambda t, p: est_maf_pallas(t, p, S))(gl_tiles, p_ibd)
+    chain_tick("est_maf_pallas (exact damped)", maf_step(False),
+               gl_tiles, p_ibd, reps=12)
+    chain_tick("est_maf_pallas (macro)", maf_step(True),
+               gl_tiles, p_ibd, reps=12)
 if want("em"):
-    # gl as a jit ARG for the same reason as gl_tiles above
-    em_fn = jax.jit(
-        lambda g, f: jnp.log(emission_probs_linear(jnp.exp(g), f[:, None])))
-    tick("emission recompute (incl exp)",
-         lambda f: em_fn(gl, f), state.freq)
+    def em_step(cs, f):
+        e = jnp.log(emission_probs_linear(jnp.exp(cs), f[:, None]))
+        return f + jnp.sum(e) * EPSI
+
+    chain_tick("emission recompute (incl exp)", em_step, gl, state.freq)
 
 # em_iteration is itself jitted -- no outer jit (that would bake the
 # 1.2GB gl closure into the HLO as a constant)
@@ -170,43 +235,70 @@ print("  steady opt_iters:", int(np.asarray(hold["opt_iters"])),
 
 if not want("lb"):
     sys.exit(0)
-ll_fn = with_slabs(lambda pr, st: hmm_pallas.forward_loglik_pallas(
-    st.indF[None], st.alpha[None], pr))
-tick("forward_loglik (1 rung)", ll_fn, state)
-
-llm_fn = with_slabs(lambda pr, st: hmm_pallas.forward_loglik_pallas(
-    jnp.broadcast_to(st.indF, (8, N)), jnp.broadcast_to(st.alpha, (8, N)),
-    pr))
-tick("forward_loglik (8 rungs)", llm_fn, state)
-
-vag_fn = with_slabs(lambda pr, st: hmm_pallas.loglik_value_and_grad_pallas(
-    st.indF, st.alpha, pr))
-tick("value_and_grad (2 launches)", vag_fn, state)
 
 
-def lbfgs_phase(pr, st):
-    x0 = jnp.stack([st.indF, st.alpha], axis=-1)
+def ll_step(cs, c):
+    F, a = c
+    ll = hmm_pallas.forward_loglik_pallas(F[None], a[None], _with(cs))[0]
+    z = jnp.sum(ll) * EPSI
+    return (F + z, a + z)
+
+
+chain_tick("forward_loglik (1 rung)", ll_step, slab_consts,
+           (state.indF, state.alpha))
+
+
+def llm_step(cs, c):
+    F, a = c
+    ll = hmm_pallas.forward_loglik_pallas(
+        jnp.broadcast_to(F, (8, N)), jnp.broadcast_to(a, (8, N)), _with(cs))
+    z = jnp.sum(ll) * EPSI
+    return (F + z, a + z)
+
+
+chain_tick("forward_loglik (8 rungs)", llm_step, slab_consts,
+           (state.indF, state.alpha))
+
+
+def vag_step(cs, c):
+    F, a = c
+    L, gF, ga = hmm_pallas.loglik_value_and_grad_pallas(F, a, _with(cs))
+    z = jnp.sum(L) * EPSI
+    return (F + z + gF * 0.0, a + z + ga * 0.0)
+
+
+chain_tick("value_and_grad (2 launches)", vag_step, slab_consts,
+           (state.indF, state.alpha))
+
+
+def lb_step(cs, c):
+    F, a = c
+    pr = _with(cs)
+    x0 = jnp.stack([F, a], axis=-1)
     lo = jnp.full_like(x0, 1e-15)
     hi = jnp.stack([jnp.full((N,), 1 - 1e-15, dt),
                     jnp.full((N,), 10.0, dt)], axis=-1)
 
     def objective(x):
-        ll = hmm_pallas.forward_loglik_pallas(x[None, :, 0], x[None, :, 1], pr)[0]
-        return -ll
+        return -hmm_pallas.forward_loglik_pallas(
+            x[None, :, 0], x[None, :, 1], pr)[0]
 
     def objective_multi(xs):
         return -hmm_pallas.forward_loglik_pallas(xs[..., 0], xs[..., 1], pr)
 
     def objective_vag(x):
-        L, gF, ga = hmm_pallas.loglik_value_and_grad_pallas(x[:, 0], x[:, 1], pr)
+        L, gF, ga = hmm_pallas.loglik_value_and_grad_pallas(
+            x[:, 0], x[:, 1], pr)
         return -L, -jnp.stack([gF, ga], axis=-1)
 
     x_opt, _, it = lbfgsb_minimize(objective, x0, lo, hi,
                                    value_and_grad=objective_vag,
                                    fun_multi=objective_multi)
-    return x_opt, it
+    # chain through the OPTIMUM, perturbed so the next cold solve starts
+    # off-optimum (otherwise rep 2+ would measure a 1-probe no-op solve)
+    return (jnp.clip(x_opt[:, 0] * 1.01, 1e-6, 1 - 1e-6),
+            jnp.clip(x_opt[:, 1] * 0.99, 1e-6, 10.0))
 
 
-lb_fn = with_slabs(lbfgs_phase)
-xo, it = tick("lbfgs M-step", lb_fn, state, reps=4)
-print("  opt_iters:", int(it), file=sys.stderr, flush=True)
+chain_tick("lbfgs M-step (cold, near-opt start)", lb_step, slab_consts,
+           (state.indF, state.alpha), reps=6)

@@ -207,16 +207,20 @@ def _tree_product_grad(mA, mF, ma):
 
 
 LANE_MAX = 32768  # cap on L = nb * N. Wider lanes shrink the grid, but
-                  # streamed slabs are [R, 8, L/8] and _pick_rows must
-                  # keep six double-buffered copies inside _STREAM_VMEM,
-                  # so lane width trades directly against sites/step (R);
-                  # per-candidate carries ([B, 8, C] each) also scale
-                  # with L on the B>1 candidate-batch path. 32k keeps
-                  # R >= 4 at the budget.
+                  # streamed slabs are [R, 8, L/8], so lane width trades
+                  # directly against sites/step (R) under the per-kernel
+                  # VMEM budget (_rows_for); per-candidate carries
+                  # ([B, 8, C] each) also scale with L on the B>1
+                  # candidate-batch path.
 
 _SUB = 8          # sublane fold of the lane axis
 _LANE_TILE = 8 * 128  # L padded to a multiple of one (8, 128) tile
-_STREAM_VMEM = 6 << 20  # budget for streamed slabs per kernel (~16MB/core)
+_R_PAD = 64       # bs_pad multiple: every kernel's R (a power of two
+                  # <= _R_PAD) divides it, so one slab layout serves
+                  # kernels running DIFFERENT sites-per-step
+_STREAM_VMEM = 64 << 20  # per-kernel budget for R-scaled VMEM arrays
+                         # (streams double-buffered + leaf/tree work);
+                         # the v5e core has 128MB, _CPARAMS caps 100MB
 
 
 def pick_block_size(S, N=1):
@@ -235,14 +239,29 @@ def pick_block_size(S, N=1):
     return min(bs, S)
 
 
-def _pick_rows(Lp):
-    """Sites per grid step: the largest power of two <= 16 whose six
-    double-buffered [R, 8, C] streams (the fw_post kernel's worst case)
-    fit the stream VMEM budget."""
-    R = 16
-    while R > 1 and 6 * R * Lp * 4 * 2 > _STREAM_VMEM:
+def _rows_for(Lp, copies, bs_pad, env_key=None):
+    """Sites per grid step for ONE kernel: the largest power of two
+    <= _R_PAD whose `copies` live [R, 8, C] f32 arrays (double-buffered
+    streamed blocks + leaf/tree working set, counted by the caller) fit
+    the stream VMEM budget. Fewer grid steps amortise the fixed
+    per-step cost (grid dispatch + DMA latency + the cross-step carry
+    combine), which dominated the old one-size R: at 1M x 100 the
+    6-stream worst case forced R = 4 -> 765 steps per launch.
+
+    env_key: probe override (NGSF_PALLAS_R_<KEY>, then NGSF_PALLAS_R).
+    """
+    import os
+
+    for k in ((f"NGSF_PALLAS_R_{env_key}",) if env_key else ()) + (
+        "NGSF_PALLAS_R",
+    ):
+        v = os.environ.get(k)
+        if v:
+            return max(1, min(int(v), bs_pad, _R_PAD))
+    R = _R_PAD
+    while R > 1 and copies * R * Lp * 4 > _STREAM_VMEM:
         R //= 2
-    return R
+    return min(R, bs_pad)
 
 
 def _geom(S, N, bs):
@@ -250,8 +269,10 @@ def _geom(S, N, bs):
     L = nb * N
     Lp = -(-L // _LANE_TILE) * _LANE_TILE
     C = Lp // _SUB
-    R = _pick_rows(Lp)
-    bs_pad = -(-bs // R) * R
+    bs_pad = -(-bs // _R_PAD) * _R_PAD
+    # prep["R"] is kept for layout compatibility/reporting only; each
+    # kernel wrapper picks its own sites-per-step via _rows_for
+    R = min(_R_PAD, bs_pad)
     return nb, L, Lp, C, R, bs_pad
 
 
@@ -729,7 +750,10 @@ def block_transfers_pallas(F, alpha, prep):
     F = jnp.asarray(F, jnp.float32)
     alpha = jnp.asarray(alpha, jnp.float32)
     B = F.shape[0]
-    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    C, bs_pad = prep["C"], prep["bs_pad"]
+    # live R-arrays: 3 streams double-buffered + per-candidate leaf m(4)
+    # and tree temps(4) (transient across the static b loop)
+    R = _rows_for(prep["Lp"], 14, bs_pad, "TRANSFER")
     Fr, ar = _rep_params(F, alpha, prep)
     A = _k_block_transfer(B, C, bs_pad, R)(
         prep["e0"], prep["e1"], prep["d"], Fr, ar
@@ -781,7 +805,9 @@ def _ends_fold(vecs, prep):
 
 
 def _bw_sites(prep, ends, reps):
-    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    C, bs_pad = prep["C"], prep["bs_pad"]
+    # 3 in-streams + 2 out-streams double-buffered + k(4) + out stacks(2)
+    R = _rows_for(prep["Lp"], 16, bs_pad, "BW")
     Fr, ar = reps
     e0, e1 = _ends_fold(ends, prep)
     return _k_bw_sites(C, bs_pad, R)(
@@ -794,7 +820,9 @@ def transfer_grad_pallas(F, alpha, prep):
     alpha) forward-mode tangents: A_g [nb, 13, 1, N] (rows 0:4 primal,
     4:8 dF, 8:12 dalpha, 12 log-offset; tangents share the primal's
     rescale). F/alpha [N]."""
-    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    C, bs_pad = prep["C"], prep["bs_pad"]
+    # 3 streams double-buffered + leaf mA/mF/mda(12) + tree temps(12)
+    R = _rows_for(prep["Lp"], 30, bs_pad, "GRAD")
     f32 = jnp.float32
     F2, a2 = F[None, :].astype(f32), alpha[None, :].astype(f32)
     Fr, ar = _rep_params(F2, a2, prep)
@@ -915,6 +943,547 @@ def loglik_value_and_grad_pallas(F, alpha, prep):
     return grad_from_carries_pallas(A_g, F)
 
 
+# ===========================================================================
+# v2: GL-fused kernels ("gl layout")
+#
+# The v1 kernels stream per-cell EMISSION slabs (e0, e1: 8 B/cell) plus a
+# per-cell distance slab (4 B/cell) that repeats each site's distance once
+# per individual. Rebuilding the emission slabs whenever freq changes is a
+# full [S, N, 2] relayout (~25 ms/EM-iteration at 1M x 100; 90% of every
+# streamed chunk-pass at 10M x 100, round-3 VERDICT Weak #1).
+#
+# v2 changes the lane fold so that per-SITE quantities stream as N x
+# smaller compacts, and computes emissions IN-KERNEL from the genotype
+# likelihoods (reference math: shared/HMM.cpp:144-154 + the HWE priors of
+# gen_func.cpp:938-957 folded into linear space):
+#
+#   lane fold:  individual n -> (octet g = n // 8 -> lane group,
+#                                sublane  = n % 8)
+#               block j      -> lane j within each group
+#               cell (row r, sub, lane g*nb_p + j); C = G * nb_p
+#   streams:    gl0, gl2 slabs   [bs_pad, 8, C]   (8 B/cell, built ONCE
+#               per run -- gl is constant; gl1 = 1 - gl0 - gl2 because
+#               readers normalise the linear GLs to sum 1)
+#               freq/dist compacts [bs_pad, 1, nb_p] (4 B/SITE: broadcast
+#               across sublanes + tiled across lane groups in VMEM)
+#   pad rule:   pad sites AND pad lanes carry freq = 2.0 (a sentinel:
+#               emissions forced to exactly 1) and d = 0 (identity
+#               transitions), so pads are exact no-ops regardless of the
+#               gl pad bytes.
+#
+# Emissions never depend on (F, alpha), so the gradient algebra of the
+# fused transfer+tangent kernel is unchanged. The cross-block combines,
+# folds and Fisher assembly are layout-independent ([nb, K, B, N] after
+# unpack) and shared with v1.
+# ===========================================================================
+
+
+_HET_FLOOR = 1e-15  # linear het floor, calc_HWE F==1 (gen_func.cpp:946-956)
+
+
+def pick_geom2(S, N):
+    """(bs, nb_p) for the v2 layout: nb_p is a multiple of 128 near the
+    depth-balancing sqrt(S/2) split, capped so C = G * nb_p stays within
+    LANE_MAX lanes."""
+    import math
+
+    S = max(S, 1)
+    G = -(-max(N, 1) // _SUB)
+    nb_t = max(128, int(round(math.sqrt(S / 2.0) / 128.0)) * 128)
+    while G * nb_t > LANE_MAX and nb_t > 128:
+        nb_t -= 128
+    bs = max(-(-S // nb_t), 1)
+    return bs, nb_t
+
+
+def _geom2(S, N, bs, nb_p):
+    nb = -(-S // bs)
+    if nb > nb_p:
+        raise ValueError(f"nb {nb} exceeds nb_p {nb_p}")
+    G = -(-N // _SUB)
+    Np = G * _SUB
+    C = G * nb_p
+    bs_pad = -(-bs // _R_PAD) * _R_PAD
+    return nb, G, Np, C, bs_pad
+
+
+def gl_slabs(gl_lin, bs, nb_p):
+    """[S, N, 3] LINEAR gls -> (gl0, gl2) [bs_pad, 8, C] v2 slabs.
+
+    Built once per run (gl is constant across EM iterations). Pad cells
+    get 1/3 (any finite value works: the freq-compact sentinel forces
+    pad emissions to 1)."""
+    S, N = gl_lin.shape[0], gl_lin.shape[1]
+    nb, G, Np, C, bs_pad = _geom2(S, N, bs, nb_p)
+    f32 = jnp.float32
+
+    def one(ch):
+        x = gl_lin[..., ch].astype(f32)  # [S, N]
+        x = jnp.pad(x, ((0, nb * bs - S), (0, Np - N)),
+                    constant_values=1.0 / 3.0)
+        x = jnp.swapaxes(x.reshape(nb, bs, Np), 0, 1)  # [bs, nb, Np]
+        x = jnp.pad(x, ((0, bs_pad - bs), (0, nb_p - nb), (0, 0)),
+                    constant_values=1.0 / 3.0)
+        # [bs_pad, nb_p, G, 8] -> [bs_pad, 8, G, nb_p] -> [bs_pad, 8, C]
+        x = x.reshape(bs_pad, nb_p, G, _SUB)
+        return jnp.transpose(x, (0, 3, 2, 1)).reshape(bs_pad, _SUB, C)
+
+    return one(0), one(2)
+
+
+def site_compact(vec, bs, nb_p, pad_value, valid=None):
+    """[S] per-site vector -> [bs_pad, 1, nb_p] v2 compact slab.
+
+    valid: sites >= valid (before padding) also get pad_value -- the
+    streaming engine's last-chunk masking."""
+    S = vec.shape[0]
+    f32 = jnp.float32
+    nb = -(-S // bs)
+    bs_pad = -(-bs // _R_PAD) * _R_PAD
+    x = vec.astype(f32)
+    if valid is not None:
+        x = jnp.where(jnp.arange(S) >= valid, f32(pad_value), x)
+    x = jnp.pad(x, (0, nb * bs - S), constant_values=pad_value)
+    x = jnp.swapaxes(x.reshape(nb, bs), 0, 1)  # [bs, nb]
+    x = jnp.pad(x, ((0, bs_pad - bs), (0, nb_p - nb)),
+                constant_values=pad_value)
+    return x[:, None, :]
+
+
+def make_prep2(g0, g2, dc, S, N, bs, nb_p):
+    """prep2 dict from laid-out slabs + static geometry (thread slabs
+    through jit boundaries without retracing on the int fields)."""
+    nb, G, Np, C, bs_pad = _geom2(S, N, bs, nb_p)
+    return dict(g0=g0, g2=g2, dc=dc, S=S, N=N, bs=bs, nb=nb, nb_p=nb_p,
+                G=G, Np=Np, C=C, bs_pad=bs_pad)
+
+
+def prepare_gl_inputs(gl_lin, dist, bs=None, nb_p=None):
+    """(gl_lin [S, N, 3] LINEAR, dist [S]) -> prep2 dict. Run-constant:
+    build once, thread everywhere. freq enters separately per iteration
+    via freq_compact."""
+    S, N = gl_lin.shape[0], gl_lin.shape[1]
+    if bs is None or nb_p is None:
+        bs, nb_p = pick_geom2(S, N)
+    g0, g2 = gl_slabs(gl_lin, bs, nb_p)
+    dc = site_compact(jnp.asarray(dist), bs, nb_p, 0.0)
+    return make_prep2(g0, g2, dc, S, N, bs, nb_p)
+
+
+def freq_compact(freq, prep2, valid=None):
+    """Per-iteration freq -> compact slab; pad sentinel 2.0 forces pad
+    emissions to exactly 1 (identity together with d = 0)."""
+    return site_compact(jnp.asarray(freq), prep2["bs"], prep2["nb_p"],
+                        2.0, valid=valid)
+
+
+def _emit2(g0, g2, fc, dc, G):
+    """In-kernel emission prologue: (e0, e1, d) full-width from the gl
+    slab blocks [R, 8, C] + compact blocks [R, 1, nb_p].
+
+    e_k = sum_g gl_g * P(g | f, F=k) with state-0 HWE and state-1 full-
+    IBD priors (HMM.cpp:144-154, gen_func.cpp:938-957); gl1 reconstructed
+    from normalisation. The sentinel f > 1 marks pad cells -> e = 1."""
+    R_ = fc.shape[0]
+    nbp = fc.shape[2]
+    f = jnp.tile(jnp.broadcast_to(fc, (R_, _SUB, nbp)), (1, 1, G))
+    d = jnp.tile(jnp.broadcast_to(dc, (R_, _SUB, nbp)), (1, 1, G))
+    pad = f > 1.0
+    one_m = 1.0 - f
+    pq = one_m * f
+    pr0 = one_m * one_m
+    pr2 = f * f
+    g1 = 1.0 - g0 - g2
+    one = jnp.float32(1.0)
+    e0 = g0 * pr0 + g1 * (2.0 * pq) + g2 * pr2
+    e1 = g0 * (pr0 + pq) + g1 * jnp.float32(_HET_FLOOR) + g2 * (pr2 + pq)
+    e0 = jnp.where(pad, one, e0)
+    e1 = jnp.where(pad, one, e1)
+    return e0, e1, d
+
+
+def _spec2_full(R, C):
+    return pl.BlockSpec((R, _SUB, C), _imap_fwd, memory_space=pltpu.VMEM)
+
+
+def _spec2_compact(R, nb_p):
+    return pl.BlockSpec((R, 1, nb_p), _imap_fwd, memory_space=pltpu.VMEM)
+
+
+def _k2_block_transfer(B, C, nb_p, G, bs_pad, R):
+    """v2 analog of _k_block_transfer: streams gl slabs + compacts,
+    emissions in VMEM."""
+    nsteps = bs_pad // R
+
+    def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref, out_ref,
+               c00, c01, c10, c11, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            c00[:] = jnp.ones((B, _SUB, C), jnp.float32)
+            c01[:] = jnp.zeros((B, _SUB, C), jnp.float32)
+            c10[:] = jnp.zeros((B, _SUB, C), jnp.float32)
+            c11[:] = jnp.ones((B, _SUB, C), jnp.float32)
+            acc[:] = jnp.zeros((B, _SUB, C), jnp.float32)
+
+        e0, e1, d = _emit2(g0_ref[:], g2_ref[:], fc_ref[:], dc_ref[:], G)
+        for b in range(B):  # static; candidate chains are independent
+            F, a = Fr_ref[b], ar_ref[b]
+            t00, t01, t10, t11 = _t_elems(F, a, d)
+            m = (t00 * e0, t01 * e1, t10 * e0, t11 * e1)
+            g, ex_t = _tree_product(m)
+            n = _mat_mul4((c00[b], c01[b], c10[b], c11[b]), g)
+            mx = jnp.maximum(_max4(n), _TINY)
+            sc, ex = _pow2_rescale(mx)
+            c00[b] = n[0] * sc
+            c01[b] = n[1] * sc
+            c10[b] = n[2] * sc
+            c11[b] = n[3] * sc
+            acc[b] = acc[b] + ex + ex_t
+
+        @pl.when(i == nsteps - 1)
+        def _():
+            out_ref[0] = c00[:]
+            out_ref[1] = c01[:]
+            out_ref[2] = c10[:]
+            out_ref[3] = c11[:]
+            out_ref[4] = acc[:] * _LN2
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((5, B, _SUB, C), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[_spec2_full(R, C), _spec2_full(R, C),
+                  _spec2_compact(R, nb_p), _spec2_compact(R, nb_p),
+                  _full(B, _SUB, C), _full(B, _SUB, C)],
+        out_specs=_full(5, B, _SUB, C),
+        scratch_shapes=[pltpu.VMEM((B, _SUB, C), jnp.float32)] * 5,
+        interpret=_interpret(),
+        compiler_params=_CPARAMS,
+    )
+
+
+def _k2_block_transfer_grad(C, nb_p, G, bs_pad, R):
+    """v2 analog of _k_block_transfer_grad (fused transfer + (F, alpha)
+    tangents); emissions are (F, alpha)-free so the tangent algebra is
+    identical."""
+    nsteps = bs_pad // R
+
+    def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref, out_ref,
+               c_s, DF_s, Da_s, off_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            one = jnp.ones((_SUB, C), jnp.float32)
+            zero = jnp.zeros((_SUB, C), jnp.float32)
+            c_s[0], c_s[1], c_s[2], c_s[3] = one, zero, zero, one
+            DF_s[:] = jnp.zeros((4, _SUB, C), jnp.float32)
+            Da_s[:] = jnp.zeros((4, _SUB, C), jnp.float32)
+            off_s[:] = jnp.zeros((_SUB, C), jnp.float32)
+
+        F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = _emit2(g0_ref[:], g2_ref[:], fc_ref[:], dc_ref[:], G)
+        x = jnp.exp(-a * d)
+        onem = 1.0 - x
+        dxp = jnp.where(x > 0.0, d * x, 0.0)
+        oe0 = onem * e0
+        oe1 = onem * e1
+        fd = F * dxp
+        gd = (1.0 - F) * dxp
+        mA = (
+            (onem * (1.0 - F) + x) * e0,
+            (onem * F) * e1,
+            (onem * (1.0 - F)) * e0,
+            (onem * F + x) * e1,
+        )
+        mF = (-oe0, oe1, -oe0, oe1)
+        mda = (-fd * e0, fd * e1, gd * e0, -gd * e1)
+        gA, gF, ga, ex_t = _tree_product_grad(mA, mF, mda)
+
+        cA = (c_s[0], c_s[1], c_s[2], c_s[3])
+        cF = (DF_s[0], DF_s[1], DF_s[2], DF_s[3])
+        ca = (Da_s[0], Da_s[1], Da_s[2], Da_s[3])
+        nA = _mat_mul4(cA, gA)
+        nF = _add4(_mat_mul4(cF, gA), _mat_mul4(cA, gF))
+        na = _add4(_mat_mul4(ca, gA), _mat_mul4(cA, ga))
+        mx = jnp.maximum(_max4(nA), _TINY)
+        sc, ex = _pow2_rescale(mx)
+        c_s[0], c_s[1], c_s[2], c_s[3] = tuple(v * sc for v in nA)
+        DF_s[0], DF_s[1], DF_s[2], DF_s[3] = tuple(v * sc for v in nF)
+        Da_s[0], Da_s[1], Da_s[2], Da_s[3] = tuple(v * sc for v in na)
+        off_s[:] = off_s[:] + ex + ex_t
+
+        @pl.when(i == nsteps - 1)
+        def _():
+            out_ref[0:4] = c_s[:]
+            out_ref[4:8] = DF_s[:]
+            out_ref[8:12] = Da_s[:]
+            out_ref[12] = off_s[:] * _LN2
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((13, _SUB, C), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[_spec2_full(R, C), _spec2_full(R, C),
+                  _spec2_compact(R, nb_p), _spec2_compact(R, nb_p),
+                  _full(_SUB, C), _full(_SUB, C)],
+        out_specs=_full(13, _SUB, C),
+        scratch_shapes=[
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((4, _SUB, C), jnp.float32),
+            pltpu.VMEM((_SUB, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_CPARAMS,
+    )
+
+
+def _k2_bw_sites(C, nb_p, G, bs_pad, R):
+    """v2 reversed stream emitting per-site backward vectors."""
+    nsteps = bs_pad // R
+
+    def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref,
+               ends0_ref, ends1_ref, bw0_ref, bw1_ref, w0s, w1s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            w0s[:] = ends0_ref[:]
+            w1s[:] = ends1_ref[:]
+
+        F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = _emit2(g0_ref[:], g2_ref[:], fc_ref[:], dc_ref[:], G)
+        t00, t01, t10, t11 = _t_elems(F, a, d)
+        k00 = t00 * e0
+        k01 = t01 * e1
+        k10 = t10 * e0
+        k11 = t11 * e1
+        w0, w1 = w0s[:], w1s[:]
+        out0, out1 = [], []
+        for r in range(R - 1, -1, -1):  # static unroll, 2-vector carry
+            out0.append(w0)
+            out1.append(w1)
+            b0 = k00[r] * w0 + k01[r] * w1
+            b1 = k10[r] * w0 + k11[r] * w1
+            mx = jnp.maximum(jnp.maximum(b0, b1), _TINY)
+            sc, _ = _pow2_rescale(mx)
+            w0 = b0 * sc
+            w1 = b1 * sc
+        bw0_ref[:] = jnp.stack(out0[::-1])
+        bw1_ref[:] = jnp.stack(out1[::-1])
+        w0s[:] = w0
+        w1s[:] = w1
+
+    rev_full = pl.BlockSpec((R, _SUB, C), _imap_rev(nsteps),
+                            memory_space=pltpu.VMEM)
+    rev_c = pl.BlockSpec((R, 1, nb_p), _imap_rev(nsteps),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
+            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
+        ),
+        grid=(nsteps,),
+        in_specs=[rev_full, rev_full, rev_c, rev_c] + [_full(_SUB, C)] * 4,
+        out_specs=(rev_full, rev_full),
+        scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
+        interpret=_interpret(),
+        compiler_params=_CPARAMS,
+    )
+
+
+def _k2_fw_post(C, nb_p, G, bs_pad, R):
+    """v2 forward stream emitting the per-site IBD posterior."""
+    nsteps = bs_pad // R
+
+    def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref,
+               starts0_ref, starts1_ref, bw0_ref, bw1_ref, p_ref,
+               v0s, v1s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            v0s[:] = starts0_ref[:]
+            v1s[:] = starts1_ref[:]
+
+        F, a = Fr_ref[:], ar_ref[:]
+        e0, e1, d = _emit2(g0_ref[:], g2_ref[:], fc_ref[:], dc_ref[:], G)
+        t00, t01, t10, t11 = _t_elems(F, a, d)
+        k00 = t00 * e0
+        k10 = t10 * e0
+        k01 = t01 * e1
+        k11 = t11 * e1
+        bw0, bw1 = bw0_ref[:], bw1_ref[:]
+        v0, v1 = v0s[:], v1s[:]
+        fw0, fw1 = [], []
+        for r in range(R):  # static unroll, 2-vector carry
+            n0 = v0 * k00[r] + v1 * k10[r]
+            n1 = v0 * k01[r] + v1 * k11[r]
+            mx = jnp.maximum(jnp.maximum(n0, n1), _TINY)
+            sc, _ = _pow2_rescale(mx)
+            v0 = n0 * sc
+            v1 = n1 * sc
+            fw0.append(v0)
+            fw1.append(v1)
+        x0 = jnp.stack(fw0) * bw0
+        x1 = jnp.stack(fw1) * bw1
+        p_ref[:] = x1 / jnp.maximum(x0 + x1, _TINY)
+        v0s[:] = v0
+        v1s[:] = v1
+
+    full = _spec2_full(R, C)
+    comp = _spec2_compact(R, nb_p)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[full, full, comp, comp]
+        + [_full(_SUB, C)] * 4
+        + [full, full],
+        out_specs=full,
+        scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
+        interpret=_interpret(),
+        compiler_params=_CPARAMS,
+    )
+
+
+def _rep_params2(F, alpha, prep2):
+    """[B, N] -> [B, 8, C] v2 lane-repeated parameter arrays (f32):
+    value at (sub, g*nb_p + j) = param[8g + sub] for every j."""
+    G, Np, nb_p = prep2["G"], prep2["Np"], prep2["nb_p"]
+    N = prep2["N"]
+    f32 = jnp.float32
+
+    def rep(x, pad_v):
+        x = jnp.pad(x.astype(f32), ((0, 0), (0, Np - N)),
+                    constant_values=pad_v)
+        x = jnp.transpose(x.reshape(-1, G, _SUB), (0, 2, 1))  # [B, 8, G]
+        return jnp.repeat(x, nb_p, axis=-1)  # [B, 8, C]
+
+    return rep(F, 0.5), rep(alpha, 1.0)
+
+
+def _unpack_A2(A, B, prep2):
+    """[K, B, 8, C] -> [nb, K, B, N] per-block view (v2 lane mapping)."""
+    K = A.shape[0]
+    nb, G, Np, nb_p = prep2["nb"], prep2["G"], prep2["Np"], prep2["nb_p"]
+    N = prep2["N"]
+    x = A.reshape(K, B, _SUB, G, nb_p)
+    x = jnp.transpose(x, (4, 0, 1, 3, 2))  # [nb_p, K, B, G, 8]
+    return x.reshape(nb_p, K, B, Np)[:nb, :, :, :N]
+
+
+def _ends_fold2(vecs, prep2):
+    """[nb, 2, 1, N] block vectors -> two [8, C] v2 lane-folded arrays."""
+    nb, G, Np, nb_p = prep2["nb"], prep2["G"], prep2["Np"], prep2["nb_p"]
+    N = prep2["N"]
+    f32 = jnp.float32
+
+    def fold(v):  # [nb, N]
+        v = jnp.pad(v.astype(f32), ((0, nb_p - nb), (0, Np - N)),
+                    constant_values=0.5)
+        v = jnp.transpose(v.reshape(nb_p, G, _SUB), (2, 1, 0))  # [8, G, nb_p]
+        return v.reshape(_SUB, G * nb_p)
+
+    return fold(vecs[:, 0, 0]), fold(vecs[:, 1, 0])
+
+
+def _unpack_sites2(p, prep2):
+    """[bs_pad, 8, C] per-site kernel output -> [S, N]."""
+    nb, G, Np, nb_p = prep2["nb"], prep2["G"], prep2["Np"], prep2["nb_p"]
+    S, N, bs = prep2["S"], prep2["N"], prep2["bs"]
+    x = p.reshape(p.shape[0], _SUB, G, nb_p)
+    x = jnp.transpose(x, (3, 0, 2, 1))  # [nb_p, bs_pad, G, 8]
+    x = x.reshape(nb_p, p.shape[0], Np)[:nb, :bs, :N]
+    return x.reshape(nb * bs, N)[:S]
+
+
+def block_transfers_fused(F, alpha, prep2, fc):
+    """v2 per-block transfer products for [B, N] params: one streamed
+    pass over the gl slabs with in-kernel emissions. Returns
+    (A_r [nb, 5, B, N], reps) exactly like block_transfers_pallas."""
+    F = jnp.asarray(F, jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    B = F.shape[0]
+    C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
+                          prep2["bs_pad"])
+    Lp = _SUB * C
+    # live R-arrays: 2 full streams dbl(4) + emission temps(~6) + leaf(4)
+    # + tree temps(4)
+    R = _rows_for(Lp, 18, bs_pad, "TRANSFER2")
+    Fr, ar = _rep_params2(F, alpha, prep2)
+    A = _k2_block_transfer(B, C, nb_p, G, bs_pad, R)(
+        prep2["g0"], prep2["g2"], fc, prep2["dc"], Fr, ar
+    )
+    return _unpack_A2(A, B, prep2), (Fr, ar)
+
+
+def transfer_grad_fused(F, alpha, prep2, fc):
+    """v2 fused transfer+tangent stream; output as transfer_grad_pallas
+    ([nb, 13, 1, N])."""
+    C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
+                          prep2["bs_pad"])
+    Lp = _SUB * C
+    # 2 full streams dbl(4) + emission(6) + leaf mA/mF/mda(12) + tree(12)
+    R = _rows_for(Lp, 34, bs_pad, "GRAD2")
+    f32 = jnp.float32
+    F2, a2 = F[None, :].astype(f32), alpha[None, :].astype(f32)
+    Fr, ar = _rep_params2(F2, a2, prep2)
+    out = _k2_block_transfer_grad(C, nb_p, G, bs_pad, R)(
+        prep2["g0"], prep2["g2"], fc, prep2["dc"], Fr[0], ar[0]
+    )
+    return _unpack_A2(out[:, None], 1, prep2)
+
+
+def forward_loglik_fused(F, alpha, prep2, fc):
+    """Per-individual loglik; F/alpha [B, N] (B = candidates)."""
+    A_r, _ = block_transfers_fused(F, alpha, prep2, fc)
+    _, _, lls = _combine_blocks(A_r, jnp.asarray(F, jnp.float32))
+    return lls[0]
+
+
+def loglik_value_and_grad_fused(F, alpha, prep2, fc):
+    """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N]."""
+    A_g = transfer_grad_fused(F, alpha, prep2, fc)
+    return grad_from_carries_pallas(A_g, F)
+
+
+def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None):
+    """v2 (p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N]. Same contract
+    as posteriors_pallas (boundary carries for site shards / streaming
+    chunks; A_reps reuse)."""
+    C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
+                          prep2["bs_pad"])
+    Lp = _SUB * C
+    F2, a2 = F[None, :], alpha[None, :]
+    if A_reps is None:
+        A_reps = block_transfers_fused(F2, a2, prep2, fc)
+    A_r, reps = A_reps
+    v0b = None if v0 is None else v0[None]
+    wTb = None if wT is None else wT[None]
+    starts, ends, lls = _combine_blocks(
+        A_r, jnp.asarray(F2, jnp.float32), v0b, wTb
+    )
+    # backward per-site stream
+    R_bw = _rows_for(Lp, 22, bs_pad, "BW2")
+    e0, e1 = _ends_fold2(ends, prep2)
+    bw0, bw1 = _k2_bw_sites(C, nb_p, G, bs_pad, R_bw)(
+        prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
+        e0, e1
+    )
+    s0, s1 = _ends_fold2(starts, prep2)
+    R_po = _rows_for(Lp, 24, bs_pad, "POST2")
+    p = _k2_fw_post(C, nb_p, G, bs_pad, R_po)(
+        prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
+        s0, s1, bw0, bw1
+    )
+    return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0]
+
+
 def posteriors_pallas(F, alpha, prep, v0=None, wT=None, A_reps=None):
     """(p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N].
 
@@ -924,7 +1493,9 @@ def posteriors_pallas(F, alpha, prep, v0=None, wT=None, A_reps=None):
     A_reps: block_transfers_pallas output to reuse (one streamed
     transfer pass per EM iteration on the sharded path)."""
     N, nb, bs, S = prep["N"], prep["nb"], prep["bs"], prep["S"]
-    C, bs_pad, R = prep["C"], prep["bs_pad"], prep["R"]
+    C, bs_pad = prep["C"], prep["bs_pad"]
+    # 5 in-streams + 1 out-stream double-buffered + k(4) + fw stacks(2)
+    R = _rows_for(prep["Lp"], 18, bs_pad, "POST")
     F2, a2 = F[None, :], alpha[None, :]
     v0b = None if v0 is None else v0[None]
     wTb = None if wT is None else wT[None]
