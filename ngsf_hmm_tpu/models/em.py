@@ -246,6 +246,16 @@ def em_iteration(
             "flattened replicates support freq_est 0/1 with e_prob_calc 1"
         )
     use_pallas = numerics == "pallas"
+    # v2 GL-fused kernels: emissions computed in-kernel from (gl, freq)
+    # (hmm_pallas "gl layout") -- applies exactly where the in-loop
+    # emission form IS the standard (gl, freq) formula: e_prob_calc 1
+    # with freq_est 0/1 (freq_est 0 freezes the INIT freq's emissions:
+    # fc stays at freq0), single replicate (flattened replicates carry
+    # per-replicate freqs, which a per-SITE compact cannot express).
+    use_fused = (
+        use_pallas and e_prob_calc == 1 and freq_est in (0, 1)
+        and n_rep == 1
+    )
     if block_size == "auto":
         block_size = (
             hmm_pallas.pick_block_size(S, N) if use_pallas
@@ -256,7 +266,19 @@ def em_iteration(
         raise ValueError("numerics='linear' requires block_size")
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
-    if use_pallas:
+    if use_fused:
+        if prep_slabs is not None:
+            bs2, nbp2 = hmm_pallas.pick_geom2(S, NC)
+            prep2 = hmm_pallas.make_prep2(*prep_slabs, S, NC, bs2, nbp2)
+        else:
+            prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
+        fc = hmm_pallas.freq_compact(state.freq, prep2)
+        p_raw, ll_f, ll_b = hmm_pallas.posteriors_fused(
+            state.indF, state.alpha, prep2, fc
+        )
+        p_raw = p_raw.astype(dtype)
+        ll_f, ll_b = ll_f.astype(dtype), ll_b.astype(dtype)
+    elif use_pallas:
         bs_used = (
             block_size if block_size else hmm_pallas.pick_block_size(S, NC)
         )
@@ -321,7 +343,22 @@ def em_iteration(
             axis=-1,
         )
 
-        if use_pallas:
+        if use_fused:
+
+            def objective(x):
+                ll = hmm_pallas.forward_loglik_fused(
+                    x[None, :, 0], x[None, :, 1], prep2, fc
+                )[0]
+                return -ll.astype(dtype)
+
+            def objective_vag(x):
+                L, gF, ga = hmm_pallas.loglik_value_and_grad_fused(
+                    x[:, 0], x[:, 1], prep2, fc
+                )
+                return (-L.astype(dtype),
+                        -jnp.stack([gF, ga], axis=-1).astype(dtype))
+
+        elif use_pallas:
 
             def objective(x):
                 ll = hmm_pallas.forward_loglik_pallas(
@@ -470,7 +507,11 @@ def em_iteration(
     stats = IterStats(fwbw_maxdiff, opt_iters)
     out = (new_state, stats)
     if return_prep:
-        if not use_pallas:
+        if use_fused:
+            # the gl slabs + dist compact are constants of the run:
+            # thread them untouched (freq re-enters per call as fc)
+            next_slabs = (prep2["g0"], prep2["g2"], prep2["dc"])
+        elif not use_pallas:
             next_slabs = None
         elif freq_est == 0:
             next_slabs = (prep["e0"], prep["e1"], prep["d"])

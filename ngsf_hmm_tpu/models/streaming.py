@@ -96,43 +96,54 @@ def _flat_concat(*xs):
     return jnp.concatenate([x.reshape(-1) for x in xs])
 
 
-def _prep_chunk_slabs(gl_c, freq_c, dist_c, bsp, valid):
-    """Pallas-tier analog of _prep_chunk: (gl_lin, hmm_pallas prep dict)
-    with pad sites (>= valid) forced to exact-identity emissions."""
+@partial(jax.jit, static_argnames=("bs2", "nb_p"))
+def _chunk_glslabs(gl_c, bs2, nb_p):
+    """v2 gl slabs for one chunk: (g0, g2) [bs_pad, 8, C]. Constants of
+    the run (gl never changes) -- cached per chunk when the HBM budget
+    allows, else rebuilt per pass. Pad-cell gl bytes are irrelevant: the
+    freq-compact sentinel forces pad emissions to exactly 1."""
     from . import hmm_pallas
 
-    gl_lin = jnp.exp(gl_c)
-    e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
-    pad_mask = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
-    e_lin = jnp.where(pad_mask, 1.0, e_lin)
-    N = gl_c.shape[1]
-    prep = hmm_pallas.make_prep(
-        *hmm_pallas.emission_slabs(e_lin, bsp),
-        hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bsp),
-        e_lin.shape[0], N, bsp,
-    )
-    return gl_lin, prep
+    return hmm_pallas.gl_slabs(jnp.exp(gl_c), bs2, nb_p)
+
+
+@partial(jax.jit, static_argnames=("bs2", "nb_p"))
+def _chunk_fcomp(freq_c, bs2, nb_p, valid):
+    """v2 freq compact for one chunk; sites >= valid get the sentinel
+    (emissions forced to 1: the last-chunk padding no-op)."""
+    from . import hmm_pallas
+
+    return hmm_pallas.site_compact(freq_c, bs2, nb_p, 2.0, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("bs2", "nb_p"))
+def _chunk_dcomp(dist_c, bs2, nb_p):
+    """v2 dist compact for one chunk (run constant, tiny)."""
+    from . import hmm_pallas
+
+    return hmm_pallas.site_compact(dist_c, bs2, nb_p, 0.0)
 
 
 @partial(jax.jit, static_argnames=("bs", "valid", "chain_kernel"))
 def _chunk_eslabs(gl_c, freq_c, bs, valid, chain_kernel="blocked"):
-    """The (gl, freq)-only half of chunk prep: emission slabs, laid out
-    for the chosen chain kernel. Within one EM iteration, pass A, pass
-    B's chain and EVERY M-step line-search eval rebuild IDENTICAL slabs
-    from the same freq -- StreamingEM caches this output per (chunk,
-    freq identity) so those passes skip the emission math + relayout
-    (55.6 of 61.6 ms/chunk-pass at 1M-site chunks, dev/PROFILE_1Mx100.md)
-    AND the chunk-source gl fetch itself (a disk read for --stream_file).
+    """The (gl, freq)-only half of chunk prep: emission slabs for the
+    blocked (XLA) chain tier. Within one EM iteration, pass A, pass
+    B's chain and EVERY M-step line-search eval need the same-math
+    slabs from the same freq -- StreamingEM caches this output per
+    (chunk, freq identity) so those passes skip the emission math +
+    relayout AND the chunk-source gl fetch itself (a disk read for
+    --stream_file). Cached and uncached passes compute identical MATH;
+    bitwise equality additionally depends on XLA choosing the same
+    fusion for this standalone jit as for _prep_chunk inlined into the
+    pass kernels (holds on the CPU x64 test path, where it is gated by
+    tests; treat as memoisation, not a bit-identity guarantee, on
+    other backends).
     Same masking as _prep_chunk/_prep_chunk_slabs: pad sites (>= valid)
     get exact-identity emissions."""
     gl_lin = jnp.exp(gl_c)
     e_lin = emission_probs_linear(gl_lin, freq_c[:, None]).astype(jnp.float32)
     pad_mask = (jnp.arange(e_lin.shape[0]) >= valid)[:, None, None]
     e_lin = jnp.where(pad_mask, 1.0, e_lin)
-    if chain_kernel == "pallas":
-        from . import hmm_pallas
-
-        return hmm_pallas.emission_slabs(e_lin, bs)
     e_blk, _ = block_sites(e_lin, bs, 1.0)
     return (e_blk,)
 
@@ -141,12 +152,7 @@ def _chunk_eslabs(gl_c, freq_c, bs, valid, chain_kernel="blocked"):
 def _chunk_dslab(dist_c, bs, N, chain_kernel="blocked"):
     """The dist-only half of chunk prep -- a constant of the whole run
     (cached per chunk for the run's lifetime when the HBM budget
-    allows; the pallas slab repeats the distance per individual, so it
-    is N x the size of the [cs] vector)."""
-    if chain_kernel == "pallas":
-        from . import hmm_pallas
-
-        return hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bs)
+    allows)."""
     d_blk, _ = block_sites(dist_c.astype(jnp.float32), bs, 0.0)
     return d_blk
 
@@ -154,16 +160,21 @@ def _chunk_dslab(dist_c, bs, N, chain_kernel="blocked"):
 def _pre_prep(pre, dist_c, bs, cs, N, chain_kernel):
     """Assemble kernel-ready prep from cached slabs (traced context).
 
-    pre: (e0, e1, d) pallas / (e_blk, d_blk) blocked; the d member is
-    None when only the emission slabs are cached (then the dist slab is
-    rebuilt in-kernel from the tiny [cs] dist vector)."""
-    if chain_kernel == "pallas":
+    chain_kernel "fused": pre = (g0, g2, dc, fc) v2 slabs/compacts, bs =
+    the (bs2, nb_p) geometry pair -> (prep2 dict, fc).
+    "blocked": pre = (e_blk, d_blk); the d member is None when only the
+    emission slabs are cached (then the dist slab is rebuilt in-traced
+    from the tiny [cs] dist vector)."""
+    if chain_kernel == "fused":
         from . import hmm_pallas
 
-        e0, e1, d = pre
-        if d is None:
-            d = hmm_pallas.dist_slab(dist_c.astype(jnp.float32), N, bs)
-        return hmm_pallas.make_prep(e0, e1, d, cs, N, bs)
+        g0, g2, dc, fc = pre
+        bs2, nb_p = bs
+        if dc is None:
+            dc = hmm_pallas.site_compact(
+                dist_c.astype(jnp.float32), bs2, nb_p, 0.0
+            )
+        return hmm_pallas.make_prep2(g0, g2, dc, cs, N, bs2, nb_p), fc
     e_blk, d_blk = pre
     if d_blk is None:
         d_blk, _ = block_sites(dist_c.astype(jnp.float32), bs, 0.0)
@@ -181,16 +192,16 @@ def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid,
     the PALLAS block size, hmm_pallas.pick_block_size).
 
     pre: cached slabs from _chunk_eslabs/_chunk_dslab (then gl_c/freq_c
-    are None and cs/N carry the chunk geometry statically)."""
-    if chain_kernel == "pallas":
+    are None and cs/N carry the chunk geometry statically). The fused
+    tier ("fused") ALWAYS runs from pre = (g0, g2, dc, fc): one streamed
+    pass over the gl slabs with in-kernel emissions -- no per-pass prep
+    at all."""
+    if chain_kernel == "fused":
         from . import hmm_pallas
 
-        if pre is not None:
-            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
-        else:
-            _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
-        A_reps = hmm_pallas.block_transfers_pallas(
-            F[None], alpha[None], prep
+        prep2, fc = _pre_prep(pre, dist_c, bs, cs, N, "fused")
+        A_reps = hmm_pallas.block_transfers_fused(
+            F[None], alpha[None], prep2, fc
         )
         T, s = hmm_pallas.fold_transfers_pallas(A_reps[0])
         return T[0], s[0]
@@ -222,12 +233,12 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     (est_maf reads the raw GLs), and may be None otherwise."""
     if pre is not None:
         gl_lin = None if gl_c is None else jnp.exp(gl_c)
-        if chain_kernel == "pallas":
+        if chain_kernel == "fused":
             from . import hmm_pallas
 
-            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
-            p_raw, _, _ = hmm_pallas.posteriors_pallas(
-                F, alpha, prep,
+            prep2, fc = _pre_prep(pre, dist_c, bs, cs, N, "fused")
+            p_raw, _, _ = hmm_pallas.posteriors_fused(
+                F, alpha, prep2, fc,
                 v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
             )
         else:
@@ -235,14 +246,6 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
             p_raw, _, _ = posteriors_blocked_lin(
                 e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
             )
-    elif chain_kernel == "pallas":
-        from . import hmm_pallas
-
-        gl_lin, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
-        p_raw, _, _ = hmm_pallas.posteriors_pallas(
-            F, alpha, prep,
-            v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
-        )
     else:
         gl_lin, e_blk, d_blk = _prep_chunk(gl_c, freq_c, dist_c, bs, valid)
         p_raw, _, _ = posteriors_blocked_lin(
@@ -287,14 +290,11 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
     augmented scans whose carries differ), so this costs ~1 primal + 2
     tangent sweeps, all in the SAME data stream that previously only
     produced (T, s)."""
-    if chain_kernel == "pallas":
+    if chain_kernel == "fused":
         from . import hmm_pallas
 
-        if pre is not None:
-            prep = _pre_prep(pre, dist_c, bs, cs, N, "pallas")
-        else:
-            _, prep = _prep_chunk_slabs(gl_c, freq_c, dist_c, bs, valid)
-        A_g = hmm_pallas.transfer_grad_pallas(F, alpha, prep)
+        prep2, fc = _pre_prep(pre, dist_c, bs, cs, N, "fused")
+        A_g = hmm_pallas.transfer_grad_fused(F, alpha, prep2, fc)
         T, s, DF, Da = hmm_pallas.fold_grad_pallas(A_g)
         z = jnp.zeros_like(s)
         return T, s, DF, z, Da, z
@@ -479,6 +479,10 @@ class StreamingEM:
         #   _dslab_cache: per-chunk dist slabs, constants of the run.
         self._eslab_cache = {}
         self._dslab_cache = {}
+        # fused-tier caches: per-chunk dist/freq compacts (tiny --
+        # always cached; fcomp rolls over per freq epoch)
+        self._dcomp_cache = {}
+        self._fcomp_cache = {}
         self._cache_e = False
         self._cache_d = False
         self._planned = False
@@ -611,11 +615,15 @@ class StreamingEM:
 
     def _freq_epoch(self, freq):
         """Invalidate the freq-keyed caches when the freq vector
-        changes (each EM iteration produces a NEW freq object)."""
+        changes (each EM iteration produces a NEW freq object). The
+        fused tier's gl slabs are freq-INDEPENDENT run constants --
+        only its freq compacts roll over."""
         if self._freq_key is not freq:
             self._freq_key = freq
             self._freq_cache = {}
-            self._eslab_cache = {}
+            self._fcomp_cache = {}
+            if self._ck != "fused":
+                self._eslab_cache = {}
 
     def _freq_dev(self, freq, c, lo, hi):
         """Device-resident freq chunk c for the CURRENT freq vector.
@@ -633,15 +641,17 @@ class StreamingEM:
         return out
 
     def _slab_bytes(self):
-        """(e-slab bytes, d-slab bytes) per chunk for the active tier."""
-        if self._ck == "pallas":
+        """(cached-slab bytes, d-slab bytes) per chunk for the active
+        tier: (gl slabs, dist compact) fused / (e slabs, d blocks)
+        blocked."""
+        if self._ck == "fused":
             from . import hmm_pallas
 
-            _, _, _, C, _, bs_pad = hmm_pallas._geom(
-                self.cs, self.N, self._cbs
+            bs2, nb_p = self._cbs
+            _, _, _, C, bs_pad = hmm_pallas._geom2(
+                self.cs, self.N, bs2, nb_p
             )
-            per = bs_pad * 8 * C * 4
-            return 2 * per, per
+            return 2 * bs_pad * 8 * C * 4, bs_pad * nb_p * 4
         cs_pad = -(-self.cs // self._cbs) * self._cbs
         return cs_pad * self.N * 2 * 4, cs_pad * 4
 
@@ -663,20 +673,26 @@ class StreamingEM:
         self._cache_e = self._cache_d = False
         self._eslab_cache = {}
         self._dslab_cache = {}
+        self._dcomp_cache = {}
+        self._fcomp_cache = {}
         if self.mesh is not None or self.multi:
             return
         raw = os.environ.get("NGSF_STREAM_CACHE_BYTES")
+        e_b, d_b = self._slab_bytes()
+        # per-pass working set the cache must leave room for: the gl
+        # chunk h2d + slab-build temps + kernel workspace (ADVICE r3:
+        # budgeting the cache against bytes_limit alone can OOM mid-run)
+        work = self.cs * self.N * 3 * 4 + 3 * e_b
         if raw is not None:
             budget = int(raw)
         else:
             try:
                 stats = jax.devices()[0].memory_stats() or {}
-                budget = int(stats["bytes_limit"] * 0.45)
+                budget = int(stats["bytes_limit"] * 0.6) - work
             except Exception:
-                budget = 4 << 30
+                budget = (4 << 30) - work
         if budget <= 0:
             return
-        e_b, d_b = self._slab_bytes()
         if self.C * e_b <= budget:
             self._cache_e = True
             budget -= self.C * e_b
@@ -690,17 +706,21 @@ class StreamingEM:
         tier + caching as the product path.
 
         --kernel pallas on a single-device stream: every chunk pass
-        (transfers, fused grad stream, posteriors) runs the
-        VMEM-resident kernels; mesh streams keep the XLA tier (GSPMD
-        cannot partition a pallas_call over the ind axis)."""
-        ck = ("pallas" if opts.numerics == "pallas" and self.mesh is None
+        (transfers, fused grad stream, posteriors) runs the v2 GL-FUSED
+        VMEM-resident kernels -- gl slabs are run constants (cached per
+        chunk under the HBM budget, else rebuilt per pass), freq enters
+        as a tiny per-site compact, emissions are computed in-kernel
+        (zero per-pass prep, round-3 VERDICT Weak #1). Mesh streams
+        keep the XLA tier (GSPMD cannot partition a pallas_call over
+        the ind axis)."""
+        ck = ("fused" if opts.numerics == "pallas" and self.mesh is None
               else "blocked")
         if self._planned and ck == self._ck:
             return
-        if ck == "pallas":
+        if ck == "fused":
             from . import hmm_pallas
 
-            self._cbs = hmm_pallas.pick_block_size(self.cs, self.N)
+            self._cbs = hmm_pallas.pick_geom2(self.cs, self.N)
         else:
             self._cbs = self.bs
         self._ck = ck
@@ -713,9 +733,34 @@ class StreamingEM:
 
         With slab caching on, `pre` holds the (e..., d) slabs, gl_d and
         freq_d are None (unless need_gl -- pass B's est_maf reads raw
-        GLs) and the chunk source is NOT touched on cache hits."""
+        GLs) and the chunk source is NOT touched on cache hits.
+
+        Fused tier: pre = (g0, g2, dc, fc) ALWAYS (slabs from the
+        run-lifetime cache when budgeted, else rebuilt; dist/freq
+        compacts always cached -- they are ~cs*4 bytes each)."""
         lo = c * self.cs
         hi = min(lo + self.cs, self.S)
+        if self._ck == "fused":
+            self._freq_epoch(freq)
+            bs2, nb_p = self._cbs
+            sl = self._eslab_cache.get(c) if self._cache_e else None
+            gl_d = None
+            if sl is None or need_gl:
+                gl_c, lo, hi, _ = self._chunk(c)
+                gl_d = self._put(gl_c, "gl")
+            if sl is None:
+                sl = _chunk_glslabs(gl_d, bs2, nb_p)
+                if self._cache_e:
+                    self._eslab_cache[c] = sl
+            fc = self._fcomp_cache.get(c)
+            if fc is None:
+                fc = _chunk_fcomp(
+                    self._freq_dev(freq, c, lo, hi), bs2, nb_p, hi - lo
+                )
+                self._fcomp_cache[c] = fc
+            dc = self._dcomp_dev(c)
+            return (gl_d if need_gl else None, None, self._dist_dev(c),
+                    (*sl, dc, fc), lo, hi)
         if not self._cache_e:
             gl_c, lo, hi, d_c = self._chunk(c)
             return (self._put(gl_c, "gl"),
@@ -744,6 +789,15 @@ class StreamingEM:
             out = _chunk_dslab(self._dist_dev(c), self._cbs, self.N,
                                chain_kernel=self._ck)
             self._dslab_cache[c] = out
+        return out
+
+    def _dcomp_dev(self, c):
+        """Run-lifetime device cache of chunk c's v2 dist compact."""
+        out = self._dcomp_cache.get(c)
+        if out is None:
+            bs2, nb_p = self._cbs
+            out = _chunk_dcomp(self._dist_dev(c), bs2, nb_p)
+            self._dcomp_cache[c] = out
         return out
 
     def _freq_pad_dev(self, freq):
