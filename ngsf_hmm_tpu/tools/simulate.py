@@ -58,7 +58,20 @@ def simulate(
     error=0.01,
     seed=12345,
     out="sim",
+    n_chr=1,
+    missing=0.0,
 ):
+    """n_chr: split the sites evenly over this many chromosomes
+    (chrSIM1..chrSIMk in .pos.gz; positions restart per chromosome and
+    the true IBD chain re-draws its state from the stationary
+    distribution at each chromosome start -- the reference reads such a
+    .pos as an INFINITY inter-site distance, read_data.cpp:195-210,
+    which collapses the transition to the stationary q, HMM.cpp:132-136).
+    n_chr == 1 keeps the legacy single 'chrSIM' naming byte-for-byte.
+
+    missing: probability that an (individual, site) cell has zero reads
+    -- its GLs become the uniform triplet, exactly the missing-data rows
+    of real ANGSD Beagle output (gen_func.cpp:862-868 is the consumer)."""
     rng = np.random.default_rng(seed)
 
     def per_ind(spec, n):
@@ -83,6 +96,12 @@ def simulate(
     else:
         pos_dist = np.full(n_sites, int(float(site_pos)), dtype=np.int64)
     dist_mb = pos_dist / 1e6
+    # chromosome id per site (even split); chr_start marks each
+    # chromosome's first site, where the chain re-draws stationarily
+    chr_id = (np.arange(n_sites) * int(n_chr)) // n_sites
+    chr_start = np.zeros(n_sites, bool)
+    chr_start[0] = True
+    chr_start[1:] = chr_id[1:] != chr_id[:-1]
 
     # true IBD paths
     path = np.zeros((n_ind, n_sites), dtype=np.int8)
@@ -90,7 +109,13 @@ def simulate(
         st = int(rng.random() < indF_v[i])
         path[i, 0] = st
         for s in range(1, n_sites):
-            st = sim_transition(st, dist_mb[s], indF_v[i], alpha_v[i], rng)
+            if chr_start[s]:
+                # new chromosome: infinite distance -> stationary draw
+                st = int(rng.random() < indF_v[i])
+            else:
+                st = sim_transition(
+                    st, dist_mb[s], indF_v[i], alpha_v[i], rng
+                )
             path[i, s] = st
 
     # haplotypes with IBD copying -> genotypes
@@ -108,6 +133,9 @@ def simulate(
     true_depth = np.zeros((n_ind, n_sites), dtype=np.int64)
     for i in range(n_ind):
         d = rng.poisson(depth_v[i], size=n_sites)
+        if missing > 0.0:
+            # zero-read cells: GLs normalise to the uniform triplet
+            d[rng.random(n_sites) < missing] = 0
         true_depth[i] = d
         nA = rng.binomial(d, p_by_geno[geno[i]])
         for g in range(3):
@@ -136,12 +164,18 @@ def simulate(
             for i in range(n_ind):
                 vals.extend(_r_chr(log_gl[i, s, g]) for g in range(3))
             fh.write("\t".join(vals) + "\t\n")
-    pos = np.cumsum(pos_dist)
+    # positions restart at each chromosome start
+    pos = np.empty(n_sites, np.int64)
+    run = 0
+    for s in range(n_sites):
+        run = pos_dist[s] if chr_start[s] else run + pos_dist[s]
+        pos[s] = run
     with gzip.open(out + ".pos.gz", "wt") as fh:
         for s in range(n_sites):
+            chrom = "chrSIM" if int(n_chr) == 1 else f"chrSIM{chr_id[s] + 1}"
             depths = ",".join(str(int(true_depth[i, s])) for i in range(n_ind))
             fh.write(
-                f"chrSIM\t{pos[s]}\t{_r_chr(freq_v[s])}\t"
+                f"{chrom}\t{pos[s]}\t{_r_chr(freq_v[s])}\t"
                 f"{int(true_depth[:, s].sum())}\t{depths}\n"
             )
     return {
@@ -175,11 +209,13 @@ def main(argv=None):
     ap.add_argument("-e", "--error", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("-o", "--out", default="sim")
+    ap.add_argument("--n_chr", type=int, default=1)
+    ap.add_argument("--missing", type=float, default=0.0)
     a = ap.parse_args(argv)
     simulate(
         n_ind=a.n_ind, n_sites=a.n_sites, freq=a.freq, site_pos=a.site_pos,
         indF=a.indF, alpha=a.alpha, depth=a.depth, error=a.error,
-        seed=a.seed, out=a.out,
+        seed=a.seed, out=a.out, n_chr=a.n_chr, missing=a.missing,
     )
     return 0
 

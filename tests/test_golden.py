@@ -258,6 +258,149 @@ def test_golden_beagle_estimated(beagle_file, sim_dir, reference_binary):
 
 
 # ---------------------------------------------------------------------------
+# Multi-chromosome + missing-data leg (round-3 VERDICT Missing #3/#4):
+# a .pos with several chromosomes exercises the INFINITY inter-site
+# distances of read_data.cpp:195-210 end-to-end (transition collapses to
+# the stationary q, HMM.cpp:132-136), and zero-read cells exercise the
+# uniform-triplet missing-data rows of real ANGSD output
+# (gen_func.cpp:862-868). Chr breaks at sites 200/400 cross the engine's
+# internal block boundaries and (in the streaming run) fall mid-chunk.
+# ---------------------------------------------------------------------------
+
+N_SITES_MC = 600
+N_CHR_MC = 3
+COMMON_MC = (
+    f"--verbose 1 --n_threads {N_IND} --seed 12345 --n_ind {N_IND} "
+    f"--n_sites {N_SITES_MC} --max_iters 50"
+)
+
+
+@pytest.fixture(scope="session")
+def sim_multichr_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden_mc")
+    sys.path.insert(0, str(REPO))
+    from ngsf_hmm_tpu.tools.simulate import simulate
+
+    simulate(
+        n_ind=N_IND, n_sites=N_SITES_MC, freq="0.2", site_pos="r",
+        indF="0.5", alpha="0.01", depth="2", error=0.01, seed=4357,
+        out=str(d / "sim"), n_chr=N_CHR_MC, missing=0.1,
+    )
+    # sanity: the .pos really carries 3 chromosomes and the GLs carry
+    # uniform missing rows
+    import gzip
+
+    with gzip.open(d / "sim.pos.gz", "rt") as fh:
+        chroms = {ln.split()[0] for ln in fh}
+    assert chroms == {f"chrSIM{k}" for k in (1, 2, 3)}
+    with gzip.open(d / "sim.glf.gz", "rt") as fh:
+        rows = [[float(x) for x in ln.split()] for ln in fh if ln.strip()]
+    arr = np.array(rows).reshape(N_SITES_MC, N_IND, 3)
+    uniform = np.all(np.abs(arr - arr[..., :1]) < 1e-9, axis=-1)
+    assert uniform.mean() > 0.05, "missing-data rows absent"
+    return d
+
+
+def test_golden_multichr_fixed(sim_multichr_dir, reference_binary):
+    """Byte parity across chromosome breaks + missing data (fully-fixed
+    config; every posterior/Viterbi value crosses the same INFINITY
+    transitions in both engines)."""
+    d = sim_multichr_dir
+    args = (f"{COMMON_MC} --geno sim.glf.gz --loglkl --pos sim.pos.gz "
+            f"{_IDS['FIXED']}")
+    run_ref(reference_binary, d, args, "ref.mc_FIXED")
+    run_ours(d, args, "tpu.mc_FIXED")
+    for ext in (".indF", ".ibd"):
+        assert (d / f"ref.mc_FIXED{ext}").read_bytes() == (
+            d / f"tpu.mc_FIXED{ext}"
+        ).read_bytes(), f"{ext} not byte-identical (multi-chr)"
+    a = np.fromfile(d / "ref.mc_FIXED.geno")
+    b = np.fromfile(d / "tpu.mc_FIXED.geno")
+    np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+def test_golden_multichr_estimated(sim_multichr_dir, reference_binary):
+    """Estimated config (live F/alpha/freq M-steps) across chromosome
+    breaks + missing data."""
+    d = sim_multichr_dir
+    args = (f"{COMMON_MC} --geno sim.glf.gz --loglkl --pos sim.pos.gz "
+            f"{_IDS['BEST']}")
+    run_ref(reference_binary, d, args, "ref.mc_BEST")
+    run_ours(d, args, "tpu.mc_BEST")
+    tot_r, F_r, al_r, fr_r = _read_indf(d / "ref.mc_BEST.indF")
+    tot_t, F_t, al_t, fr_t = _read_indf(d / "tpu.mc_BEST.indF")
+    assert tot_t == pytest.approx(tot_r, rel=1e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=2e-3)
+    np.testing.assert_allclose(fr_t, fr_r, atol=1e-3)
+    lkl_r, paths_r, post_r = _read_ibd(d / "ref.mc_BEST.ibd")
+    lkl_t, paths_t, post_t = _read_ibd(d / "tpu.mc_BEST.ibd")
+    np.testing.assert_allclose(lkl_t, lkl_r, rtol=1e-4)
+    mism = sum(
+        sum(a != b for a, b in zip(pr, pt))
+        for pr, pt in zip(paths_r, paths_t)
+    )
+    assert mism <= 0.002 * N_IND * N_SITES_MC
+    np.testing.assert_allclose(post_t, post_r, atol=2e-3)
+
+
+def test_golden_multichr_streamed(sim_multichr_dir, reference_binary):
+    """The streaming engine (--stream_chunk 250: chr breaks at 200/400
+    fall MID-chunk) against the reference binary on the estimated
+    config."""
+    d = sim_multichr_dir
+    base = (f"{COMMON_MC} --geno sim.glf.gz --loglkl --pos sim.pos.gz "
+            f"{_IDS['BEST']}")
+    if not (d / "ref.mc_BEST.indF").exists():
+        run_ref(reference_binary, d, base, "ref.mc_BEST")
+    run_ours(d, base + " --stream_chunk 250", "tpu.mc_stream")
+    tot_r, F_r, al_r, fr_r = _read_indf(d / "ref.mc_BEST.indF")
+    tot_t, F_t, al_t, fr_t = _read_indf(d / "tpu.mc_stream.indF")
+    assert tot_t == pytest.approx(tot_r, rel=1e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=2e-3)
+    np.testing.assert_allclose(fr_t, fr_r, atol=1e-3)
+    lkl_r, paths_r, post_r = _read_ibd(d / "ref.mc_BEST.ibd")
+    lkl_t, paths_t, post_t = _read_ibd(d / "tpu.mc_stream.ibd")
+    np.testing.assert_allclose(lkl_t, lkl_r, rtol=1e-4)
+    mism = sum(
+        sum(a != b for a, b in zip(pr, pt))
+        for pr, pt in zip(paths_r, paths_t)
+    )
+    assert mism <= 0.002 * N_IND * N_SITES_MC
+    np.testing.assert_allclose(post_t, post_r, atol=2e-3)
+
+
+def test_golden_multichr_beagle(sim_multichr_dir, reference_binary):
+    """ANGSD-realism leg: Beagle text with chr-aware markers AND real
+    uniform-triplet missing rows, estimated config, multi-chromosome
+    .pos (round-3 VERDICT Missing #3)."""
+    import gzip
+
+    d = sim_multichr_dir
+    with gzip.open(d / "sim.glf.gz", "rt") as fh:
+        rows = [[float(x) for x in ln.split()] for ln in fh if ln.strip()]
+    with gzip.open(d / "sim.pos.gz", "rt") as fh:
+        markers = [f"{c}_{p}" for c, p in
+                   (ln.split()[:2] for ln in fh)]
+    with gzip.open(d / "sim.beagle.gz", "wt") as fh:
+        head = ["marker", "allele1", "allele2"]
+        for i in range(N_IND):
+            head += [f"Ind{i}"] * 3
+        fh.write("\t".join(head) + "\n")
+        for s, row in enumerate(rows):
+            gl = ["%.10g" % np.exp(v) for v in row]
+            fh.write("\t".join([markers[s], "0", "1"] + gl) + "\n")
+    args = (f"{COMMON_MC} --geno sim.beagle.gz --lkl --pos sim.pos.gz "
+            f"{_IDS['BEST']}")
+    run_ref(reference_binary, d, args, "ref.mc_beagle")
+    run_ours(d, args, "tpu.mc_beagle")
+    tot_r, F_r, al_r, fr_r = _read_indf(d / "ref.mc_beagle.indF")
+    tot_t, F_t, al_t, fr_t = _read_indf(d / "tpu.mc_beagle.indF")
+    assert tot_t == pytest.approx(tot_r, rel=1e-4)
+    np.testing.assert_allclose(F_t, F_r, atol=2e-3)
+    np.testing.assert_allclose(fr_t, fr_r, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # Reference-scale leg: the reference's own simulated gate runs 10 ind x
 # 10k sites (examples/test.sh:10-16); byte-parity must hold there too,
 # not just at the fast 6 x 500 matrix above.

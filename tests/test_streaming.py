@@ -109,6 +109,44 @@ def test_streaming_pallas_tier_matches_xla(data):
     np.testing.assert_allclose(a_p, a_x, atol=1e-3)
 
 
+def test_streaming_freq_est0_matches_monolithic(data):
+    """freq_est=0: the streaming engine skips pass B entirely (its only
+    live outputs are the est_maf updates) -- the returned freq must be
+    the UNCHANGED input and the (F, alpha) trajectory must still match
+    the monolithic engine (ADVICE r3 #3: this gate was untested)."""
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    opts = EMOptions(freq_est=0, min_iters=3, max_iters=6,
+                     min_epsilon=1e-4)
+
+    gl_j = jnp.asarray(gl, jnp.float32)
+    dist_j = jnp.asarray(dist, jnp.float32)
+    st = init_state(gl_j, jnp.asarray(freq0, jnp.float32),
+                    jnp.asarray(F0, jnp.float32),
+                    jnp.asarray(a0, jnp.float32))
+    for _ in range(3):
+        st, _ = em_iteration(gl_j, dist_j, st, block_size="auto",
+                             numerics="linear", freq_est=0)
+
+    for numerics in ("linear", "pallas"):
+        p_out = np.zeros((S, N))
+        se = StreamingEM(gl, dist, chunk_sites=300)
+        f_s, F_s, a_s, ll_s, it_s = se.run(
+            freq0, F0, a0,
+            EMOptions(freq_est=0, min_iters=3, max_iters=3,
+                      min_epsilon=1e-4, numerics=numerics),
+            p_ibd_out=p_out,
+        )
+        # unchanged up to the engine's f32 device storage round trip
+        np.testing.assert_array_equal(np.float32(f_s), np.float32(freq0))
+        np.testing.assert_allclose(ll_s, np.asarray(st.ind_lkl), rtol=2e-5)
+        np.testing.assert_allclose(F_s, np.asarray(st.indF), atol=2e-3)
+        np.testing.assert_allclose(p_out, np.asarray(st.p_ibd), atol=5e-3)
+
+
 def test_fused_stream_gradient_matches_oracle(data):
     """The single-stream fused gradient (per-chunk transfer tangents +
     host Fisher-identity assembly) must match the sequential f64 analytic
