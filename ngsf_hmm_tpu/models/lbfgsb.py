@@ -216,6 +216,20 @@ def _lbfgsb_core(
         # fall back to steepest descent when d is not a descent direction
         descent = xp.sum(d * g_eff, axis=-1) < 0
         d = xp.where(descent[:, None], d, -g_eff)
+        # Coordinates essentially AT a bound with the direction pressing
+        # in (own breakpoint <= ~0 step units) are fixed at the bound for
+        # this iteration, like the reference Cauchy-point scan does the
+        # instant the path hits them (bfgs.cpp cauchy_). Leaving them in
+        # d makes the backtracking snap below collapse EVERY round to
+        # that near-zero breakpoint: steps shrink under the noise floor
+        # and the row retires with a live gradient in the free
+        # coordinates (seen as F stalling at its init when alpha sits at
+        # ~1e-10 over its 1e-15 bound on multi-chromosome surfaces).
+        bp_dist = xp.where(
+            d > 0, upper - st.x, xp.where(d < 0, st.x - lower, xp.inf)
+        )
+        bp_j = bp_dist / xp.where(d == 0, 1.0, xp.abs(d))
+        d = xp.where((d != 0) & (bp_j <= 1e-6), 0.0, d)
         # Breakpoint of the projected path (first bound any moving
         # coordinate reaches, in step units) -- the batched stand-in for
         # the reference L-BFGS-B's generalized-Cauchy-point breakpoint
