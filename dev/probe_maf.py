@@ -78,24 +78,29 @@ def chain(label, step, consts, x0, k=REPS):
 
 E = 1e-30
 
-# p-tile relayout alone
-chain("prepare_p_tiles ([S,N] -> tiles)",
-      lambda cs, p: p + jnp.mean(prepare_p_tiles(p)) * E,
-      None, p_ibd)
+ONLY = set(os.environ.get("ONLY", "prep,full,k816").split(","))
 
-# full est_maf_pallas incl. p relayout (current production path)
-chain("est_maf_pallas macro (incl p relayout)",
-      lambda cs, p: p + jnp.sum(est_maf_pallas(cs, p, S, macro=True)) * E,
-      tiles, p_ibd)
+if "prep" in ONLY:
+    chain("prepare_p_tiles ([S,N] -> tiles)",
+          lambda cs, p: p + jnp.mean(prepare_p_tiles(p)) * E,
+          None, p_ibd)
 
-# kernel only, pre-tiled p, schedule sweep
-for K0, M in [(8, 16), (8, 32), (4, 16), (4, 32), (4, 64), (2, 32),
-              (16, 16)]:
-    chain(f"_run_macro kernel only K0={K0} M={M}",
-          lambda cs, p, K0=K0, M=M: p + jnp.sum(
-              _run_macro(cs[0], cs[1], cs[2], p, N, K0, M)) * E,
-          tiles, p_tiles)
+if "full" in ONLY:
+    chain("est_maf_pallas macro (incl p tiling)",
+          lambda cs, p: p + jnp.sum(
+              est_maf_pallas(cs, p, S, macro=True)) * E,
+          tiles, p_ibd)
 
-chain("_run exact damped kernel only",
-      lambda cs, p: p + jnp.sum(_run(cs[0], cs[1], cs[2], p, N)) * E,
-      tiles, p_tiles, k=4)
+SCHEDS = {"k816": (8, 16), "k832": (8, 32), "k416": (4, 16),
+          "k432": (4, 32), "k464": (4, 64), "k1616": (16, 16)}
+for key, (K0, M) in SCHEDS.items():
+    if key in ONLY:
+        chain(f"_run_macro kernel only K0={K0} M={M}",
+              lambda cs, p, K0=K0, M=M: p + jnp.sum(
+                  _run_macro(cs[0], cs[1], cs[2], p, N, K0, M)) * E,
+              tiles, p_tiles)
+
+if "exact" in ONLY:
+    chain("_run exact damped kernel only",
+          lambda cs, p: p + jnp.sum(_run(cs[0], cs[1], cs[2], p, N)) * E,
+          tiles, p_tiles, k=4)

@@ -472,4 +472,19 @@ int ngsf_read_pos_dist(const char *path, uint64_t n_sites, double *out,
   return 0;
 }
 
+// libm exp/log applied elementwise: the --opt compat engine
+// (models/em_compat.py) needs transcendentals BIT-identical to the
+// reference binary's (numpy's and XLA's vectorised f64 exp differ from
+// glibc by 1 ulp on a few percent of inputs, which is enough to break
+// %.10f byte parity through the est_maf feedback loop).
+int ngsf_vexp(const double *in, double *out, long long n) {
+  for (long long i = 0; i < n; i++) out[i] = exp(in[i]);
+  return 0;
+}
+
+int ngsf_vlog(const double *in, double *out, long long n) {
+  for (long long i = 0; i < n; i++) out[i] = log(in[i]);
+  return 0;
+}
+
 }  // extern "C"

@@ -49,6 +49,10 @@ _OPTIONS = [
     ("dtype", True, None),  # float64 (compat, default) | float32
     ("device", True, None),  # cpu | tpu (default: jax default backend)
     ("kernel", True, None),  # scan (compat, default) | blocked | linear | pallas
+    # M-step optimizer: "speed" (batched projected L-BFGS, default) |
+    # "compat" (reference-trajectory L-BFGS-B 2.1 + FD gradients,
+    # models/em_compat.py -- byte-identical estimated outputs)
+    ("opt", True, None),
     # multi-restart replicates on one device (the ngsF-HMM.sh protocol,
     # ngsF-HMM.sh:9,83-116, as a vmapped axis; replicate r seeds its
     # random inits with seed+r). 1 = plain single run.
@@ -180,6 +184,7 @@ def parse_args(argv):
         "dtype": "float64",
         "device": None,
         "kernel": "scan",
+        "opt": "speed",
         "n_rep": 1,
         "checkpoint": None,
         "checkpoint_every": 1,
@@ -796,6 +801,16 @@ def main(argv=None):
     # ---- EM (EM.cpp:27-135)
     if p["kernel"] not in ("scan", "blocked", "linear", "pallas"):
         error("main", f"invalid --kernel {p['kernel']!r} (scan|blocked|linear|pallas)")
+    if p["opt"] not in ("speed", "compat"):
+        error("main", f"invalid --opt {p['opt']!r} (speed|compat)")
+    if p["opt"] == "compat" and (
+        p["kernel"] != "scan" or p["dtype"] != "float64"
+        or p["n_rep"] != 1 or mesh_spec is not None
+        or p["stream_chunk"] or p["checkpoint"]
+    ):
+        error("main", "--opt compat requires the f64 scan tier "
+                      "(--kernel scan --dtype float64), a single "
+                      "non-mesh non-streamed run, and no --checkpoint")
     opts = EMOptions(
         freq_est=p["freq_est"],
         e_prob_calc=p["e_prob"],
@@ -885,6 +900,7 @@ def main(argv=None):
         write_geno(
             p["out"] + ".geno", np.asarray(gl_j, dtype=np.float64),
             np.asarray(st.freq, dtype=np.float64), path_states,
+            exact_libm=p["opt"] == "compat",
         )
 
     def write_outputs_chunked(st, tot, path_d):
@@ -1617,6 +1633,13 @@ def main(argv=None):
                         resume_bookkeeping=resume_bk,
                         S_true=p["n_sites"] if distributed_run else None,
                         gather_final=False,  # chunked final writers
+                    )
+                elif p["opt"] == "compat":
+                    from .models.em_compat import run_em_compat
+
+                    result = run_em_compat(
+                        gl_j, dist_j, state, opts,
+                        log_callback=log_cb, trace=trace,
                     )
                 else:
                     result = run_em(

@@ -31,7 +31,19 @@ def _load():
         _tried = True
         if os.environ.get("NGSF_NO_NATIVE") == "1":
             return None
-        if not _LIB_PATH.exists() and (_NATIVE_DIR / "Makefile").exists():
+        src = _NATIVE_DIR / "ngsf_io.cpp"
+        stale = (
+            _LIB_PATH.exists() and src.exists()
+            and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if (stale or not _LIB_PATH.exists()) and (
+            _NATIVE_DIR / "Makefile"
+        ).exists():
+            if stale:
+                try:
+                    _LIB_PATH.unlink()
+                except OSError:
+                    pass
             try:
                 subprocess.run(
                     ["make", "-C", str(_NATIVE_DIR)],
@@ -62,9 +74,17 @@ def _load():
         lib.ngsf_read_geno_text_slab.argtypes = [
             ctypes.c_char_p, u64, u64, u64, u64, u64, u64, i32, i32, dptr,
             ctypes.c_char_p, ctypes.c_size_t]
-        for f in (lib.ngsf_read_geno_binary, lib.ngsf_read_geno_text,
-                  lib.ngsf_read_pos_dist, lib.ngsf_read_geno_binary_slab,
-                  lib.ngsf_read_geno_text_slab):
+        fns = [lib.ngsf_read_geno_binary, lib.ngsf_read_geno_text,
+               lib.ngsf_read_pos_dist, lib.ngsf_read_geno_binary_slab,
+               lib.ngsf_read_geno_text_slab]
+        i64 = ctypes.c_longlong
+        try:
+            lib.ngsf_vexp.argtypes = [dptr, dptr, i64]
+            lib.ngsf_vlog.argtypes = [dptr, dptr, i64]
+            fns += [lib.ngsf_vexp, lib.ngsf_vlog]
+        except AttributeError:  # stale .so without the libm helpers
+            pass
+        for f in fns:
             f.restype = i32
         _lib = lib
         return _lib
@@ -72,6 +92,44 @@ def _load():
 
 def available():
     return _load() is not None
+
+
+def _libm_elementwise(fn_name, math_fn, x):
+    """Elementwise glibc transcendental: bit-identical to the reference
+    binary's libm calls (numpy's/XLA's vectorised f64 kernels differ by
+    1 ulp on a few percent of inputs). Falls back to a scalar math-
+    module loop (also glibc) when the native core is unavailable."""
+    import math  # noqa: F401 (fallback path)
+
+    x = np.ascontiguousarray(x, np.float64)
+    out = np.empty_like(x)
+    lib = _load()
+    fn = getattr(lib, fn_name, None) if lib is not None else None
+    if fn is not None:
+        fn(x.reshape(-1), out.reshape(-1), x.size)
+        return out
+    flat = x.reshape(-1)
+    o = out.reshape(-1)
+    for i in range(flat.size):
+        o[i] = math_fn(flat[i])
+    return out
+
+
+def vexp(x):
+    import math
+
+    return _libm_elementwise("ngsf_vexp", math.exp, x)
+
+
+def vlog(x):
+    import math
+
+    def _log(v):  # C log domain behaviour for the scalar fallback
+        if v > 0.0:
+            return math.log(v)
+        return float("-inf") if v == 0.0 else float("nan")
+
+    return _libm_elementwise("ngsf_vlog", _log, x)
 
 
 def _call(fn, *args):

@@ -94,9 +94,14 @@ def write_ibd_streamed(path, ind_lkl, path_blocks, pibd_blocks):
         write_post_rows(fh, pibd_blocks)
 
 
-def geno_posteriors(gl, freq, path_states):
+def geno_posteriors(gl, freq, path_states, exact_libm=False):
     """[S, N, 3] exp-space genotype posteriors with the Viterbi-
-    conditioned HWE prior (EM.cpp:369-376; prior F = path state)."""
+    conditioned HWE prior (EM.cpp:369-376; prior F = path state).
+
+    exact_libm: route the transcendentals through glibc (io/native
+    vexp/vlog) with the reference's logsum order -- bit-identical .geno
+    bytes for --opt compat runs (numpy's vectorised f64 exp is 1 ulp
+    off glibc on a few percent of inputs)."""
     F = path_states.astype(np.float64)
     p = freq[:, None]
     pq = (1 - p) * p
@@ -104,6 +109,19 @@ def geno_posteriors(gl, freq, path_states):
     g1 = 2 * pq - 2 * pq * F
     g2 = p**2 + pq * F
     prior = np.stack([g0, g1, g2], axis=-1)
+    if exact_libm:
+        from . import native
+
+        lpri = native.vlog(prior)
+        lpri[np.isneginf(lpri)] = -1e15
+        lpri[..., 1] = np.where(F == 1.0, -1e15, lpri[..., 1])
+        pp = gl + lpri
+        M = np.maximum(np.maximum(pp[..., 0], pp[..., 1]), pp[..., 2])
+        s = native.vexp(pp[..., 0] - M)
+        s = s + native.vexp(pp[..., 1] - M)
+        s = s + native.vexp(pp[..., 2] - M)
+        norm = native.vlog(s) + M
+        return native.vexp(pp - norm[..., None])
     with np.errstate(divide="ignore"):
         lpri = np.log(prior)
     lpri[np.isneginf(lpri)] = -1e15
@@ -111,13 +129,13 @@ def geno_posteriors(gl, freq, path_states):
     return np.exp(_normalise_log(gl + lpri))
 
 
-def write_geno(path, gl, freq, path_states):
+def write_geno(path, gl, freq, path_states, exact_libm=False):
     """Genotype posteriors as binary doubles, site-major (EM.cpp:358-379).
 
     gl: [S, N, 3] normalised log GLs; freq: [S]; path_states: [S, N].
     """
     S, N = path_states.shape
-    pp = geno_posteriors(gl, freq, path_states)
+    pp = geno_posteriors(gl, freq, path_states, exact_libm=exact_libm)
     pp.astype("<f8").reshape(S, N * N_GENO).tofile(path)
 
 

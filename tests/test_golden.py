@@ -258,6 +258,33 @@ def test_golden_beagle_estimated(beagle_file, sim_dir, reference_binary):
 
 
 # ---------------------------------------------------------------------------
+# --opt compat: ESTIMATED configs must be BYTE-identical, not just within
+# optimizer tolerances -- the compat engine (models/em_compat.py) retraces
+# the reference's L-BFGS-B 2.1 + FD-gradient M-step bit-for-bit
+# (tests/test_opt_compat.py) and est_maf with the reference's accumulation
+# order, so .indF (total at %.10f, EM.cpp:302), .ibd and .geno match to
+# the byte on live-M-step configs (round-3 VERDICT Missing #1).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ident", ["BEST", "normal", "freq_fixed",
+                                   "indF_fixed"])
+def test_golden_compat_byte_identical(ident, sim_dir, reference_binary):
+    args = f"{COMMON} --geno sim.glf.gz --loglkl --pos sim.pos.gz {_IDS[ident]}"
+    ref_out = f"ref.{ident}_GL"
+    if not (sim_dir / f"{ref_out}.indF").exists():
+        run_ref(reference_binary, sim_dir, args, ref_out)
+    run_ours(sim_dir, args + " --opt compat", f"tpu.compat_{ident}")
+    for ext in (".indF", ".ibd"):
+        assert (sim_dir / f"{ref_out}{ext}").read_bytes() == (
+            sim_dir / f"tpu.compat_{ident}{ext}"
+        ).read_bytes(), f"{ext} not byte-identical under --opt compat"
+    a = np.fromfile(sim_dir / f"{ref_out}.geno")
+    b = np.fromfile(sim_dir / f"tpu.compat_{ident}.geno")
+    np.testing.assert_array_equal(b, a)
+
+
+# ---------------------------------------------------------------------------
 # Multi-chromosome + missing-data leg (round-3 VERDICT Missing #3/#4):
 # a .pos with several chromosomes exercises the INFINITY inter-site
 # distances of read_data.cpp:195-210 end-to-end (transition collapses to
