@@ -1,29 +1,24 @@
 """Pallas TPU kernel for the est_maf damped fixed point.
 
 The XLA est_maf (ops/maf.py) re-reads the full [S, N, 3] genotype-
-likelihood tensor from HBM on every fixed-point pass (up to 101 passes).
-Here sites are tiled SITE-MAJOR into [TS, Np] blocks (sites on sublanes,
-individuals on lanes): each grid step loads its tile's GLs into VMEM
-ONCE and iterates the damped fixed point (reference:
-gen_func.cpp:974-1009, including the never-reset num/den accumulators,
-SURVEY.md S3.6b) entirely on-chip with a per-tile early exit.
-
-Site-major layout (round 4; the round-3 kernel was [N, TS] ind-major):
-the cross-individual accumulator sums become LANE reductions, and --
-decisively -- the per-call IBD-posterior input [S, N] tiles by a pure
-reshape (the ind-major layout needed a full [S, N] transpose per call,
-~5 ms at 1M x 100, every EM iteration). gl tiles are built once per run.
-Pad cells are algebraic no-ops with NO mask plane: gl = (1, 0, 0) and
-F = 2.0 give pp1 = pp2 = 0 and a (2 - F) = 0 weight, so they contribute
-zero to every accumulator sum.
+likelihood tensor from HBM on every fixed-point pass (up to 101 passes,
+~12-16ms at 100k x 32). Here sites are tiled into [N, TS] lanes: each
+grid step loads its tile's GLs into VMEM ONCE and iterates the damped
+fixed point (reference: gen_func.cpp:974-1009, including the
+never-reset num/den accumulators, SURVEY.md S3.6b) entirely on-chip
+with a per-tile early exit -- cost follows the tile's own convergence,
+not the global worst site.
 
 Roofline note: on REALISTIC low-coverage GLs the damped accumulators
 step like ~freq/k at pass k, which never drops below EPSILON=1e-5
-within ITER_MAX=100 -- every site runs all 101 passes and est_maf is
-the flop ceiling of the whole EM at scale (as in the reference, where
-it is the single-threaded bottleneck, EM.cpp:224-271). The macro
-kernel (linearised macro-stepping, ops/maf.py docstring) caps that at
-~K0 + 2*ceil((101-K0)/M) full-width pass-equivalents.
+within ITER_MAX=100 -- measured on Poisson-depth-2 synthetic data,
+100% of sites run all 101 passes. The kernel is therefore pure
+compute: ~15 [N, TS] vector ops + 1 divide per pass (pass-invariant
+planes hoisted, cd via the (2-F)+pp1*F identity), ~2.5e3 flops per
+HMM cell per EM iteration -- est_maf, not fwd-bwd, is the flop
+ceiling of the whole EM at scale (as in the reference, where it is
+the single-threaded bottleneck, EM.cpp:224-271). The early exit only
+pays on near-certain/padded tiles.
 
 Only the single-chip linear path runs here; the sharded path (psum over
 the individual mesh axis each pass) stays in ops/maf.py.
@@ -38,12 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.constants import EPSILON, ITER_MAX
 
-# the fixed point holds ~10 [TS, Np] working planes besides the 4
-# input tiles; the XLA default 16MB scoped-vmem cap is too tight
-_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-
-TS = 1024   # sites per tile (sublane axis of the [TS, Np] blocks)
-_LANE = 128  # individuals padded to a lane multiple
+TS = 1024  # sites per tile: measured best on v5e (smaller tiles lose
+           # more to per-pass inefficiency than they gain from early
+           # exit; 512/256/128 were 8.7/11.8/19.2ms vs 8.1ms at 100k x 32)
 
 
 def _interpret():
@@ -57,66 +49,61 @@ def _imap_fwd(i):
     return (i, z, z)
 
 
-def _pad_ind(N):
-    return -(-N // _LANE) * _LANE
-
 
 def prepare_gl_tiles(gl_lin):
-    """[S, N, 3] linear GLs -> (gl0, gl1, gl2) [n_tiles, TS, Np] f32.
+    """[S, N, 3] linear GLs -> (gl0, gl1, gl2) [n_tiles, N, TS] f32.
 
-    Site-major: tile t, sublane r = site t*TS + r, lane n = individual.
-    Pad sites AND pad individuals use gl = (1, 0, 0): together with the
-    p-tile pad F = 2.0 they contribute exactly zero to every accumulator
-    (no mask plane needed); pad sites converge in a few passes so they
-    never hold a tile's early exit hostage.
+    Pad sites use gl = 1 (uniform likelihood): their fixed point is a
+    damped identity that converges in a few passes, so they never hold a
+    tile's early exit hostage.
     """
     S, N = gl_lin.shape[0], gl_lin.shape[1]
     n_tiles = -(-S // TS)
-    Np = _pad_ind(N)
-
-    def one(ch, pad_v):
-        x = gl_lin[..., ch].astype(jnp.float32)
-        x = jnp.pad(x, ((0, n_tiles * TS - S), (0, Np - N)),
-                    constant_values=pad_v)
-        return x.reshape(n_tiles, TS, Np)
-
-    return one(0, 1.0), one(1, 0.0), one(2, 0.0)
+    pad = n_tiles * TS - S
+    if pad:
+        gl_lin = jnp.pad(
+            gl_lin, ((0, pad), (0, 0), (0, 0)), constant_values=1.0
+        )
+    # [n_tiles*TS, N, 3] -> [n_tiles, TS, N, 3] -> per-genotype [n_tiles, N, TS]
+    g = gl_lin.reshape(n_tiles, TS, N, 3).astype(jnp.float32)
+    g = jnp.transpose(g, (0, 2, 1, 3))  # [n_tiles, N, TS, 3]
+    return g[..., 0], g[..., 1], g[..., 2]
 
 
 def prepare_p_tiles(p_ibd):
-    """[S, N] IBD posteriors -> [n_tiles, TS, Np] f32 (a pure reshape +
-    pad -- site-major in, site-major tiles out). Pad cells get F = 2.0:
-    their (2 - F) accumulator weight is exactly zero."""
+    """[S, N] IBD posteriors -> [n_tiles, N, TS] f32 (pad F = 0)."""
     S, N = p_ibd.shape[0], p_ibd.shape[1]
     n_tiles = -(-S // TS)
-    Np = _pad_ind(N)
-    p = jnp.pad(p_ibd.astype(jnp.float32),
-                ((0, n_tiles * TS - S), (0, Np - N)), constant_values=2.0)
-    return p.reshape(n_tiles, TS, Np)
+    pad = n_tiles * TS - S
+    if pad:
+        p_ibd = jnp.pad(p_ibd, ((0, pad), (0, 0)), constant_values=0.0)
+    p = p_ibd.reshape(n_tiles, TS, N).astype(jnp.float32)
+    return jnp.transpose(p, (0, 2, 1))
 
 
 @partial(jax.jit, static_argnames=("n_ind",))
 def _run(gl0, gl1, gl2, p, n_ind):
-    n_tiles, ts, Np = gl0.shape
+    n_tiles = gl0.shape[0]
+    N = n_ind
 
     def kernel(g0_ref, g1_ref, g2_ref, p_ref, freq_ref):
-        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [TS, Np]
+        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [N, TS]
         F = p_ref[0]
         # Pass-invariant planes, hoisted out of the fixed point. On
         # realistic GLs the damped 1/k steps never drop below EPSILON,
         # so every site runs all ITER_MAX+1 passes and the loop body IS
-        # the kernel's flop bill: pr1's 2(1-F) factor, calc_HWE's F==1
-        # heterozygote-floor mask (gen_func.cpp:946-956; without the
-        # floor a het-certain GL at p_ibd==1 divides by zero), and the
-        # cd identity below.
+        # the kernel's flop bill (~15 [N, TS] vector ops + 1 divide per
+        # pass after this hoisting, down from ~21): pr1's 2(1-F) factor,
+        # calc_HWE's F==1 heterozygote-floor mask (gen_func.cpp:946-956;
+        # without the floor a het-certain GL at p_ibd==1 divides by
+        # zero), and the cd identity below.
         two_m_F = 2.0 - F
         tn1 = 2.0 - 2.0 * F  # pr1 = pq * 2(1-F)
         het_floor = F == 1.0
         # cd identity: pp0+pp1+pp2 == 1 after normalisation, so the
         # reference's 2*pp1 + (pp0+pp2)*(2-F) == (2-F) + pp1*F exactly
-        # (gen_func.cpp:997-999); sum(2-F) is pass-invariant. Pad cells
-        # carry F = 2.0, so their weight is exactly zero.
-        T_col = jnp.sum(two_m_F, axis=1, keepdims=True)  # [TS, 1]
+        # (gen_func.cpp:997-999); sum(2-F) is pass-invariant.
+        T_row = jnp.sum(two_m_F, axis=0, keepdims=True)  # [1, TS]
 
         # The active mask is carried as f32 (0/1): Mosaic cannot yet
         # legalize i1 vectors in while_loop carries on this toolchain.
@@ -139,8 +126,8 @@ def _run(gl0, gl1, gl2, p, n_ind):
             inv = 1.0 / (n0 + n1 + n2)
             pp1 = n1 * inv
             pp2 = n2 * inv
-            cn = jnp.sum(pp1 + pp2 * two_m_F, axis=1, keepdims=True)
-            cd = T_col + jnp.sum(pp1 * F, axis=1, keepdims=True)
+            cn = jnp.sum(pp1 + pp2 * two_m_F, axis=0, keepdims=True)
+            cd = T_row + jnp.sum(pp1 * F, axis=0, keepdims=True)
             num = num + active * cn
             den = den + active * cd
             freq = freq + active * (num / den - freq)
@@ -150,30 +137,29 @@ def _run(gl0, gl1, gl2, p, n_ind):
             active = active * moved * inside
             return (freq, num, den, active, passes)
 
-        z = jnp.zeros((ts, 1), jnp.float32)
+        z = jnp.zeros((1, gl0.shape[2]), jnp.float32)
         init = (
-            jnp.full((ts, 1), 0.01, jnp.float32),
+            jnp.full((1, gl0.shape[2]), 0.01, jnp.float32),
             z,
             z,
-            jnp.ones((ts, 1), jnp.float32),
+            jnp.ones((1, gl0.shape[2]), jnp.float32),
             jnp.zeros((), jnp.int32),
         )
         out = jax.lax.while_loop(cond, body, init)
         freq_ref[0] = out[0]
 
     tile = lambda: pl.BlockSpec(
-        (1, ts, Np), _imap_fwd, memory_space=pltpu.VMEM
+        (1, N, TS), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, ts, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TS), jnp.float32),
         grid=(n_tiles,),
         in_specs=[tile(), tile(), tile(), tile()],
         out_specs=pl.BlockSpec(
-            (1, ts, 1), _imap_fwd, memory_space=pltpu.VMEM
+            (1, 1, TS), _imap_fwd, memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-        compiler_params=_CPARAMS,
     )(gl0, gl1, gl2, p)
 
 
@@ -194,10 +180,11 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
     where K = [F==1] g1 * 1e-15 carries calc_HWE's heterozygote floor
     (gen_func.cpp:946-956) as a freq-constant term, so the analytic
     freq-derivatives below are exact for floored individuals too."""
-    n_tiles, ts, Np = gl0.shape
+    n_tiles = gl0.shape[0]
+    N = n_ind
 
     def kernel(g0_ref, g1_ref, g2_ref, p_ref, freq_ref):
-        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [TS, Np]
+        g0, g1, g2 = g0_ref[0], g1_ref[0], g2_ref[0]  # [N, TS]
         F = p_ref[0]
         two_m_F = 2.0 - F
         het = F == 1.0
@@ -211,15 +198,15 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
         Q = g2 * two_m_F
         R = g1 * tn1 * F
         KF = K * F
-        T_col = jnp.sum(two_m_F, axis=1, keepdims=True)  # [TS, 1]
+        T_row = jnp.sum(two_m_F, axis=0, keepdims=True)  # [1, TS]
 
         def sums(freq):
             u = (1.0 - freq) * (1.0 - freq)
             v = freq * (1.0 - freq)
             w = freq * freq
             inv = 1.0 / (A * u + B * v + C * w + K)
-            cn = jnp.sum((P * v + Q * w + K) * inv, axis=1, keepdims=True)
-            cd = T_col + jnp.sum((R * v + KF) * inv, axis=1, keepdims=True)
+            cn = jnp.sum((P * v + Q * w + K) * inv, axis=0, keepdims=True)
+            cd = T_row + jnp.sum((R * v + KF) * inv, axis=0, keepdims=True)
             return cn, cd
 
         def sums_grad(freq):
@@ -233,12 +220,12 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
             dD = A * du + B * dv + C * dw
             cni = (P * v + Q * w + K) * inv
             cdi = (R * v + KF) * inv
-            cn = jnp.sum(cni, axis=1, keepdims=True)
-            cd = T_col + jnp.sum(cdi, axis=1, keepdims=True)
+            cn = jnp.sum(cni, axis=0, keepdims=True)
+            cd = T_row + jnp.sum(cdi, axis=0, keepdims=True)
             dcn = jnp.sum((P * dv + Q * dw - cni * dD) * inv,
-                          axis=1, keepdims=True)
+                          axis=0, keepdims=True)
             dcd = jnp.sum((R * dv - cdi * dD) * inv,
-                          axis=1, keepdims=True)
+                          axis=0, keepdims=True)
             return cn, cd, dcn, dcd
 
         def advance(st, cn, cd):
@@ -252,12 +239,12 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
             inside = jnp.float32(1.0) * (passes <= ITER_MAX)
             return (freq, num, den, active * moved * inside, passes)
 
-        z = jnp.zeros((ts, 1), jnp.float32)
+        z = jnp.zeros((1, gl0.shape[2]), jnp.float32)
         init = (
-            jnp.full((ts, 1), 0.01, jnp.float32),
+            jnp.full((1, gl0.shape[2]), 0.01, jnp.float32),
             z,
             z,
-            jnp.ones((ts, 1), jnp.float32),
+            jnp.ones((1, gl0.shape[2]), jnp.float32),
             jnp.zeros((), jnp.int32),
         )
 
@@ -287,18 +274,17 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
         freq_ref[0] = out[0]
 
     tile = lambda: pl.BlockSpec(
-        (1, ts, Np), _imap_fwd, memory_space=pltpu.VMEM
+        (1, N, TS), _imap_fwd, memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, ts, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TS), jnp.float32),
         grid=(n_tiles,),
         in_specs=[tile(), tile(), tile(), tile()],
         out_specs=pl.BlockSpec(
-            (1, ts, 1), _imap_fwd, memory_space=pltpu.VMEM
+            (1, 1, TS), _imap_fwd, memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-        compiler_params=_CPARAMS,
     )(gl0, gl1, gl2, p)
 
 
@@ -312,14 +298,13 @@ def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
     """
     gl0, gl1, gl2 = gl_tiles
     p = prepare_p_tiles(p_ibd)
-    n_ind = p_ibd.shape[1]
     if macro is True:
         from .maf import macro_schedule
 
-        macro = macro_schedule(n_ind)
+        macro = macro_schedule(gl0.shape[1])
     if macro:
         K0, M = macro
-        freq = _run_macro(gl0, gl1, gl2, p, n_ind, K0, M)
+        freq = _run_macro(gl0, gl1, gl2, p, gl0.shape[1], K0, M)
     else:
-        freq = _run(gl0, gl1, gl2, p, n_ind)
+        freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
     return freq.reshape(-1)[:S]
