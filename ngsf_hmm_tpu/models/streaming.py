@@ -690,7 +690,16 @@ class StreamingEM:
                 stats = jax.devices()[0].memory_stats() or {}
                 budget = int(stats["bytes_limit"] * 0.6) - work
             except Exception:
-                budget = (4 << 30) - work
+                # stats unavailable (e.g. the axon plugin returns None):
+                # a TPU backend still has its HBM -- assume the v5e's
+                # 16 GiB at 75% rather than the blind-host 4 GiB floor
+                # (round-3 bench left the slab cache off for this)
+                try:
+                    tpu = jax.devices()[0].platform == "tpu"
+                except Exception:
+                    tpu = False
+                cap = (16 << 30) * 3 // 4 if tpu else (4 << 30)
+                budget = cap - work
         if budget <= 0:
             return
         if self.C * e_b <= budget:
@@ -751,7 +760,27 @@ class StreamingEM:
             if sl is None:
                 sl = _chunk_glslabs(gl_d, bs2, nb_p)
                 if self._cache_e:
-                    self._eslab_cache[c] = sl
+                    try:
+                        # materialise now: an over-optimistic budget
+                        # (the TPU fallback guesses HBM) must fail HERE,
+                        # where we can fall back to uncached streaming,
+                        # not later inside a pass kernel (ADVICE r3 #1)
+                        for x in sl:
+                            x.block_until_ready()
+                        self._eslab_cache[c] = sl
+                    except Exception as e:  # RESOURCE_EXHAUSTED et al.
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        import sys
+
+                        print(
+                            "[streaming] gl-slab cache disabled: device "
+                            f"OOM while caching chunk {c} ({e.__class__"
+                            f".__name__})", file=sys.stderr,
+                        )
+                        self._cache_e = self._cache_d = False
+                        self._eslab_cache = {}
+                        self._dslab_cache = {}
             fc = self._fcomp_cache.get(c)
             if fc is None:
                 fc = _chunk_fcomp(
