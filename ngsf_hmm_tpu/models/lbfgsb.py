@@ -204,10 +204,23 @@ def _lbfgsb_core(
     def cond(st: _State):
         return xp.any(st.active) & (st.it < max_iters)
 
+    # Freeze slack: a coordinate PRACTICALLY at a bound (within 1e-9 of
+    # the box width) pressing outward behaves as pinned -- the reference
+    # Cauchy scan fixes such variables the instant its path touches the
+    # bound (bfgs.cpp cauchy_). Without the slack, a coordinate a few
+    # 1e-10 above its bound keeps dominating the search direction, the
+    # backtracking ladder snaps to its near-zero breakpoint every round,
+    # and the row retires with a live gradient in the OTHER coordinate
+    # (multi-chromosome golden surfaces: F stalled at its init).
+    # widened to the objective's resolution on coarse-precision paths
+    # (the streamed host M-step optimizes f64 vectors over f32 device
+    # kernels: its trajectories park near-bound coordinates ~1e-7 away)
+    bnd_eps = max(1e-9, eps_dt) * (upper - lower)
+
     def body(st: _State):
         # freeze bound-pinned coordinates whose gradient points outward
-        at_lo = (st.x <= lower) & (st.g > 0)
-        at_hi = (st.x >= upper) & (st.g < 0)
+        at_lo = (st.x <= lower + bnd_eps) & (st.g > 0)
+        at_hi = (st.x >= upper - bnd_eps) & (st.g < 0)
         frozen = at_lo | at_hi
         g_eff = xp.where(frozen, 0.0, st.g)
 
@@ -216,20 +229,6 @@ def _lbfgsb_core(
         # fall back to steepest descent when d is not a descent direction
         descent = xp.sum(d * g_eff, axis=-1) < 0
         d = xp.where(descent[:, None], d, -g_eff)
-        # Coordinates essentially AT a bound with the direction pressing
-        # in (own breakpoint <= ~0 step units) are fixed at the bound for
-        # this iteration, like the reference Cauchy-point scan does the
-        # instant the path hits them (bfgs.cpp cauchy_). Leaving them in
-        # d makes the backtracking snap below collapse EVERY round to
-        # that near-zero breakpoint: steps shrink under the noise floor
-        # and the row retires with a live gradient in the free
-        # coordinates (seen as F stalling at its init when alpha sits at
-        # ~1e-10 over its 1e-15 bound on multi-chromosome surfaces).
-        bp_dist = xp.where(
-            d > 0, upper - st.x, xp.where(d < 0, st.x - lower, xp.inf)
-        )
-        bp_j = bp_dist / xp.where(d == 0, 1.0, xp.abs(d))
-        d = xp.where((d != 0) & (bp_j <= 1e-6), 0.0, d)
         # Breakpoint of the projected path (first bound any moving
         # coordinate reaches, in step units) -- the batched stand-in for
         # the reference L-BFGS-B's generalized-Cauchy-point breakpoint

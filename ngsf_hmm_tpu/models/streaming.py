@@ -773,10 +773,11 @@ class StreamingEM:
                             raise
                         import sys
 
+                        kind = type(e).__name__
                         print(
                             "[streaming] gl-slab cache disabled: device "
-                            f"OOM while caching chunk {c} ({e.__class__"
-                            f".__name__})", file=sys.stderr,
+                            f"OOM while caching chunk {c} ({kind})",
+                            file=sys.stderr,
                         )
                         self._cache_e = self._cache_d = False
                         self._eslab_cache = {}
