@@ -1242,11 +1242,15 @@ def _k2_block_transfer_grad(C, nb_p, G, bs_pad, R):
 
 
 def _k2_bw_sites(C, nb_p, G, bs_pad, R):
-    """v2 reversed stream emitting per-site backward vectors."""
+    """v2 reversed stream emitting the per-site backward RATIO
+    r = bw1 / (bw0 + bw1) -- one slab instead of two (the posterior is
+    scale-free in bw, so the ratio carries everything fw_post needs:
+    p = fw1*r / (fw0*(1-r) + fw1*r); halves this pass's writes and
+    fw_post's bw reads)."""
     nsteps = bs_pad // R
 
     def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref,
-               ends0_ref, ends1_ref, bw0_ref, bw1_ref, w0s, w1s):
+               ends0_ref, ends1_ref, bwr_ref, w0s, w1s):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1272,8 +1276,9 @@ def _k2_bw_sites(C, nb_p, G, bs_pad, R):
             sc, _ = _pow2_rescale(mx)
             w0 = b0 * sc
             w1 = b1 * sc
-        bw0_ref[:] = jnp.stack(out0[::-1])
-        bw1_ref[:] = jnp.stack(out1[::-1])
+        s0 = jnp.stack(out0[::-1])
+        s1 = jnp.stack(out1[::-1])
+        bwr_ref[:] = s1 / jnp.maximum(s0 + s1, _TINY)
         w0s[:] = w0
         w1s[:] = w1
 
@@ -1283,13 +1288,10 @@ def _k2_bw_sites(C, nb_p, G, bs_pad, R):
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
-            jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((bs_pad, _SUB, C), jnp.float32),
         grid=(nsteps,),
         in_specs=[rev_full, rev_full, rev_c, rev_c] + [_full(_SUB, C)] * 4,
-        out_specs=(rev_full, rev_full),
+        out_specs=rev_full,
         scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
         interpret=_interpret(),
         compiler_params=_CPARAMS,
@@ -1297,12 +1299,12 @@ def _k2_bw_sites(C, nb_p, G, bs_pad, R):
 
 
 def _k2_fw_post(C, nb_p, G, bs_pad, R):
-    """v2 forward stream emitting the per-site IBD posterior."""
+    """v2 forward stream emitting the per-site IBD posterior from the
+    backward RATIO slab: p = fw1*r / (fw0*(1-r) + fw1*r)."""
     nsteps = bs_pad // R
 
     def kernel(g0_ref, g2_ref, fc_ref, dc_ref, Fr_ref, ar_ref,
-               starts0_ref, starts1_ref, bw0_ref, bw1_ref, p_ref,
-               v0s, v1s):
+               starts0_ref, starts1_ref, bwr_ref, p_ref, v0s, v1s):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1317,7 +1319,7 @@ def _k2_fw_post(C, nb_p, G, bs_pad, R):
         k10 = t10 * e0
         k01 = t01 * e1
         k11 = t11 * e1
-        bw0, bw1 = bw0_ref[:], bw1_ref[:]
+        bwr = bwr_ref[:]
         v0, v1 = v0s[:], v1s[:]
         fw0, fw1 = [], []
         for r in range(R):  # static unroll, 2-vector carry
@@ -1329,8 +1331,8 @@ def _k2_fw_post(C, nb_p, G, bs_pad, R):
             v1 = n1 * sc
             fw0.append(v0)
             fw1.append(v1)
-        x0 = jnp.stack(fw0) * bw0
-        x1 = jnp.stack(fw1) * bw1
+        x0 = jnp.stack(fw0) * (1.0 - bwr)
+        x1 = jnp.stack(fw1) * bwr
         p_ref[:] = x1 / jnp.maximum(x0 + x1, _TINY)
         v0s[:] = v0
         v1s[:] = v1
@@ -1343,7 +1345,7 @@ def _k2_fw_post(C, nb_p, G, bs_pad, R):
         grid=(nsteps,),
         in_specs=[full, full, comp, comp]
         + [_full(_SUB, C)] * 4
-        + [full, full],
+        + [full],
         out_specs=full,
         scratch_shapes=[pltpu.VMEM((_SUB, C), jnp.float32)] * 2,
         interpret=_interpret(),
@@ -1468,18 +1470,18 @@ def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None):
     starts, ends, lls = _combine_blocks(
         A_r, jnp.asarray(F2, jnp.float32), v0b, wTb
     )
-    # backward per-site stream
-    R_bw = _rows_for(Lp, 22, bs_pad, "BW2")
+    # backward per-site stream (emits the scale-free bw RATIO slab)
+    R_bw = _rows_for(Lp, 20, bs_pad, "BW2")
     e0, e1 = _ends_fold2(ends, prep2)
-    bw0, bw1 = _k2_bw_sites(C, nb_p, G, bs_pad, R_bw)(
+    bwr = _k2_bw_sites(C, nb_p, G, bs_pad, R_bw)(
         prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
         e0, e1
     )
     s0, s1 = _ends_fold2(starts, prep2)
-    R_po = _rows_for(Lp, 24, bs_pad, "POST2")
+    R_po = _rows_for(Lp, 22, bs_pad, "POST2")
     p = _k2_fw_post(C, nb_p, G, bs_pad, R_po)(
         prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
-        s0, s1, bw0, bw1
+        s0, s1, bwr
     )
     return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0]
 
