@@ -104,3 +104,26 @@ if "exact" in ONLY:
     chain("_run exact damped kernel only",
           lambda cs, p: p + jnp.sum(_run(cs[0], cs[1], cs[2], p, N)) * E,
           tiles, p_tiles, k=4)
+
+if "slab" in ONLY:
+    from ngsf_hmm_tpu.models.hmm_pallas import (
+        prepare_gl_inputs, pack_sites2,
+    )
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_slab
+
+    gl_lin = jax.jit(jnp.exp)(gl)
+    prep2 = prepare_gl_inputs(gl_lin, jnp.full((S,), 1e-5, jnp.float32))
+    p_slab = jax.jit(lambda p: pack_sites2(p, prep2))(p_ibd)
+    sync(p_slab)
+    # slabs must ride as jit ARGUMENTS (CLAUDE.md gotcha: closed-over
+    # device arrays bake into the HLO and blow the tunneled compile)
+    meta = {k: prep2[k] for k in
+            ("S", "N", "bs", "nb", "nb_p", "G", "Np", "C", "bs_pad")}
+
+    def _slab_step(cs, p):
+        pr = dict(meta, g0=cs[0], g2=cs[1], dc=None)
+        f = est_maf_slab(pr, p)
+        return p + jnp.sum(f) * E
+
+    chain("est_maf_slab (v2 slabs, no relayout)", _slab_step,
+          (prep2["g0"], prep2["g2"]), p_slab)

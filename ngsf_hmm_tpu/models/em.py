@@ -266,6 +266,8 @@ def em_iteration(
         raise ValueError("numerics='linear' requires block_size")
 
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
+    maf_slab = None  # (prep2, raw posterior slab) when the v2 slab
+    #                  est_maf route is available (set below)
     if use_fused:
         if prep_slabs is not None:
             bs2, nbp2 = hmm_pallas.pick_geom2(S, NC)
@@ -273,9 +275,29 @@ def em_iteration(
         else:
             prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
         fc = hmm_pallas.freq_compact(state.freq, prep2)
-        p_raw, ll_f, ll_b = hmm_pallas.posteriors_fused(
-            state.indF, state.alpha, prep2, fc
-        )
+        # freq M-step fast path: when est_maf will run, take the raw
+        # posterior SLAB too -- the slab-layout est_maf kernel consumes
+        # it (plus the resident gl slabs) with zero relayout and no
+        # duplicate gl tiling (ops/maf_pallas.py v2 section)
+        maf_slab = None
+        want_slab = freq_est == 1 and axis_name is None
+        if want_slab:
+            from ..ops.maf import macro_schedule
+            from ..ops.maf_pallas import slab_geom_ok
+
+            want_slab = (
+                macro_schedule(NC) is not None
+                and slab_geom_ok(S, NC, prep2["bs"], prep2["nb_p"])
+            )
+        if want_slab:
+            p_raw, ll_f, ll_b, p_slab2 = hmm_pallas.posteriors_fused(
+                state.indF, state.alpha, prep2, fc, return_slab=True
+            )
+            maf_slab = (prep2, p_slab2)
+        else:
+            p_raw, ll_f, ll_b = hmm_pallas.posteriors_fused(
+                state.indF, state.alpha, prep2, fc
+            )
         p_raw = p_raw.astype(dtype)
         ll_f, ll_b = ll_f.astype(dtype), ll_b.astype(dtype)
     elif use_pallas:
@@ -440,7 +462,14 @@ def em_iteration(
             # macro-stepping (ops/maf.py docstring): ~5x fewer full-width
             # passes, ~1e-5 trajectory deviation, and on meshes ~7x fewer
             # est_maf collectives per EM iteration
-            if use_pallas and gl_tiles is not None and axis_name is None:
+            if use_pallas and maf_slab is not None:
+                # v2 slab route: VMEM-resident fixed point straight off
+                # the resident gl slabs + the raw posterior slab -- no
+                # relayout, no gl-tile copy (ops/maf_pallas.py)
+                from ..ops.maf_pallas import est_maf_slab
+
+                freq = est_maf_slab(*maf_slab).astype(dtype)
+            elif use_pallas and gl_tiles is not None and axis_name is None:
                 from ..ops.maf_pallas import est_maf_pallas
 
                 freq = est_maf_pallas(
@@ -598,9 +627,19 @@ def run_em(
     N = gl.shape[1]
     gl_tiles = None
     if opts.numerics == "pallas" and opts.freq_est == 1:
-        from ..ops.maf_pallas import prepare_gl_tiles
+        from ..ops.maf import macro_schedule
+        from ..ops.maf_pallas import prepare_gl_tiles, slab_geom_ok
 
-        gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant across iters
+        # when em_iteration's v2 slab est_maf route will serve (fused
+        # kernels + macro schedule + VMEM geometry), the [n_tiles, N,
+        # TS] gl tiling (a full extra copy of gl in HBM) is dead weight
+        slab_route = (
+            opts.e_prob_calc == 1
+            and macro_schedule(gl.shape[1]) is not None
+            and slab_geom_ok(gl.shape[0], gl.shape[1])
+        )
+        if not slab_route:
+            gl_tiles = prepare_gl_tiles(jnp.exp(gl))  # gl constant
 
     # pallas mode: the streamed slab layout is threaded across
     # iterations (the d slab is loop-invariant; the emission slabs come

@@ -1394,6 +1394,22 @@ def _ends_fold2(vecs, prep2):
     return fold(vecs[:, 0, 0]), fold(vecs[:, 1, 0])
 
 
+def pack_sites2(x, prep2, pad_value=0.0):
+    """[S, N] -> [bs_pad, 8, C] v2 slab (inverse of _unpack_sites2).
+    Pad cells get pad_value."""
+    S, N = prep2["S"], prep2["N"]
+    nb, G, Np, nb_p = prep2["nb"], prep2["G"], prep2["Np"], prep2["nb_p"]
+    bs, bs_pad = prep2["bs"], prep2["bs_pad"]
+    f32 = jnp.float32
+    x = jnp.pad(x.astype(f32), ((0, nb * bs - S), (0, Np - N)),
+                constant_values=pad_value)
+    x = jnp.swapaxes(x.reshape(nb, bs, Np), 0, 1)  # [bs, nb, Np]
+    x = jnp.pad(x, ((0, bs_pad - bs), (0, nb_p - nb), (0, 0)),
+                constant_values=pad_value)
+    x = x.reshape(bs_pad, nb_p, G, _SUB)
+    return jnp.transpose(x, (0, 3, 2, 1)).reshape(bs_pad, _SUB, G * nb_p)
+
+
 def _unpack_sites2(p, prep2):
     """[bs_pad, 8, C] per-site kernel output -> [S, N]."""
     nb, G, Np, nb_p = prep2["nb"], prep2["G"], prep2["Np"], prep2["nb_p"]
@@ -1454,10 +1470,13 @@ def loglik_value_and_grad_fused(F, alpha, prep2, fc):
     return grad_from_carries_pallas(A_g, F)
 
 
-def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None):
+def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None,
+                     return_slab=False):
     """v2 (p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N]. Same contract
     as posteriors_pallas (boundary carries for site shards / streaming
-    chunks; A_reps reuse)."""
+    chunks; A_reps reuse). return_slab=True appends the RAW [bs_pad, 8,
+    C] posterior slab (pre-unpack) -- the slab-layout est_maf kernel
+    (ops/maf_pallas.est_maf_slab) consumes it with no relayout."""
     C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
                           prep2["bs_pad"])
     Lp = _SUB * C
@@ -1483,6 +1502,8 @@ def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None):
         prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
         s0, s1, bwr
     )
+    if return_slab:
+        return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0], p
     return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0]
 
 

@@ -231,16 +231,28 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     pre: cached emission/dist slabs -- the chain part then skips the
     prep; gl_c is still needed (and freq_c not) when with_freq=True
     (est_maf reads the raw GLs), and may be None otherwise."""
+    if maf_kernel == "slab" and chain_kernel != "fused":
+        raise ValueError("maf_kernel 'slab' requires the fused tier")
     if pre is not None:
         gl_lin = None if gl_c is None else jnp.exp(gl_c)
         if chain_kernel == "fused":
             from . import hmm_pallas
 
             prep2, fc = _pre_prep(pre, dist_c, bs, cs, N, "fused")
-            p_raw, _, _ = hmm_pallas.posteriors_fused(
-                F, alpha, prep2, fc,
-                v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
-            )
+            if with_freq and maf_kernel == "slab":
+                # slab est_maf consumes the RAW posterior slab + the
+                # resident gl slabs: pass B then never touches the raw
+                # gl chunk at all (no fetch, no exp, no tiling)
+                p_raw, _, _, p_slab = hmm_pallas.posteriors_fused(
+                    F, alpha, prep2, fc,
+                    v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
+                    return_slab=True,
+                )
+            else:
+                p_raw, _, _ = hmm_pallas.posteriors_fused(
+                    F, alpha, prep2, fc,
+                    v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
+                )
         else:
             e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
             p_raw, _, _ = posteriors_blocked_lin(
@@ -254,7 +266,11 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     p_ibd = check_interv(p_raw)
     if not with_freq:
         return p_ibd, freq_c
-    if maf_kernel == "pallas":
+    if maf_kernel == "slab":
+        from ..ops.maf_pallas import est_maf_slab
+
+        freq_new = est_maf_slab(prep2, p_slab)
+    elif maf_kernel == "pallas":
         from ..ops.maf_pallas import est_maf_pallas, prepare_gl_tiles
 
         freq_new = est_maf_pallas(
@@ -953,11 +969,21 @@ class StreamingEM:
         # slab from HBM on every one of its up to 101 passes
         maf_k = ("pallas" if opts.numerics == "pallas"
                  and self.mesh is None else "xla")
+        if maf_k == "pallas" and self._ck == "fused":
+            from ..ops.maf import macro_schedule
+            from ..ops.maf_pallas import slab_geom_ok
+
+            if (macro_schedule(self.N) is not None
+                    and slab_geom_ok(self.cs, self.N, *self._cbs)):
+                maf_k = "slab"  # fixed point straight off the cached
+                #                 gl slabs + raw posterior slab
         new_freq = freq if self.device_freq else freq.copy()
         f_parts = []
         for c in range(self.C if opts.freq_est == 1 else 0):
             gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(
-                freq, c, need_gl=True  # est_maf reads raw GLs
+                # slab est_maf never touches the raw gl chunk; the
+                # tiles/XLA fixed points read it directly
+                freq, c, need_gl=(maf_k != "slab")
             )
             if self.multi:
                 v0_c = self._put(v0[c], "ind2", jnp.float32)

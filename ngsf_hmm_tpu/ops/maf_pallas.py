@@ -172,14 +172,22 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
     pass-equivalents instead of 101; trajectory error vs the exact
     damped iterate ~1e-5 (test_maf.py gates 1e-4).
 
-    The per-pass math is restructured into pass-invariant POLYNOMIAL
-    coefficient planes (hoisted): with u=(1-f)^2, v=f(1-f), w=f^2,
-      denom_i  = A u + B v + C w + K
-      cn_num_i = P v + Q w + K
-      cd_num_i = R v + K F
-    where K = [F==1] g1 * 1e-15 carries calc_HWE's heterozygote floor
+    The per-pass math is restructured into pass-invariant HORNER
+    coefficient planes (hoisted): every per-individual term is a
+    quadratic in f evaluated with two FMAs against a broadcast (f, f^2),
+      denom_i  = d0 + d1 f + d2 f^2     (d0=A+K, d1=B-2A, d2=A-B+C)
+      cn_num_i = K  + P  f + (Q-P) f^2
+      cd_num_i = KF + R (f - f^2)
+    (equivalent to the u=(1-f)^2, v=f(1-f), w=f^2 basis of the XLA path,
+    ~2x fewer VPU slots per cell per pass), the divide is an approximate
+    VPU reciprocal refined by one Newton step (rel err ~1e-9, far under
+    the 2e-5 pallas-vs-XLA gate), and each macro round evaluates the
+    freq-DERIVATIVE of the accumulator sums analytically from the same
+    planes -- quotient rule against the already-computed cn_i/cd_i, so a
+    gradient round costs ~1.5x a plain pass instead of jvp's 2x.
+    K = [F==1] g1 * 1e-15 carries calc_HWE's heterozygote floor
     (gen_func.cpp:946-956) as a freq-constant term, so the analytic
-    freq-derivatives below are exact for floored individuals too."""
+    freq-derivatives are exact for floored individuals too."""
     n_tiles = gl0.shape[0]
     N = n_ind
 
@@ -191,38 +199,41 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
         zero = jnp.zeros_like(F)
         tn1 = jnp.where(het, zero, 2.0 - 2.0 * F)
         K = jnp.where(het, g1 * jnp.float32(1e-15), zero)
-        A = g0
         B = g1 * tn1 + (g0 + g2) * F
-        C = g2
         P = g1 * tn1 + g2 * F * two_m_F
-        Q = g2 * two_m_F
         R = g1 * tn1 * F
         KF = K * F
+        # Horner planes (module docstring): quadratics in f
+        d0 = g0 + K
+        d1 = B - 2.0 * g0
+        d2 = g0 - B + g2
+        QmP = g2 * two_m_F - P
         T_row = jnp.sum(two_m_F, axis=0, keepdims=True)  # [1, TS]
 
+        def _recip(D):
+            r = pl.reciprocal(D, approx=True)
+            return r * (2.0 - D * r)  # one Newton step
+
         def sums(freq):
-            u = (1.0 - freq) * (1.0 - freq)
-            v = freq * (1.0 - freq)
-            w = freq * freq
-            inv = 1.0 / (A * u + B * v + C * w + K)
-            cn = jnp.sum((P * v + Q * w + K) * inv, axis=0, keepdims=True)
-            cd = T_row + jnp.sum((R * v + KF) * inv, axis=0, keepdims=True)
+            f2 = freq * freq
+            v = freq - f2
+            inv = _recip(d0 + d1 * freq + d2 * f2)
+            cn = jnp.sum((K + P * freq + QmP * f2) * inv,
+                         axis=0, keepdims=True)
+            cd = T_row + jnp.sum((KF + R * v) * inv, axis=0, keepdims=True)
             return cn, cd
 
         def sums_grad(freq):
-            u = (1.0 - freq) * (1.0 - freq)
-            v = freq * (1.0 - freq)
-            w = freq * freq
-            du = -2.0 * (1.0 - freq)
+            f2 = freq * freq
+            v = freq - f2
             dv = 1.0 - 2.0 * freq
-            dw = 2.0 * freq
-            inv = 1.0 / (A * u + B * v + C * w + K)
-            dD = A * du + B * dv + C * dw
-            cni = (P * v + Q * w + K) * inv
-            cdi = (R * v + KF) * inv
+            inv = _recip(d0 + d1 * freq + d2 * f2)
+            dD = d1 + 2.0 * d2 * freq
+            cni = (K + P * freq + QmP * f2) * inv
+            cdi = (KF + R * v) * inv
             cn = jnp.sum(cni, axis=0, keepdims=True)
             cd = T_row + jnp.sum(cdi, axis=0, keepdims=True)
-            dcn = jnp.sum((P * dv + Q * dw - cni * dD) * inv,
+            dcn = jnp.sum((P + 2.0 * QmP * freq - cni * dD) * inv,
                           axis=0, keepdims=True)
             dcd = jnp.sum((R * dv - cdi * dD) * inv,
                           axis=0, keepdims=True)
@@ -263,12 +274,27 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
         def macro_body(st):
             cn, cd, dcn, dcd = sums_grad(st[0])
             f0 = st[0]
+            # The M virtual passes are per-site scalar math. As [1, TS]
+            # vectors they use 1/8 of the VPU's sublanes (measured ~45%
+            # of each macro round's cost); packing sites into full
+            # [8, TS//8] vregs for the loop -- identical elementwise
+            # math, pure relayout -- runs them at full width.
+            pack = lambda x: x.reshape(8, TS // 8)
+            cnp_, cdp_, dcnp_, dcdp_, f0p = map(
+                pack, (cn, cd, dcn, dcd, f0)
+            )
 
-            def vstep(_, st2):
-                df = st2[0] - f0
-                return advance(st2, cn + dcn * df, cd + dcd * df)
+            def vstep(st2):
+                df = st2[0] - f0p
+                return advance(st2, cnp_ + dcnp_ * df, cdp_ + dcdp_ * df)
 
-            return jax.lax.fori_loop(0, M, vstep, st)
+            outp = (pack(st[0]), pack(st[1]), pack(st[2]), pack(st[3]),
+                    st[4])
+            for _ in range(M):  # static unroll: the per-step work is one
+                outp = vstep(outp)  # vreg; loop overhead would dominate
+            unpack = lambda x: x.reshape(1, TS)
+            return (unpack(outp[0]), unpack(outp[1]), unpack(outp[2]),
+                    unpack(outp[3]), outp[4])
 
         out = jax.lax.while_loop(macro_cond, macro_body, st)
         freq_ref[0] = out[0]
@@ -308,3 +334,237 @@ def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
     else:
         freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
     return freq.reshape(-1)[:S]
+
+
+# ===========================================================================
+# v2 slab-layout est_maf ("gl layout", models/hmm_pallas.py v2 section)
+#
+# The tiles kernels above need their own [n_tiles, N, TS] copies of gl
+# (~[S, N, 3] f32 of extra HBM) plus a [S, N] -> tiles transpose of the
+# IBD posterior EVERY EM iteration (~5 ms at 1M x 100, ~150 GB/s
+# effective).  When the EM loop already runs the v2 GL-fused chain
+# kernels, the gl slabs (g0, g2; g1 = 1 - g0 - g2 by normalisation) are
+# resident run constants and the posterior comes OUT of the fused
+# posterior kernel in the same slab layout -- so the fixed point can run
+# directly on those, reading each cell once into VMEM with NO relayout
+# and NO duplicate gl storage:
+#
+#   slab cell (row r, sublane n % 8, lane (n // 8) * nb_p + j)
+#     = site s = j * bs + r, individual n
+#   per-site state: [RB, nb_p] blocks -- fully-packed vregs, so the
+#     damped `advance` and the macro virtual passes run at full VPU
+#     width with no [1, L] sublane starvation and no repacking
+#   cross-individual reduction: G static lane-group slices + a sublane
+#     sum; per-site broadcast: the _emit2-style broadcast + lane tile
+#   pad rule: individuals n >= N are masked INTO the hoisted planes
+#     (zero contributions, denominator 1 -- zero per-pass cost); sites
+#     outside [0, S) compute garbage freely and are overwritten with the
+#     v2 freq-compact pad sentinel 2.0 on output
+#
+# Math and schedule are identical to _run_macro (Horner planes, refined
+# approx reciprocal, analytic macro gradients): the two kernels agree to
+# f32 rounding and both sit under the 2e-5 pallas-vs-XLA macro gate.
+# ===========================================================================
+
+_SLAB_RB = 8  # rows per grid step: [8, nb_p] state = fully-packed vregs
+_SLAB_VMEM_BUDGET = 88 * 1024 * 1024  # leave headroom under the 100 MB cap
+
+
+def slab_geom_ok(S, N, bs=None, nb_p=None):
+    """True when the slab est_maf kernel's VMEM working set (inputs +
+    ~11 hoisted coefficient planes at [RB, 8, C]) fits the budget for
+    this problem's v2 geometry."""
+    from ..models.hmm_pallas import pick_geom2, _geom2
+
+    if bs is None or nb_p is None:
+        bs, nb_p = pick_geom2(S, N)
+    _, G, _, C, _ = _geom2(S, N, bs, nb_p)
+    plane = _SLAB_RB * 8 * C * 4
+    return 15 * plane <= _SLAB_VMEM_BUDGET
+
+
+@partial(jax.jit, static_argnames=(
+    "C", "nb_p", "G", "bs", "nb", "S", "N", "bs_pad", "K0", "M"))
+def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, M):
+    RB = _SLAB_RB
+    nsteps = bs_pad // RB
+    f32 = jnp.float32
+
+    def kernel(g0_ref, g2_ref, p_ref, out_ref):
+        i = pl.program_id(0)
+        g0, g2, F = g0_ref[...], g2_ref[...], p_ref[...]  # [RB, 8, C]
+        g1 = 1.0 - g0 - g2
+        # individual-validity mask -> folded into the planes (module
+        # header): n = 8 * (lane // nb_p) + sublane
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, C), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, C), 2)
+        vm = (8 * (lane // nb_p) + sub) < N
+        zero = jnp.zeros_like(F)
+        two_m_F = 2.0 - F
+        het = F == 1.0
+        tn1 = jnp.where(het, zero, 2.0 - 2.0 * F)
+        K = jnp.where(het, g1 * f32(1e-15), zero)
+        B = g1 * tn1 + (g0 + g2) * F
+        P = g1 * tn1 + g2 * F * two_m_F
+        R = g1 * tn1 * F
+        KF = K * F
+        d0 = jnp.where(vm, g0 + K, jnp.ones_like(F))
+        d1 = jnp.where(vm, B - 2.0 * g0, zero)
+        d2 = jnp.where(vm, g0 - B + g2, zero)
+        QmP = jnp.where(vm, g2 * two_m_F - P, zero)
+        K = jnp.where(vm, K, zero)
+        P = jnp.where(vm, P, zero)
+        R = jnp.where(vm, R, zero)
+        KF = jnp.where(vm, KF, zero)
+
+        def _reduce(x):  # [RB, 8, C] -> [RB, nb_p]
+            acc = x[:, :, 0:nb_p]
+            for g in range(1, G):
+                acc = acc + x[:, :, g * nb_p:(g + 1) * nb_p]
+            # static middle-index slices, NOT jnp.sum(axis=1): the
+            # replicated-sublane layout a middle-axis reduce produces
+            # cannot relayout into the while-loop carries (Mosaic
+            # "Invalid relayout ... replicated in destination")
+            out = acc[:, 0, :]
+            for k in range(1, 8):
+                out = out + acc[:, k, :]
+            return out
+
+        T_row = _reduce(jnp.where(vm, two_m_F, zero))
+
+        def _recip(D):
+            r = pl.reciprocal(D, approx=True)
+            return r * (2.0 - D * r)
+
+        def _sub_sum(x):  # [RB, 8, nb_p] -> [RB, nb_p] (static slices)
+            out = x[:, 0, :]
+            for k in range(1, 8):
+                out = out + x[:, k, :]
+            return out
+
+        def _gsl(x, g):  # lane-group slice of a plane
+            return x[:, :, g * nb_p:(g + 1) * nb_p]
+
+        # Per-pass evaluation walks the G lane groups with static plane
+        # slices against a sublane-broadcast freq [RB, 1, nb_p] -- no
+        # full-width tile materialisation, and the lane-group reduce IS
+        # the accumulation.
+        def sums(freq):
+            f3 = freq[:, None, :]
+            a_cn = a_cd = None
+            for g in range(G):
+                inv = _recip(_gsl(d0, g) + (_gsl(d1, g)
+                                            + _gsl(d2, g) * f3) * f3)
+                cn_g = (_gsl(K, g) + (_gsl(P, g)
+                                      + _gsl(QmP, g) * f3) * f3) * inv
+                cd_g = (_gsl(KF, g) + (_gsl(R, g) * (1.0 - f3)) * f3) * inv
+                a_cn = cn_g if a_cn is None else a_cn + cn_g
+                a_cd = cd_g if a_cd is None else a_cd + cd_g
+            return _sub_sum(a_cn), T_row + _sub_sum(a_cd)
+
+        def sums_grad(freq):
+            f3 = freq[:, None, :]
+            a_cn = a_cd = a_dcn = a_dcd = None
+            for g in range(G):
+                d1g, d2g = _gsl(d1, g), _gsl(d2, g)
+                Pg, QmPg, Rg = _gsl(P, g), _gsl(QmP, g), _gsl(R, g)
+                inv = _recip(_gsl(d0, g) + (d1g + d2g * f3) * f3)
+                dD = d1g + (d2g + d2g) * f3
+                cni = (_gsl(K, g) + (Pg + QmPg * f3) * f3) * inv
+                cdi = (_gsl(KF, g) + (Rg * (1.0 - f3)) * f3) * inv
+                dcn_g = (Pg + (QmPg + QmPg) * f3 - cni * dD) * inv
+                dcd_g = (Rg * (1.0 - (f3 + f3)) - cdi * dD) * inv
+                a_cn = cni if a_cn is None else a_cn + cni
+                a_cd = cdi if a_cd is None else a_cd + cdi
+                a_dcn = dcn_g if a_dcn is None else a_dcn + dcn_g
+                a_dcd = dcd_g if a_dcd is None else a_dcd + dcd_g
+            return (_sub_sum(a_cn), T_row + _sub_sum(a_cd),
+                    _sub_sum(a_dcn), _sub_sum(a_dcd))
+
+        def advance(st, cn, cd):
+            freq, num, den, active, passes = st
+            prev = freq
+            num = num + active * cn
+            den = den + active * cd
+            freq = freq + active * (num / den - freq)
+            passes = passes + 1
+            moved = (jnp.abs(prev - freq) > EPSILON).astype(f32)
+            inside = f32(1.0) * (passes <= ITER_MAX)
+            return (freq, num, den, active * moved * inside, passes)
+
+        z = jnp.zeros((RB, nb_p), f32)
+        init = (
+            jnp.full((RB, nb_p), 0.01, f32),
+            z,
+            z,
+            jnp.ones((RB, nb_p), f32),
+            jnp.zeros((), jnp.int32),
+        )
+
+        def real_cond(st):
+            return (jnp.sum(st[3]) > 0.0) & (st[4] < K0)
+
+        def real_body(st):
+            cn, cd = sums(st[0])
+            return advance(st, cn, cd)
+
+        st = jax.lax.while_loop(real_cond, real_body, init)
+
+        def macro_cond(st):
+            return jnp.sum(st[3]) > 0.0
+
+        def macro_body(st):
+            cn, cd, dcn, dcd = sums_grad(st[0])
+            f0 = st[0]
+            for _ in range(M):  # static unroll (one-vreg-deep steps)
+                df = st[0] - f0
+                st = advance(st, cn + dcn * df, cd + dcd * df)
+            return st
+
+        out = jax.lax.while_loop(macro_cond, macro_body, st)
+        # pad sites -> the v2 freq-compact sentinel
+        r_loc = jax.lax.broadcasted_iota(jnp.int32, (RB, nb_p), 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (RB, nb_p), 1)
+        r_glob = i * RB + r_loc
+        valid = (r_glob < bs) & (j_idx < nb) & (j_idx * bs + r_glob < S)
+        out_ref[...] = jnp.where(valid, out[0], f32(2.0))[:, None, :]
+
+    slab = pl.BlockSpec((RB, 8, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bs_pad, 1, nb_p), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[slab, slab, slab],
+        out_specs=pl.BlockSpec((RB, 1, nb_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_BUDGET
+        ),
+    )(g0s, g2s, ps)
+
+
+def est_maf_slab(prep2, p_slab, macro=True):
+    """Per-site MAF directly from the v2 gl slabs + raw posterior slab.
+
+    prep2: models/hmm_pallas.prepare_gl_inputs output (the run-constant
+    gl slabs). p_slab: the [bs_pad, 8, C] posterior slab a
+    posteriors_fused(..., return_slab=True) call emitted (pre-unpack).
+    Returns freq [S] f32. Caller gates on slab_geom_ok + a non-None
+    macro_schedule(N)."""
+    from .maf import macro_schedule
+
+    S, N = prep2["S"], prep2["N"]
+    if macro is True:
+        macro = macro_schedule(N)
+    if not macro:
+        raise ValueError("est_maf_slab requires a macro schedule")
+    K0, M = macro
+    fcomp = _run_macro_slab(
+        prep2["g0"], prep2["g2"], p_slab,
+        prep2["C"], prep2["nb_p"], prep2["G"], prep2["bs"], prep2["nb"],
+        S, N, prep2["bs_pad"], K0, M,
+    )
+    v = jnp.swapaxes(fcomp[:, 0, :], 0, 1)[: prep2["nb"], : prep2["bs"]]
+    return v.reshape(-1)[:S]

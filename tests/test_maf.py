@@ -182,3 +182,50 @@ def test_est_maf_pallas_het_certain_at_full_ibd():
     got = np.asarray(est_maf_pallas(prepare_gl_tiles(gl_j), p_j, S))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_est_maf_slab_matches_xla():
+    """The v2 slab-layout est_maf kernel (gl slabs + raw posterior slab,
+    no relayouts) emulates the same macro trajectory as the XLA macro
+    path: pad individuals masked in the planes, ragged site tails
+    sentinel'd, het floor honoured."""
+    from ngsf_hmm_tpu.models.hmm_pallas import (
+        prepare_gl_inputs, pack_sites2,
+    )
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_slab, slab_geom_ok
+
+    rng = np.random.default_rng(91)
+    for S, N in ((2100, 100), (1536, 96)):
+        gl = _realistic_gls(rng, S, N)
+        F = rng.random((S, N)) * 0.9
+        F[5, :] = 1.0  # het-floor row
+        gl32 = jnp.asarray(gl, jnp.float32)
+        F32 = jnp.asarray(F, jnp.float32)
+        assert slab_geom_ok(S, N)
+        prep2 = prepare_gl_inputs(gl32, jnp.zeros(S))
+        p_slab = pack_sites2(F32, prep2)
+        want = np.asarray(est_maf(gl32, F32, linear=True, macro=True))
+        got = np.asarray(est_maf_slab(prep2, p_slab, macro=True))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_em_iteration_slab_route_wiring():
+    """em_iteration's v2 slab est_maf route (numerics='pallas', N >= 32,
+    fused kernels) produces the same freq the XLA macro path would from
+    the iteration's own posterior."""
+    from ngsf_hmm_tpu.models.em import em_iteration, init_state
+
+    rng = np.random.default_rng(402)
+    S, N = 900, 40
+    gl_lin = _realistic_gls(rng, S, N)
+    gl = jnp.log(jnp.asarray(gl_lin, jnp.float32))
+    dist = jnp.full((S,), 1e-5, jnp.float32)
+    st = init_state(
+        gl, jnp.full((S,), 0.2, jnp.float32),
+        jnp.full((N,), 0.3, jnp.float32), jnp.full((N,), 0.05, jnp.float32),
+    )
+    st2, _ = em_iteration(gl, dist, st, numerics="pallas")
+    want = np.asarray(
+        est_maf(jnp.exp(gl), st2.p_ibd, linear=True, macro=True)
+    )
+    np.testing.assert_allclose(np.asarray(st2.freq), want, atol=3e-5)

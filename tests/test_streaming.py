@@ -594,3 +594,39 @@ def test_slab_caches_bit_identical_and_skip_gl_fetches(data):
     n_iter = out_on[4]
     assert fetch_on == se_on.C * 2 * n_iter
     assert fetch_off > fetch_on * 2  # the evals were real fetches before
+
+
+def test_streaming_slab_maf_matches_xla_stream():
+    """N >= 32 single-device fused stream: pass B's freq fixed point
+    runs the v2 SLAB est_maf kernel (no raw-gl fetch at all) -- the
+    trajectory must match the XLA stream to macro-tier tolerances."""
+    rng = np.random.default_rng(57)
+    S, N = 700, 40
+    depth = rng.poisson(2.0, (S, N))
+    truth = rng.integers(0, 3, (S, N))
+    err = 0.05
+    p_der = np.array([err, 0.5, 1 - err])[truth]
+    der = np.clip(rng.binomial(depth, p_der), 0, depth)
+    ll = np.stack([
+        der * np.log(p) + (depth - der) * np.log1p(-p)
+        for p in (err, 0.5, 1 - err)
+    ], -1)
+    ll = np.where(depth[..., None] == 0, 0.0, ll)
+    gl = ll - ll.max(-1, keepdims=True)
+    gl = np.log(np.exp(gl) / np.exp(gl).sum(-1, keepdims=True))
+    dist = np.full(S, 1e-5)
+    freq0 = np.full(S, 0.2)
+    F0 = np.linspace(0.1, 0.6, N)
+    a0 = np.linspace(0.02, 0.2, N)
+    base = dict(min_iters=2, max_iters=3, min_epsilon=1e-4)
+
+    f_x, F_x, a_x, ll_x, it_x = StreamingEM(gl, dist, chunk_sites=256).run(
+        freq0, F0, a0, EMOptions(**base)
+    )
+    f_p, F_p, a_p, ll_p, it_p = StreamingEM(gl, dist, chunk_sites=256).run(
+        freq0, F0, a0, EMOptions(numerics="pallas", **base)
+    )
+    assert it_p == it_x
+    np.testing.assert_allclose(f_p, f_x, atol=2e-4)
+    np.testing.assert_allclose(ll_p, ll_x, rtol=2e-5)
+    np.testing.assert_allclose(F_p, F_x, atol=1e-3)
