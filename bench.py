@@ -316,9 +316,11 @@ def time_ours_big(t_sync):
     import jax.numpy as jnp
 
     from ngsf_hmm_tpu.models.em import init_state
-    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
+    from ngsf_hmm_tpu.ops.maf import macro_schedule
+    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles, slab_geom_ok
 
     Sb, Nb = BIG_S, BIG_N
+    slab_maf = macro_schedule(Nb) is not None and slab_geom_ok(Sb, Nb)
     dt = jnp.float32
 
     @jax.jit
@@ -349,7 +351,9 @@ def time_ours_big(t_sync):
         gl, jnp.full((Sb,), 0.2, dt), jnp.full((Nb,), 0.2, dt),
         jnp.full((Nb,), 0.05, dt),
     )
-    gl_tiles = prepare_gl_tiles(jnp.exp(gl))
+    # the slab est_maf route consumes the resident v2 gl slabs; the
+    # [n_tiles, N, TS] tiling is only needed on its fallback
+    gl_tiles = None if slab_maf else prepare_gl_tiles(jnp.exp(gl))
     float(np.asarray(jnp.sum(state.e_prob)))
     log(f"[bench] big leg ({Sb}x{Nb}): on-device synth+init "
         f"{time.perf_counter() - t0:.1f}s")
@@ -369,17 +373,37 @@ def time_ours_big(t_sync):
     # quirk's ~101, ops/maf.py docstring), so the bytes-only roofline
     # under-counts it; measured empirically so the JSON decomposes the
     # iteration honestly.
-    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas
-
     p_ibd = state.p_ibd
-    f = est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
+    if slab_maf:
+        # measure the route the loop actually runs: the slab fixed
+        # point off the v2 gl slabs + a posterior slab (the [S, N] ->
+        # slab pack happens once outside the timed region; in the loop
+        # the posterior kernel emits the slab directly)
+        from ngsf_hmm_tpu.models.hmm_pallas import (
+            pack_sites2, prepare_gl_inputs,
+        )
+        from ngsf_hmm_tpu.ops.maf_pallas import est_maf_slab
+
+        prep2 = prepare_gl_inputs(jnp.exp(gl), dist)
+        # closure only reads prep2's static ints (no array baking)
+        p_slab = jax.jit(lambda x: pack_sites2(x, prep2))(p_ibd)
+
+        def maf_once():
+            return est_maf_slab(prep2, p_slab)
+    else:
+        from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas
+
+        def maf_once():
+            return est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
+    f = maf_once()
     float(np.asarray(jnp.sum(f)))
     t0 = time.perf_counter()
     for _ in range(4):
-        f = est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
+        f = maf_once()
     float(np.asarray(jnp.sum(f)))
     t_maf = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
-    log(f"[bench] est_maf alone (big, macro): {t_maf * 1e3:.2f} ms")
+    kind = "slab" if slab_maf else "tiles"
+    log(f"[bench] est_maf alone (big, macro, {kind}): {t_maf * 1e3:.2f} ms")
     return per_iter, t_maf, opt_iters
 
 

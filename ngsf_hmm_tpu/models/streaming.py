@@ -672,21 +672,26 @@ class StreamingEM:
         return cs_pad * self.N * 2 * 4, cs_pad * 4
 
     def _plan_slab_caches(self):
-        """Decide, from an HBM budget, whether to keep the prepped
-        emission / dist slabs device-resident across chunk passes.
+        """Decide, from an HBM budget, how many chunks' prepped
+        emission / dist slabs stay device-resident across chunk passes.
 
-        Caching only pays if EVERY chunk's slabs fit simultaneously
-        (the pass order cycles 0..C-1, so partial caches always evict
-        before reuse). Budget: NGSF_STREAM_CACHE_BYTES env override
-        (0 disables), else 45% of the backend's reported bytes_limit,
-        else a conservative 4 GiB. Emission slabs first (they save the
-        gl fetch + emission math + relayout on every pass), the dist
-        slabs with what remains. Single-process, non-mesh streams only:
-        the folded slab layouts interleave sites and individuals, so
-        they have no clean mesh sharding."""
+        An LRU-style partial cache would always evict before reuse (the
+        pass order cycles 0..C-1), so the cache PINS a fixed prefix of
+        chunks [0, pin_k): those never rebuild, the rest always do --
+        at 50M x 100 the slabs exceed HBM several times over and
+        pinning the prefix still saves pin_k/C of every pass's prep.
+        Budget: NGSF_STREAM_CACHE_BYTES env override (0 disables), else
+        60% of the backend's reported bytes_limit minus the per-pass
+        working set, else a platform default. Emission/gl slabs first
+        (they save the gl fetch + emission math + relayout on every
+        pass), the dist slabs only with a FULL pin (they are small and
+        per-pass rebuilt-on-device anyway). Single-process, non-mesh
+        streams only: the folded slab layouts interleave sites and
+        individuals, so they have no clean mesh sharding."""
         import os
 
         self._cache_e = self._cache_d = False
+        self._pin_k = 0
         self._eslab_cache = {}
         self._dslab_cache = {}
         self._dcomp_cache = {}
@@ -716,12 +721,15 @@ class StreamingEM:
                     tpu = False
                 cap = (16 << 30) * 3 // 4 if tpu else (4 << 30)
                 budget = cap - work
-        if budget <= 0:
+        self._pin_k = 0
+        if budget <= 0 or e_b <= 0:
             return
-        if self.C * e_b <= budget:
+        k = min(self.C, budget // e_b)
+        if k >= 1:
             self._cache_e = True
-            budget -= self.C * e_b
-        if self._cache_e and self.C * d_b <= budget:
+            self._pin_k = int(k)
+            budget -= self._pin_k * e_b
+        if self._pin_k == self.C and self.C * d_b <= budget:
             self._cache_d = True
 
     def _config_kernel(self, opts):
@@ -768,14 +776,15 @@ class StreamingEM:
         if self._ck == "fused":
             self._freq_epoch(freq)
             bs2, nb_p = self._cbs
-            sl = self._eslab_cache.get(c) if self._cache_e else None
+            pin = self._cache_e and c < self._pin_k
+            sl = self._eslab_cache.get(c) if pin else None
             gl_d = None
             if sl is None or need_gl:
                 gl_c, lo, hi, _ = self._chunk(c)
                 gl_d = self._put(gl_c, "gl")
             if sl is None:
                 sl = _chunk_glslabs(gl_d, bs2, nb_p)
-                if self._cache_e:
+                if pin:
                     try:
                         # materialise now: an over-optimistic budget
                         # (the TPU fallback guesses HBM) must fail HERE,
@@ -813,7 +822,7 @@ class StreamingEM:
                     self._freq_dev(freq, c, lo, hi),
                     self._dist_dev(c, d_c), None, lo, hi)
         self._freq_epoch(freq)
-        es = self._eslab_cache.get(c)
+        es = self._eslab_cache.get(c) if c < self._pin_k else None
         gl_d = None
         if es is None or need_gl:
             gl_c, lo, hi, _ = self._chunk(c)
@@ -823,7 +832,8 @@ class StreamingEM:
                 gl_d, self._freq_dev(freq, c, lo, hi),
                 self._cbs, hi - lo, chain_kernel=self._ck,
             )
-            self._eslab_cache[c] = es
+            if c < self._pin_k:
+                self._eslab_cache[c] = es
         d_pre = self._dslab_dev(c) if self._cache_d else None
         return (gl_d if need_gl else None, None, self._dist_dev(c),
                 (*es, d_pre), lo, hi)

@@ -630,3 +630,39 @@ def test_streaming_slab_maf_matches_xla_stream():
     np.testing.assert_allclose(f_p, f_x, atol=2e-4)
     np.testing.assert_allclose(ll_p, ll_x, rtol=2e-5)
     np.testing.assert_allclose(F_p, F_x, atol=1e-3)
+
+
+def test_partial_slab_pinning_matches_uncached(data):
+    """A budget that fits only SOME chunks' slabs pins a fixed prefix
+    (never-evicted) instead of disabling the cache -- trajectory still
+    bit-identical to the uncached path."""
+    import os
+
+    gl, dist = data
+    S, N = gl.shape[0], gl.shape[1]
+    opts = EMOptions(min_iters=2, max_iters=4, min_epsilon=1e-6)
+
+    probe = StreamingEM(gl, dist, chunk_sites=300)
+    probe._config_kernel(opts)
+    e_b, _ = probe._slab_bytes()
+
+    def run(cache_bytes):
+        old = os.environ.get("NGSF_STREAM_CACHE_BYTES")
+        os.environ["NGSF_STREAM_CACHE_BYTES"] = cache_bytes
+        try:
+            se = StreamingEM(gl, dist, chunk_sites=300)
+            out = se.run(np.full(S, 0.2), np.full(N, 0.2),
+                         np.full(N, 0.05), opts)
+            return se, out
+        finally:
+            if old is None:
+                del os.environ["NGSF_STREAM_CACHE_BYTES"]
+            else:
+                os.environ["NGSF_STREAM_CACHE_BYTES"] = old
+
+    se_pin, out_pin = run(str(int(e_b * 1.5)))
+    assert se_pin._cache_e and se_pin._pin_k == 1 and not se_pin._cache_d
+    se_off, out_off = run("0")
+    assert not se_off._cache_e
+    for a, b in zip(out_pin, out_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
