@@ -261,6 +261,8 @@ def _make_step(gl, dist, gl_tiles):
             gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
             prep_slabs=holder["slabs"], return_prep=True,
             opt_memory=holder["opt"], return_opt=True,
+            defer_emissions=True,  # as run_em's loop: e_prob is
+            #                        write-only inside the fused loop
         )
         holder["slabs"] = slabs
         holder["opt"] = opt

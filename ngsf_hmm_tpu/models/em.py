@@ -160,6 +160,7 @@ def in_loop_emission_form(freq_est, numerics, site_sharded=False):
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
         "block_size", "numerics", "n_rep", "return_prep", "return_opt",
+        "defer_emissions",
     ),
 )
 def em_iteration(
@@ -179,6 +180,7 @@ def em_iteration(
     return_prep: bool = False,
     opt_memory=None,
     return_opt: bool = False,
+    defer_emissions: bool = False,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -222,6 +224,16 @@ def em_iteration(
     tuple a previous call returned (None on the first iteration);
     return_opt=True appends the updated memory to the return tuple
     (after next_slabs when return_prep is also set).
+
+    defer_emissions: fused-mode speed switch (run_em sets it): skip the
+    per-iteration state.e_prob materialisation -- the v2 kernels build
+    emissions in-kernel from (gl, freq), so inside the loop e_prob is
+    write-only; the returned state carries the STALE e_prob and the
+    caller rebuilds it (log emission_probs_linear, the in-loop form)
+    at loop exit and before checkpoints. Honoured only where that
+    rebuild is exact: the fused route with freq_est 1, e_prob_calc 1.
+    With the slab est_maf route this also dead-codes the [S, N, 3]
+    exp(gl) inside the jit.
 
     n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
     individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
@@ -483,7 +495,10 @@ def em_iteration(
         else:
             freq = est_maf(gl, p_ibd, axis_name=axis_name)
         if e_prob_calc == 1:
-            if fast:
+            if fast and defer_emissions and use_fused:
+                e_lin_new = None
+                e_prob = state.e_prob  # stale by contract (docstring)
+            elif fast:
                 e_lin_new = emission_probs_linear(gl_lin, freq[:, None])
                 e_prob = jnp.log(e_lin_new)
             else:
@@ -659,6 +674,20 @@ def run_em(
             gl.dtype,
         )
 
+    # fused-mode loops never read state.e_prob: defer its per-iteration
+    # materialisation and rebuild it (the exact in-loop "linear" form)
+    # at loop exit and before checkpoints
+    defer = (
+        opts.numerics == "pallas" and opts.freq_est == 1
+        and opts.e_prob_calc == 1
+    )
+
+    def _rebuild_eprob(st):
+        e = jnp.log(
+            emission_probs_linear(jnp.exp(gl), st.freq[:, None])
+        ).astype(gl.dtype)
+        return st._replace(e_prob=e)
+
     def step(st, active):
         kw = dict(
             freq_est=opts.freq_est,
@@ -670,6 +699,7 @@ def run_em(
             gl_tiles=gl_tiles,
             opt_memory=opt_holder["mem"] if warm else None,
             return_opt=warm,
+            defer_emissions=defer,
         )
         if opts.numerics == "pallas":
             out = em_iteration(
@@ -685,10 +715,12 @@ def run_em(
         return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
     cb = checkpoint_cb
-    if checkpoint_cb is not None and warm:
+    if checkpoint_cb is not None and (warm or defer):
 
         def cb(n_iter, st, bkd):
-            if opt_holder["mem"] is not None:
+            if defer:
+                st = _rebuild_eprob(st)  # checkpoints carry live e_prob
+            if warm and opt_holder["mem"] is not None:
                 bkd = dict(bkd)
                 bkd["opt_mem"] = tuple(
                     np.asarray(x) for x in opt_holder["mem"]
@@ -708,6 +740,8 @@ def run_em(
     )
     tot = float(bk.tot[0])
     converged = bk.n_iter < opts.max_iters
+    if defer and bk.n_iter > 0:
+        state = _rebuild_eprob(state)
 
     # ---- Final Viterbi decode (EM.cpp:110-116)
     path, _ = viterbi(

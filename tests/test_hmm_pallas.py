@@ -133,3 +133,55 @@ def test_pallas_em_iteration_matches_log():
     np.testing.assert_allclose(
         np.asarray(st_pal.p_ibd), np.asarray(st_log.p_ibd), atol=5e-3
     )
+
+
+def test_run_em_deferred_emissions_match_manual_loop():
+    """run_em's fused-mode loop defers the per-iteration e_prob
+    materialisation (write-only inside the loop) and rebuilds it at
+    exit; the result must equal the undeferred iteration-by-iteration
+    trajectory, and checkpoint callbacks must see a LIVE e_prob."""
+    from ngsf_hmm_tpu.models.em import (
+        EMOptions, em_iteration, init_state, run_em,
+    )
+
+    rng = np.random.default_rng(411)
+    S, N = 300, 6
+    gl, freq, dist, F, alpha, e = oracle.random_case(rng, S=S, N=N)
+    gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)), jnp.float32)
+    dist_j = jnp.asarray(dist, jnp.float32)
+    st0 = init_state(gl_j, jnp.asarray(freq, jnp.float32),
+                     jnp.asarray(F, jnp.float32),
+                     jnp.asarray(alpha, jnp.float32))
+
+    seen = {}
+
+    def cb(n_iter, st, bkd):
+        seen[n_iter] = np.asarray(st.e_prob)
+
+    opts = EMOptions(numerics="pallas", min_iters=3, max_iters=3,
+                     min_epsilon=1e-9)
+    res = run_em(gl_j, dist_j, st0, opts, checkpoint_cb=cb)
+
+    # mirror run_em's step exactly (slab threading + warm M-step
+    # memory + the pallas est_maf tiles it builds at N < 32) minus the
+    # deferral
+    from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles
+
+    tiles = prepare_gl_tiles(jnp.exp(gl_j))
+    st, slabs, mem = st0, None, None
+    for _ in range(3):
+        st, _, slabs, mem = em_iteration(
+            gl_j, dist_j, st, numerics="pallas", prep_slabs=slabs,
+            gl_tiles=tiles, return_prep=True, opt_memory=mem,
+            return_opt=True,
+        )
+
+    np.testing.assert_array_equal(np.asarray(res.state.freq),
+                                  np.asarray(st.freq))
+    np.testing.assert_array_equal(np.asarray(res.state.indF),
+                                  np.asarray(st.indF))
+    np.testing.assert_allclose(np.asarray(res.state.e_prob),
+                               np.asarray(st.e_prob), rtol=2e-6)
+    # the checkpointed e_prob at the last iteration is the live one
+    np.testing.assert_allclose(seen[max(seen)],
+                               np.asarray(res.state.e_prob), rtol=2e-6)
