@@ -93,11 +93,14 @@ if "full" in ONLY:
 
 SCHEDS = {"k816": (8, 16), "k832": (8, 32), "k416": (4, 16),
           "k432": (4, 32), "k464": (4, 64), "k1616": (16, 16)}
+from ngsf_hmm_tpu.ops.maf import macro_rounds
+
 for key, (K0, M) in SCHEDS.items():
     if key in ONLY:
         chain(f"_run_macro kernel only K0={K0} M={M}",
               lambda cs, p, K0=K0, M=M: p + jnp.sum(
-                  _run_macro(cs[0], cs[1], cs[2], p, N, K0, M)) * E,
+                  _run_macro(cs[0], cs[1], cs[2], p, N, K0,
+                             macro_rounds(K0, M))) * E,
               tiles, p_tiles)
 
 if "exact" in ONLY:

@@ -34,27 +34,47 @@ from ..utils.constants import EPSILON, ITER_MAX
 from .hwe import calc_hwe, post_prob, miss_data
 
 MACRO_K0 = 8  # real full-width passes before linearised macro-stepping
-MACRO_M = 16  # virtual (linearised) passes per jvp evaluation
+MACRO_MS = (12, 24, 57)  # virtual-window lengths per jvp round
 
 
 def macro_schedule(n_ind):
     """(K0, M) for ``macro=True``, keyed on the individual count, or None
-    (= run exact) below the profitable/safe size.
+    (= run exact) below the profitable/safe size. M is a TUPLE of
+    virtual-window lengths, one gradient-augmented evaluation per entry.
 
     The linearisation error scales with the squared per-window freq
-    movement, which shrinks as the cross-individual sums sharpen: at
-    N >= 96 the aggressive (8, 16) stays under ~7e-5 (measured on
-    Poisson-2x GLs; 1e-4 test gate), at 32 <= N < 96 the safer (16, 8)
-    holds ~1e-5, and below 32 individuals the residual moves too much
-    per window for a fixed schedule -- and exact passes are cheap there
-    anyway. Sharded callers key on their LOCAL width: the gate is an
-    absolute trajectory-error bound, not cross-layout bitwise equality.
+    movement, which shrinks BOTH as the cross-individual sums sharpen
+    (larger N) and as the damped ~1/k iterate slows down (later
+    windows) -- so the windows GROW across rounds: short early windows
+    where freq still moves, long late ones where it crawls. Measured
+    max drift vs the exact damped iterate on Poisson-2x GLs (1e-4 test
+    gate): N >= 96 with (8, (12, 24, 57)): ~4e-5 in HALF the rounds of
+    the former fixed (8, 16); 32 <= N < 96 with (16, (8, 16, 32, 29)):
+    ~2.7e-5 in 4 rounds instead of the former (16, 8)'s 11. Below 32
+    individuals the residual moves too much per window for a fixed
+    schedule -- and exact passes are cheap there anyway. Sharded
+    callers key on their LOCAL width: the gate is an absolute
+    trajectory-error bound, not cross-layout bitwise equality.
     """
     if n_ind < 32:
         return None
     if n_ind < 96:
-        return (16, 8)
-    return (MACRO_K0, MACRO_M)
+        return (16, (8, 16, 32, 29))
+    return (MACRO_K0, MACRO_MS)
+
+
+def macro_rounds(K0, M):
+    """Normalise a schedule's M spec to the static tuple of virtual-
+    window lengths covering the reference's ITER_MAX+1 trip budget.
+    An int M (legacy fixed-window spec) expands to repeated windows;
+    values beyond the budget are harmless (fully-converged or
+    past-ITER_MAX states advance as masked no-ops)."""
+    if isinstance(M, (tuple, list)):
+        return tuple(int(m) for m in M)
+    import math
+
+    n = max(1, -(-(ITER_MAX + 1 - K0) // int(M)))
+    return (int(M),) * n
 
 
 class _MafState(NamedTuple):
@@ -189,12 +209,13 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False,
         out = jax.lax.while_loop(lambda st: jnp.any(st.active), body, init)
         return out.freq
     K0, M = sched
+    Ms = macro_rounds(K0, M)
 
     st = jax.lax.while_loop(
         lambda st: jnp.any(st.active) & (st.passes < K0), body, init
     )
 
-    def macro_round(st: _MafState) -> _MafState:
+    def macro_round(st: _MafState, M_r: int) -> _MafState:
         # one gradient-augmented evaluation (jvp ~ 2x a plain pass) ...
         (cn, cdv), (dcn, dcdv) = jax.jvp(
             _local_sums, (st.freq,), (jnp.ones_like(st.freq),)
@@ -205,16 +226,19 @@ def est_maf(gl_s, indF, ignore_miss_data=False, axis_name=None, linear=False,
             )
         f0 = st.freq
 
-        # ... then M virtual damped passes on the linearised model:
+        # ... then M_r virtual damped passes on the linearised model:
         # per-site scalar math only (and, on meshes, collective-free --
         # every operand here is already replicated across shards)
         def vstep(_, st2: _MafState) -> _MafState:
             df = st2.freq - f0
             return _advance(st2, cn + dcn * df, T_w + cdv + dcdv * df)
 
-        return jax.lax.fori_loop(0, M, vstep, st)
+        return jax.lax.fori_loop(0, M_r, vstep, st)
 
-    out = jax.lax.while_loop(
-        lambda st: jnp.any(st.active), macro_round, st
-    )
-    return out.freq
+    # rounds run unconditionally: a converged (or past-ITER_MAX) state
+    # advances as a masked no-op, so the static round list is exactly
+    # equivalent to the former any(active) while-loop -- and on meshes
+    # it fixes the per-iteration collective count at len(Ms) + K0
+    for M_r in Ms:
+        st = macro_round(st, M_r)
+    return st.freq

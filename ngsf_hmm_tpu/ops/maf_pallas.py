@@ -163,8 +163,8 @@ def _run(gl0, gl1, gl2, p, n_ind):
     )(gl0, gl1, gl2, p)
 
 
-@partial(jax.jit, static_argnames=("n_ind", "K0", "M"))
-def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
+@partial(jax.jit, static_argnames=("n_ind", "K0", "Ms"))
+def _run_macro(gl0, gl1, gl2, p, n_ind, K0, Ms):
     """Macro-stepping kernel (ops/maf.py module docstring): K0 real
     damped passes, then rounds of ONE gradient-augmented evaluation
     (~2x a pass) + M virtual passes of per-site scalar math on the
@@ -268,13 +268,10 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
 
         st = jax.lax.while_loop(real_cond, real_body, init)
 
-        def macro_cond(st):
-            return jnp.sum(st[3]) > 0.0
-
-        def macro_body(st):
+        def macro_body(st, M_r):
             cn, cd, dcn, dcd = sums_grad(st[0])
             f0 = st[0]
-            # The M virtual passes are per-site scalar math. As [1, TS]
+            # The virtual passes are per-site scalar math. As [1, TS]
             # vectors they use 1/8 of the VPU's sublanes (measured ~45%
             # of each macro round's cost); packing sites into full
             # [8, TS//8] vregs for the loop -- identical elementwise
@@ -290,14 +287,18 @@ def _run_macro(gl0, gl1, gl2, p, n_ind, K0, M):
 
             outp = (pack(st[0]), pack(st[1]), pack(st[2]), pack(st[3]),
                     st[4])
-            for _ in range(M):  # static unroll: the per-step work is one
+            for _ in range(M_r):  # static unroll: per-step work is one
                 outp = vstep(outp)  # vreg; loop overhead would dominate
             unpack = lambda x: x.reshape(1, TS)
             return (unpack(outp[0]), unpack(outp[1]), unpack(outp[2]),
                     unpack(outp[3]), outp[4])
 
-        out = jax.lax.while_loop(macro_cond, macro_body, st)
-        freq_ref[0] = out[0]
+        # static round list (ops/maf.py macro_rounds): converged or
+        # past-ITER_MAX states advance as masked no-ops, so this equals
+        # the former any(active) while-loop round-for-round
+        for M_r in Ms:
+            st = macro_body(st, M_r)
+        freq_ref[0] = st[0]
 
     tile = lambda: pl.BlockSpec(
         (1, N, TS), _imap_fwd, memory_space=pltpu.VMEM
@@ -329,8 +330,11 @@ def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
 
         macro = macro_schedule(gl0.shape[1])
     if macro:
+        from .maf import macro_rounds
+
         K0, M = macro
-        freq = _run_macro(gl0, gl1, gl2, p, gl0.shape[1], K0, M)
+        freq = _run_macro(gl0, gl1, gl2, p, gl0.shape[1], K0,
+                          macro_rounds(K0, M))
     else:
         freq = _run(gl0, gl1, gl2, p, gl0.shape[1])
     return freq.reshape(-1)[:S]
@@ -384,8 +388,8 @@ def slab_geom_ok(S, N, bs=None, nb_p=None):
 
 
 @partial(jax.jit, static_argnames=(
-    "C", "nb_p", "G", "bs", "nb", "S", "N", "bs_pad", "K0", "M"))
-def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, M):
+    "C", "nb_p", "G", "bs", "nb", "S", "N", "bs_pad", "K0", "Ms"))
+def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, Ms):
     RB = _SLAB_RB
     nsteps = bs_pad // RB
     f32 = jnp.float32
@@ -510,18 +514,14 @@ def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, M):
 
         st = jax.lax.while_loop(real_cond, real_body, init)
 
-        def macro_cond(st):
-            return jnp.sum(st[3]) > 0.0
-
-        def macro_body(st):
+        # static round list (ops/maf.py macro_rounds); see tiles note
+        for M_r in Ms:
             cn, cd, dcn, dcd = sums_grad(st[0])
             f0 = st[0]
-            for _ in range(M):  # static unroll (one-vreg-deep steps)
+            for _ in range(M_r):  # static unroll (one-vreg-deep steps)
                 df = st[0] - f0
                 st = advance(st, cn + dcn * df, cd + dcd * df)
-            return st
-
-        out = jax.lax.while_loop(macro_cond, macro_body, st)
+        out = st
         # pad sites -> the v2 freq-compact sentinel
         r_loc = jax.lax.broadcasted_iota(jnp.int32, (RB, nb_p), 0)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (RB, nb_p), 1)
@@ -553,7 +553,7 @@ def est_maf_slab(prep2, p_slab, macro=True):
     posteriors_fused(..., return_slab=True) call emitted (pre-unpack).
     Returns freq [S] f32. Caller gates on slab_geom_ok + a non-None
     macro_schedule(N)."""
-    from .maf import macro_schedule
+    from .maf import macro_rounds, macro_schedule
 
     S, N = prep2["S"], prep2["N"]
     if macro is True:
@@ -564,7 +564,7 @@ def est_maf_slab(prep2, p_slab, macro=True):
     fcomp = _run_macro_slab(
         prep2["g0"], prep2["g2"], p_slab,
         prep2["C"], prep2["nb_p"], prep2["G"], prep2["bs"], prep2["nb"],
-        S, N, prep2["bs_pad"], K0, M,
+        S, N, prep2["bs_pad"], K0, macro_rounds(K0, M),
     )
     v = jnp.swapaxes(fcomp[:, 0, :], 0, 1)[: prep2["nb"], : prep2["bs"]]
     return v.reshape(-1)[:S]
