@@ -16,13 +16,15 @@ iteration at scale.
 Macro-stepping (the speed-mode escape from that ceiling, ``macro=True``):
 after ``MACRO_K0`` real passes, each round evaluates the cross-individual
 accumulator sums AND their freq-derivatives once (a single jvp: ~2x one
-pass), then advances the damped recursion ``MACRO_M`` virtual passes with
-the per-site linearised model -- scalar site math, no [.., N] work, no
-collectives. The emulated trajectory tracks the exact damped iterate to
-~1e-5 (measured max 7e-5 at K0=8, M=16 on Poisson-2x GLs; gated by
-tests/test_maf.py) at ~20 instead of 101 full-width passes, and on
-ind-sharded meshes cuts est_maf's collective count per EM iteration from
-~101 psums to K0 + ~6 fused psums (~7x fewer, each one round-trip).
+pass), then advances the damped recursion through that round's virtual
+window with the per-site linearised model -- scalar site math, no
+[.., N] work, no collectives. Windows GROW across rounds (``MACRO_MS``;
+macro_schedule docstring) because the damped ~1/k iterate slows down.
+The emulated trajectory tracks the exact damped iterate to ~4e-5
+(Poisson-2x GLs; 1e-4 gate in tests/test_maf.py) at ~13 instead of 101
+full-width pass-equivalents, and on ind-sharded meshes cuts est_maf's
+collective count per EM iteration from ~101 psums to a FIXED
+K0 + len(MACRO_MS) fused psums.
 """
 
 from typing import NamedTuple

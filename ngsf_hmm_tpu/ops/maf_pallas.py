@@ -320,7 +320,7 @@ def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
 
     gl_tiles: prepare_gl_tiles output (cache it: gl is constant across EM
     iterations). macro: linearised macro-stepping speed mode (True =
-    (MACRO_K0, MACRO_M) from ops/maf.py; or an explicit (K0, M) tuple);
+    (MACRO_K0, MACRO_MS) from ops/maf.py; or an explicit (K0, M) pair);
     False runs every damped pass at full width. Returns freq [S] f32.
     """
     gl0, gl1, gl2 = gl_tiles
