@@ -508,19 +508,22 @@ def roofline_bytes_per_cell(opt_evals):
     GL-fused (v2) EM iteration, by construction of the pallas pipeline
     (per-site freq/dist compacts are ~4/N B per cell -- negligible):
 
-      E-step   44 B: transfer reads gl0/gl2 (8); bw reads 8 + writes
-                     bw0/bw1 (8); fw_post reads 16 + writes p (4)
+      E-step   36 B: transfer reads gl0/gl2 (8); bw reads 8 + writes
+                     the single bw-RATIO slab (4); fw_post reads 12 +
+                     writes p (4)
       M-step    8 B x opt_evals: each L-BFGS value-and-grad probe
                      re-streams gl0/gl2 once. opt_evals is MEASURED
                      (the warm-started optimizer's outer count + the
                      initial gradient), not assumed.
-      est_maf  16 B: gl tiles (12) + posterior (4) -- subtracted by the
-                     caller, which uses the measured est_maf time
-                     instead (macro-stepping makes it partly compute)
-      emission 20 B: gl (12) + e_prob log write (8); no emission-slab
-                     build at all (emissions are computed in-kernel)
+      est_maf  12 B: slab kernel reads gl0/gl2 (8) + the raw posterior
+                     slab (4) once -- subtracted by the caller, which
+                     uses the measured est_maf time instead
+                     (macro-stepping makes it mostly compute)
+      emission  0 B: e_prob is DEFERRED out of the loop (rebuilt once
+                     at loop exit); in-loop emissions are computed
+                     in-kernel from the resident gl slabs
     """
-    return 44 + 8 * opt_evals + 16 + 20
+    return 36 + 8 * opt_evals + 12
 
 
 def _backend_alive(timeout_s=300):
@@ -613,7 +616,7 @@ def main():
         bpc = roofline_bytes_per_cell(evals)
         # stream roofline for the bandwidth-bound stages + the MEASURED
         # partly-compute-bound est_maf stage (macro-stepped fixed point)
-        roof_ms = BIG_S * BIG_N * (bpc - 16) / (gbps * 1e9) * 1e3
+        roof_ms = BIG_S * BIG_N * (bpc - 12) / (gbps * 1e9) * 1e3
         roof_ms += t_maf * 1e3
         out.update({
             "value": round(BIG_S * BIG_N * 2 / t_big, 1),
