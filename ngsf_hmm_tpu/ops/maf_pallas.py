@@ -552,7 +552,15 @@ def est_maf_slab(prep2, p_slab, macro=True):
     gl slabs). p_slab: the [bs_pad, 8, C] posterior slab a
     posteriors_fused(..., return_slab=True) call emitted (pre-unpack).
     Returns freq [S] f32. Caller gates on slab_geom_ok + a non-None
-    macro_schedule(N)."""
+    macro_schedule(N).
+
+    Note: p_slab is the UNSNAPPED kernel output -- the state's p_ibd
+    gets check_interv's within-EPSILON {0,1} snap (gen_func.cpp:55-70)
+    but this speed tier reads the raw values: a <= EPSILON=1e-5 input
+    perturbation, inside the macro tier's 1e-4 drift envelope (the
+    het floor still engages on exact 1.0s, which the fw_post kernel
+    produces by construction for certain posteriors). Compat/exact
+    tiers consume the snapped p_ibd."""
     from .maf import macro_rounds, macro_schedule
 
     S, N = prep2["S"], prep2["N"]
