@@ -127,7 +127,8 @@ def chain_tick(label, step, consts, x0, reps=24):
     return dtm
 
 
-PHASES = set(os.environ.get("PHASES", "prep,post,maf,em,full,lb").split(","))
+PHASES = set(os.environ.get(
+    "PHASES", "prep,post,maf,em,v2,full,lb").split(","))
 
 
 def want(p):
@@ -202,6 +203,53 @@ if want("em"):
 
     chain_tick("emission recompute (incl exp)", em_step, gl, state.freq)
 
+if want("v2"):
+    # ---- v2 gl-layout pipeline (the SHIPPED speed path: gl slabs as
+    # run constants, in-kernel emissions, slab est_maf, bw-ratio
+    # posterior stream)
+    from ngsf_hmm_tpu.models.hmm_pallas import pack_sites2
+    from ngsf_hmm_tpu.ops.maf_pallas import est_maf_slab
+
+    prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
+    meta2 = {k: prep2[k] for k in
+             ("S", "N", "bs", "nb", "nb_p", "G", "Np", "C", "bs_pad")}
+    g0g2 = (prep2["g0"], prep2["g2"], prep2["dc"])
+
+    def _with2(cs):
+        g0, g2, dc = cs
+        return dict(meta2, g0=g0, g2=g2, dc=dc)
+
+    fc0 = hmm_pallas.freq_compact(state.freq, prep2)
+
+    def post2_step(cs, c):
+        F, a, fc = c
+        p2, lf, lb = hmm_pallas.posteriors_fused(F, a, _with2(cs), fc)
+        z = jnp.sum(lf) * EPSI + jnp.sum(p2) * EPSI
+        return (F + z, a + z, fc + z)
+
+    chain_tick("posteriors_fused (v2, 3 launches)", post2_step, g0g2,
+               (state.indF, state.alpha, fc0))
+
+    # meta2-only closure: ints, no array baking
+    p_slab0 = jax.jit(lambda p: pack_sites2(p, meta2))(p_ibd)
+
+    def maf2_step(cs, p):
+        f = est_maf_slab(_with2(cs), p)
+        return p + jnp.sum(f) * EPSI
+
+    chain_tick("est_maf_slab (v2 macro)", maf2_step, g0g2, p_slab0,
+               reps=12)
+
+    def vag2_step(cs, c):
+        F, a, fc = c
+        L, gF, ga = hmm_pallas.loglik_value_and_grad_fused(
+            F, a, _with2(cs), fc)
+        z = jnp.sum(L) * EPSI
+        return (F + z + gF * 0.0, a + z + ga * 0.0, fc + z)
+
+    chain_tick("value_and_grad_fused (v2)", vag2_step, g0g2,
+               (state.indF, state.alpha, fc0))
+
 # em_iteration is itself jitted -- no outer jit (that would bake the
 # 1.2GB gl closure into the HLO as a constant)
 full = lambda st: em_iteration(gl, dist, st, numerics="pallas",
@@ -212,9 +260,11 @@ state2 = tick("FULL em_iteration (cold opt)", full, state, reps=6)
 
 
 def full_threaded(st, slabs, opt):
+    # defer_emissions as run_em's loop does (e_prob write-only in-loop)
     return em_iteration(gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
                         prep_slabs=slabs, return_prep=True,
-                        opt_memory=opt, return_opt=True)
+                        opt_memory=opt, return_opt=True,
+                        defer_emissions=True)
 
 
 _, _, slabs0, opt0 = full_threaded(state, None, None)
