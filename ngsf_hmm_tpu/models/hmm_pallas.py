@@ -213,6 +213,18 @@ LANE_MAX = 32768  # cap on L = nb * N. Wider lanes shrink the grid, but
                   # ([B, 8, C] each) also scale with L on the B>1
                   # candidate-batch path.
 
+SLAB_MAF_LANES = 24000  # tighter v2 C cap so the slab est_maf kernel's
+                        # ~15 hoisted [RB=8, 8, C] coefficient planes fit
+                        # its 88 MB VMEM budget (ops/maf_pallas.py
+                        # slab_geom_ok: C <= 88 MiB / (15*8*8*4) = 24030).
+                        # Without it the depth-balancing nb_p pick pushes
+                        # C past the budget at wide N (N=1000, S=1M ->
+                        # C=32000) and silently disables the slab route,
+                        # forcing the tiles fallback and its full-size gl
+                        # copy. Binding only when G*128 ranges above it
+                        # (N >~ 380 at the sqrt split) -- geometry at the
+                        # benched N <= 100 shapes is unchanged.
+
 _SUB = 8          # sublane fold of the lane axis
 _LANE_TILE = 8 * 128  # L padded to a multiple of one (8, 128) tile
 _R_PAD = 64       # bs_pad multiple: every kernel's R (a power of two
@@ -984,13 +996,15 @@ _HET_FLOOR = 1e-15  # linear het floor, calc_HWE F==1 (gen_func.cpp:946-956)
 def pick_geom2(S, N):
     """(bs, nb_p) for the v2 layout: nb_p is a multiple of 128 near the
     depth-balancing sqrt(S/2) split, capped so C = G * nb_p stays within
-    LANE_MAX lanes."""
+    min(LANE_MAX, SLAB_MAF_LANES) lanes (the tighter slab-est_maf VMEM
+    cap only binds at wide N; see SLAB_MAF_LANES)."""
     import math
 
     S = max(S, 1)
     G = -(-max(N, 1) // _SUB)
+    cap = min(LANE_MAX, SLAB_MAF_LANES)
     nb_t = max(128, int(round(math.sqrt(S / 2.0) / 128.0)) * 128)
-    while G * nb_t > LANE_MAX and nb_t > 128:
+    while G * nb_t > cap and nb_t > 128:
         nb_t -= 128
     bs = max(-(-S // nb_t), 1)
     return bs, nb_t

@@ -134,11 +134,18 @@ def _lbfgsb_core(
     value_and_grad: Callable,
     warm=None,
     noise_eps=None,
+    f0g0=None,
 ):
     """Backend-agnostic projected L-BFGS. See `lbfgsb_minimize` for the
     argument contract; `xp` is numpy or jax.numpy, `while_loop` is
     lax.while_loop or a Python loop. Every probe goes
     through `value_and_grad`; there is no value-only evaluation path.
+
+    f0g0: optional precomputed (f, g) AT x0 (after the box clip) -- the
+    streaming engine's pass A evaluates the chain at exactly x0 anyway,
+    so seeding skips one full value-and-grad stream per EM iteration.
+    The values must equal what value_and_grad(x0) would return; the
+    trajectory is then unchanged.
 
     warm: optional curvature memory (S [m, B, n], Y, valid [m, B],
     head [B]) from a previous solve of a NEARBY objective (the EM outer
@@ -159,7 +166,7 @@ def _lbfgsb_core(
     dtype = x0.dtype
     x0 = xp.clip(x0, lower, upper)
 
-    f0, g0 = value_and_grad(x0)
+    f0, g0 = f0g0 if f0g0 is not None else value_and_grad(x0)
 
     def proj(x):
         return xp.clip(x, lower, upper)
@@ -437,12 +444,15 @@ def lbfgsb_minimize_host(
     warm=None,
     return_memory: bool = False,
     noise_eps=None,
+    f0g0=None,
 ):
     """NumPy/Python-loop backend of the SAME algorithm, for host-streamed
     objectives that cannot be traced (models/streaming.py). `fun` may be
     None when value_and_grad is supplied; `fun_multi` is accepted for
     backward compatibility and ignored (every probe is one
-    value-and-grad pass). warm/return_memory as in lbfgsb_minimize."""
+    value-and-grad pass). warm/return_memory as in lbfgsb_minimize;
+    f0g0 as in _lbfgsb_core (precomputed first evaluation at
+    clip(x0))."""
     del fun_multi
     if value_and_grad is None:
         raise ValueError("host backend needs an explicit value_and_grad")
@@ -462,5 +472,6 @@ def lbfgsb_minimize_host(
         value_and_grad,
         warm=warm,
         noise_eps=noise_eps,
+        f0g0=f0g0,
     )
     return out if return_memory else out[:3]

@@ -953,8 +953,21 @@ class StreamingEM:
         (freq', F', alpha', ll_f, fwbw_maxdiff)."""
         self._config_kernel(opts)
         N = self.N
-        # ---- pass A: chain at current params
-        Ts, ss = self._transfers(freq, F, alpha)
+        # ---- pass A: chain at current params. When the (F, alpha)
+        # M-step will run, pass A IS its first evaluation: the M-step's
+        # x0 = clip(F, alpha) with the PRE-update freq is exactly these
+        # params, so one fused transfer+tangent stream serves both (the
+        # fused kernel's primal chain shares the primal's op order and
+        # rescale, so Ts/ss are the same values) -- one fewer full pass
+        # over every chunk per EM iteration (round-4 VERDICT ask #2).
+        mstep = not (opts.indF_fixed and opts.alpha_fixed)
+        grads_A = None
+        if mstep:
+            Ts, ss, dTF, dsF, dTa, dsa = self._transfers_grad(
+                freq, F, alpha)
+            grads_A = (dTF, dsF, dTa, dsa)
+        else:
+            Ts, ss = self._transfers(freq, F, alpha)
         v0, wT, ll_f, ll_b = _assemble_chain(Ts, ss, F)
         # fw/bw check over ALL individuals (gathered when multi-process)
         fwbw = float(self._gather_ind(np.abs(ll_f - ll_b)).max())
@@ -1022,7 +1035,7 @@ class StreamingEM:
         # ---- M-step (F, alpha): host L-BFGS over streamed evals,
         # emissions from the PRE-update freq (iter_EM order,
         # EM.cpp:189-271)
-        if not (opts.indF_fixed and opts.alpha_fixed):
+        if mstep:
             lo_b = np.stack(
                 [np.full(N, F_MIN), np.full(N, ALPHA_MIN)], -1)
             hi_b = np.stack(
@@ -1044,7 +1057,16 @@ class StreamingEM:
                 )
                 return -llx, -np.stack([gF, ga], -1)
 
-            x0 = np.clip(np.stack([F, alpha], -1), lo_b, hi_b)
+            x_base = np.stack([F, alpha], -1)
+            x0 = np.clip(x_base, lo_b, hi_b)
+            # pass A evaluated the chain at exactly (F, alpha) with
+            # this freq; when the clip is a no-op, its transfers +
+            # tangents ARE the first evaluation -- assemble the
+            # gradient from them and seed the optimizer
+            f0g0 = None
+            if grads_A is not None and np.array_equal(x0, x_base):
+                gF0, ga0 = _grad_from_transfers(Ts, *grads_A, v0, wT)
+                f0g0 = (-ll_f, -np.stack([gF0, ga0], -1))
             # every line-search probe is one value-and-grad stream
             # (speculative full step + interpolated backtracking); the
             # curvature memory carries across EM iterations so the warm
@@ -1056,6 +1078,7 @@ class StreamingEM:
                 None, x0, lo_b, hi_b, value_and_grad=vag,
                 warm=self._opt_mem, return_memory=True,
                 noise_eps=float(np.finfo(np.float32).eps),
+                f0g0=f0g0,
             )
             F, alpha = x_opt[:, 0], x_opt[:, 1]
 
