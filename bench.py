@@ -261,8 +261,9 @@ def _make_step(gl, dist, gl_tiles):
             gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
             prep_slabs=holder["slabs"], return_prep=True,
             opt_memory=holder["opt"], return_opt=True,
-            defer_emissions=True,  # as run_em's loop: e_prob is
-            #                        write-only inside the fused loop
+            defer_emissions=True,  # as run_em's loop: e_prob and (on
+            defer_posteriors=True,  # the slab route) the unpacked
+            #                         p_ibd are write-only in-loop
         )
         holder["slabs"] = slabs
         holder["opt"] = opt
@@ -312,16 +313,24 @@ def time_ours_small(gl, pos, t_sync):
     return per_iter, opt_iters
 
 
-def time_ours_big(t_sync):
-    """BASELINE.md scale config (1M x 100): GLs synthesised ON DEVICE."""
+def time_ours_big(t_sync, Sb=None, Nb=None, label="big", lean=False):
+    """BASELINE-scale in-HBM legs: GLs synthesised ON DEVICE.
+
+    Default = the 1M x 100 headline config. The WIDE leg (round-4
+    VERDICT ask #1: nothing was measured above N=100) calls this with
+    Nb=1000 and lean=True: the state is built with placeholder
+    e_prob/p_ibd -- the fused loop with both defers never reads them,
+    and init_state's full [S, N, 2] e_prob build is a multi-GB
+    transient at 250k x 1000 that OOMs the v5e."""
     import jax
     import jax.numpy as jnp
 
-    from ngsf_hmm_tpu.models.em import init_state
+    from ngsf_hmm_tpu.models.em import EMState, init_state
     from ngsf_hmm_tpu.ops.maf import macro_schedule
     from ngsf_hmm_tpu.ops.maf_pallas import prepare_gl_tiles, slab_geom_ok
 
-    Sb, Nb = BIG_S, BIG_N
+    Sb = BIG_S if Sb is None else Sb
+    Nb = BIG_N if Nb is None else Nb
     slab_maf = macro_schedule(Nb) is not None and slab_geom_ok(Sb, Nb)
     dt = jnp.float32
 
@@ -349,15 +358,25 @@ def time_ours_big(t_sync):
 
     t0 = time.perf_counter()
     gl, dist = synth(jax.random.PRNGKey(20260817))
-    state = init_state(
-        gl, jnp.full((Sb,), 0.2, dt), jnp.full((Nb,), 0.2, dt),
-        jnp.full((Nb,), 0.05, dt),
-    )
+    if lean:
+        state = EMState(
+            freq=jnp.full((Sb,), 0.2, dt),
+            indF=jnp.full((Nb,), 0.2, dt),
+            alpha=jnp.full((Nb,), 0.05, dt),
+            e_prob=jnp.zeros((1, 1, 2), dt),
+            p_ibd=jnp.zeros((1, 1), dt),
+            ind_lkl=jnp.zeros((Nb,), dt),
+        )
+    else:
+        state = init_state(
+            gl, jnp.full((Sb,), 0.2, dt), jnp.full((Nb,), 0.2, dt),
+            jnp.full((Nb,), 0.05, dt),
+        )
     # the slab est_maf route consumes the resident v2 gl slabs; the
     # [n_tiles, N, TS] tiling is only needed on its fallback
     gl_tiles = None if slab_maf else prepare_gl_tiles(jnp.exp(gl))
     float(np.asarray(jnp.sum(state.e_prob)))
-    log(f"[bench] big leg ({Sb}x{Nb}): on-device synth+init "
+    log(f"[bench] {label} leg ({Sb}x{Nb}): on-device synth+init "
         f"{time.perf_counter() - t0:.1f}s")
 
     step, holder = _make_step(gl, dist, gl_tiles)
@@ -374,7 +393,7 @@ def time_ours_big(t_sync):
     ]
     per_iter = float(np.median(windows))
     opt_iters = int(np.asarray(holder["opt_iters"]))
-    log(f"[bench] ours (big {Sb}x{Nb}): "
+    log(f"[bench] ours ({label} {Sb}x{Nb}): "
         + " ".join(f"{w * 1e3:.2f}" for w in windows)
         + f" ms/EM-iter over 3 windows -> median {per_iter * 1e3:.2f} "
         f"(8 iters/window, 1 sync each; warm L-BFGS outer iters: "
@@ -385,25 +404,35 @@ def time_ours_big(t_sync):
     # quirk's ~101, ops/maf.py docstring), so the bytes-only roofline
     # under-counts it; measured empirically so the JSON decomposes the
     # iteration honestly.
-    p_ibd = state.p_ibd
+    # with defer_posteriors the state's p_ibd is a stale placeholder;
+    # the est_maf-alone timing needs a REAL posterior (the fixed
+    # point's trip counts are data-dependent)
     if slab_maf:
         # measure the route the loop actually runs: the slab fixed
-        # point off the v2 gl slabs + a posterior slab (the [S, N] ->
-        # slab pack happens once outside the timed region; in the loop
-        # the posterior kernel emits the slab directly)
+        # point off the v2 gl slabs + the raw posterior slab the
+        # posterior kernel emits in-loop
         from ngsf_hmm_tpu.models.hmm_pallas import (
-            pack_sites2, prepare_gl_inputs,
+            freq_compact, posteriors_fused, prepare_gl_inputs,
         )
         from ngsf_hmm_tpu.ops.maf_pallas import est_maf_slab
 
         prep2 = prepare_gl_inputs(jnp.exp(gl), dist)
-        # closure only reads prep2's static ints (no array baking)
-        p_slab = jax.jit(lambda x: pack_sites2(x, prep2))(p_ibd)
+        fc = freq_compact(state.freq, prep2)
+        _, _, _, p_slab = posteriors_fused(
+            state.indF, state.alpha, prep2, fc, return_slab=True)
 
         def maf_once():
             return est_maf_slab(prep2, p_slab)
     else:
+        from ngsf_hmm_tpu.models.hmm_pallas import (
+            freq_compact, posteriors_fused, prepare_gl_inputs,
+        )
         from ngsf_hmm_tpu.ops.maf_pallas import est_maf_pallas
+
+        prep2 = prepare_gl_inputs(jnp.exp(gl), dist)
+        fc = freq_compact(state.freq, prep2)
+        p_ibd, _, _ = posteriors_fused(
+            state.indF, state.alpha, prep2, fc)
 
         def maf_once():
             return est_maf_pallas(gl_tiles, p_ibd, Sb, macro=True)
@@ -415,7 +444,8 @@ def time_ours_big(t_sync):
     float(np.asarray(jnp.sum(f)))
     t_maf = max((time.perf_counter() - t0 - t_sync) / 4, 1e-9)
     kind = "slab" if slab_maf else "tiles"
-    log(f"[bench] est_maf alone (big, macro, {kind}): {t_maf * 1e3:.2f} ms")
+    log(f"[bench] est_maf alone ({label}, macro, {kind}): "
+        f"{t_maf * 1e3:.2f} ms")
     return per_iter, windows, t_maf, opt_iters
 
 
@@ -731,6 +761,38 @@ def main():
         })
         if gbps_fallback:
             out["roofline_gbps_is_fallback"] = True
+        if os.environ.get("NGSF_BENCH_WIDE", "1") == "1":
+            # WIDE leg (round-4 VERDICT ask #1): the BASELINE ladder's
+            # N axis. 250k x 1000 is the largest wide config whose v2
+            # working set (gl + slabs + posterior/ratio slabs) fits one
+            # v5e's 16 GB with headroom -- 1M x 1000 needs ~16 GB of
+            # slabs alone and is the mesh path's territory
+            # (dryrun-validated); the 10M x 1000 STREAM leg below
+            # covers the 1000-ind BASELINE rung end-to-end.
+            try:
+                w_S = int(os.environ.get("NGSF_BENCH_WIDE_SITES",
+                                         250_000))
+                w_N = int(os.environ.get("NGSF_BENCH_WIDE_IND", 1000))
+                t_w, w_windows, t_wmaf, w_opt = time_ours_big(
+                    t_sync, Sb=w_S, Nb=w_N, label="wide", lean=True)
+                w_cps = w_S * w_N * 2 / t_w
+                out.update({
+                    "wide_config": f"{w_S}x{w_N}",
+                    "ms_per_em_iter_wide": round(t_w * 1e3, 2),
+                    "ms_per_em_iter_wide_spread": [
+                        round(w * 1e3, 2) for w in w_windows],
+                    "ms_est_maf_wide": round(t_wmaf * 1e3, 2),
+                    "wide_opt_iters": w_opt,
+                    "wide_cells_per_s": round(w_cps, 1),
+                    # per-cell time ratio vs the N=100 big leg
+                    # (VERDICT done-gate: within ~1.3x)
+                    "wide_per_cell_vs_big": round(
+                        (t_w / (w_S * w_N)) / (t_big / (BIG_S * BIG_N)),
+                        3),
+                })
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] wide leg failed: {e}")
+                out["wide_error"] = str(e)[:200]
         if os.environ.get("NGSF_BENCH_STREAM", "1") == "1":
             try:
                 out.update(time_stream(
@@ -766,6 +828,23 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"[bench] 50M stream leg failed: {e}")
                 out["stream50m_error"] = str(e)[:200]
+        if os.environ.get("NGSF_BENCH_WIDE_STREAM", "1") == "1":
+            # 1000-ind streamed rung (BASELINE ladder: 1000 x 10M):
+            # chunked v2 pipeline at wide N -- chunk geometry
+            # 250k x 1000 so per-chunk slabs (2 GB) leave pin room
+            try:
+                out.update(time_stream(
+                    int(os.environ.get("NGSF_BENCH_WSTREAM_SITES",
+                                       10_000_000)),
+                    int(os.environ.get("NGSF_BENCH_WSTREAM_IND", 1000)),
+                    int(os.environ.get("NGSF_BENCH_WSTREAM_CHUNK",
+                                       250_000)),
+                    int(os.environ.get("NGSF_BENCH_WSTREAM_ITERS", 2)),
+                    prefix="stream_wide",
+                ))
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] wide stream leg failed: {e}")
+                out["stream_wide_error"] = str(e)[:200]
     else:
         out.update({
             "value": round(small_cps, 1),

@@ -48,25 +48,29 @@ def synth(key):
     return jnp.log(e / jnp.sum(e, axis=-1, keepdims=True))
 
 
-def chain_time(make_call, k_short=2, k_long=6):
+def chain_time(make_call, big_args, k_short=2, k_long=6):
+    """Big device arrays are jit ARGUMENTS (a 0-arg closure bakes them
+    into the HLO as constants and the tunneled compile hangs)."""
     def chain(k):
-        s = jnp.float32(0.0)
-        for _ in range(k):
-            o = make_call(s)
-            s = s + jnp.sum(o)
-        return s
+        def f(*args):
+            s = jnp.float32(0.0)
+            for _ in range(k):
+                o = make_call(s, *args)
+                s = s + jnp.sum(o)
+            return s
+        return jax.jit(f)
 
-    c_s = jax.jit(lambda: chain(k_short)).lower().compile()
-    c_l = jax.jit(lambda: chain(k_long)).lower().compile()
-    sync(c_s())
-    sync(c_l())
+    c_s = chain(k_short)
+    c_l = chain(k_long)
+    sync(c_s(*big_args))
+    sync(c_l(*big_args))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sync(c_s())
+        sync(c_s(*big_args))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(c_l())
+        sync(c_l(*big_args))
         t_l = time.perf_counter() - t0
         ts.append((t_l - t_s) / (k_long - k_short))
     return float(np.median(ts))
@@ -87,13 +91,15 @@ def main():
           f"{mp.slab_geom_ok(S, N, prep2['bs'], prep2['nb_p'])}",
           flush=True)
 
+    big = (prep2["g0"], prep2["g2"], p_slab)
+
     def run_sched(K0, Ms):
-        def f(s):
+        def f(s, g0, g2, ps0):
             # serialize through the posterior slab (a cheap full-width
             # multiply keeps a real data dep; 0*s is not folded)
-            ps = p_slab * (1.0 + 0.0 * s)
+            ps = ps0 * (1.0 + 0.0 * s)
             return mp._run_macro_slab(
-                prep2["g0"], prep2["g2"], ps,
+                g0, g2, ps,
                 prep2["C"], prep2["nb_p"], prep2["G"], prep2["bs"],
                 prep2["nb"], S, N, prep2["bs_pad"], K0, Ms,
             )
@@ -113,7 +119,7 @@ def main():
     ]
     times = {}
     for label, K0, Ms in variants:
-        t = chain_time(run_sched(K0, Ms))
+        t = chain_time(run_sched(K0, Ms), big)
         times[label] = t
         print(f"[mafslab] {label:7s} {t * 1e3:7.2f} ms", flush=True)
 

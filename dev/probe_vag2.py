@@ -212,29 +212,33 @@ def _k2_stream(C, nb_p, bs_pad, R):
     )
 
 
-def chain_time(make_call, k_short=2, k_long=6):
+def chain_time(make_call, big_args, k_short=2, k_long=6):
     """Two-length chained difference; the chain serializes through a
-    scalar folded into the (F, alpha) inputs."""
+    scalar folded into the (F, alpha) inputs. The big device arrays are
+    jit ARGUMENTS (a 0-arg closure bakes them into the HLO as constants
+    and the tunneled compile hangs -- CLAUDE.md gotcha)."""
     def chain(k):
-        F = jnp.full((N,), 0.2, dt)
-        a = jnp.full((N,), 0.05, dt)
-        s = jnp.float32(0.0)
-        for _ in range(k):
-            o = make_call(F + 0.0 * s, a)
-            s = s + jnp.sum(o)
-        return s
+        def f(*args):
+            F = jnp.full((N,), 0.2, dt)
+            a = jnp.full((N,), 0.05, dt)
+            s = jnp.float32(0.0)
+            for _ in range(k):
+                o = make_call(F + 0.0 * s, a, *args)
+                s = s + jnp.sum(o)
+            return s
+        return jax.jit(f)
 
-    c_s = jax.jit(lambda: chain(k_short)).lower().compile()
-    c_l = jax.jit(lambda: chain(k_long)).lower().compile()
-    sync(c_s())
-    sync(c_l())
+    c_s = chain(k_short)
+    c_l = chain(k_long)
+    sync(c_s(*big_args))
+    sync(c_l(*big_args))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sync(c_s())
+        sync(c_s(*big_args))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(c_l())
+        sync(c_l(*big_args))
         t_l = time.perf_counter() - t0
         ts.append((t_l - t_s) / (k_long - k_short))
     return float(np.median(ts))
@@ -255,9 +259,12 @@ def main():
     print(f"[vag2] C={C} nb_p={nb_p} G={G} bs_pad={bs_pad}", flush=True)
 
     bytes_stream = 2 * bs_pad * 8 * C * 4  # g0+g2 (compacts negligible)
+    ints = {k: prep2[k] for k in
+            ("S", "N", "bs", "nb", "nb_p", "G", "Np", "C", "bs_pad")}
+    big = (prep2["g0"], prep2["g2"], prep2["dc"], fc)
 
     def t_of(label, fn):
-        t = chain_time(fn)
+        t = chain_time(fn, big)
         gbps = bytes_stream / t / 1e9
         print(f"[vag2] {label:9s} {t * 1e3:7.2f} ms   ({gbps:.0f} GB/s "
               f"over the 2-slab bytes)", flush=True)
@@ -268,14 +275,18 @@ def main():
     # the chain serializes through fc (the kernel takes no params):
     # multiplying by (1 + 0*s) keeps a real data dep -- XLA does not
     # fold 0*s (s could be NaN) and CSE cannot collapse the k calls
-    t_of("stream", lambda F, a: k_stream(
-        prep2["g0"], prep2["g2"], fc * (1.0 + 0.0 * jnp.sum(F)),
-        prep2["dc"]))
+    t_of("stream", lambda F, a, g0, g2, dc, fc_: k_stream(
+        g0, g2, fc_ * (1.0 + 0.0 * jnp.sum(F)), dc))
 
-    t_of("primal", lambda F, a: hp.block_transfers_fused(
-        F[None], a[None], prep2, fc)[0][0])
+    def _p2(g0, g2, dc):
+        return dict(ints, g0=g0, g2=g2, dc=dc)
 
-    t_of("vag", lambda F, a: hp.transfer_grad_fused(F, a, prep2, fc))
+    t_of("primal", lambda F, a, g0, g2, dc, fc_:
+         hp.block_transfers_fused(
+             F[None], a[None], _p2(g0, g2, dc), fc_)[0][0])
+
+    t_of("vag", lambda F, a, g0, g2, dc, fc_:
+         hp.transfer_grad_fused(F, a, _p2(g0, g2, dc), fc_))
 
     R_g = _rows_for(Lp, 34, bs_pad, "GRAD2")
     # correctness: the lean leaf must reproduce the production kernel
@@ -292,10 +303,13 @@ def main():
 
     for mode in ("not", "lean"):
         kk = _k2_vag_variant(C, nb_p, G, bs_pad, R_g, mode)
-        t_of(f"vag_{mode}", lambda F, a, kk=kk: kk(
-            prep2["g0"], prep2["g2"], fc, prep2["dc"],
-            hp._rep_params2(F[None], a[None], prep2)[0][0],
-            hp._rep_params2(F[None], a[None], prep2)[1][0]))
+
+        def call(F, a, g0, g2, dc, fc_, kk=kk):
+            p2 = _p2(g0, g2, dc)
+            Fr, ar = hp._rep_params2(F[None], a[None], p2)
+            return kk(g0, g2, fc_, dc, Fr[0], ar[0])
+
+        t_of(f"vag_{mode}", call)
 
 
 if __name__ == "__main__":

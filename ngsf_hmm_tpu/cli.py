@@ -822,6 +822,7 @@ def main(argv=None):
         verbose=p["verbose"],
         block_size=None if p["kernel"] in ("scan", "pallas") else "auto",
         numerics={"linear": "linear", "pallas": "pallas"}.get(p["kernel"], "log"),
+        log_every=p["log"],
     )
 
     if p["verbose"] >= 5 and freq0 is not None:

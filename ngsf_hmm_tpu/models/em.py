@@ -84,6 +84,10 @@ class EMOptions:
     # "log" (reference-faithful) or "linear" (scaled probability-space
     # kernels, transcendental-free hot loops; requires block_size).
     numerics: str = "log"
+    # --log N cadence (EM.cpp:59-63). run_em needs it to rebuild
+    # DEFERRED state fields (e_prob, p_ibd) only on iterations whose
+    # dump actually fires, instead of every iteration.
+    log_every: int = 0
 
 
 class EMState(NamedTuple):
@@ -160,7 +164,7 @@ def in_loop_emission_form(freq_est, numerics, site_sharded=False):
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
         "block_size", "numerics", "n_rep", "return_prep", "return_opt",
-        "defer_emissions",
+        "defer_emissions", "defer_posteriors",
     ),
 )
 def em_iteration(
@@ -181,6 +185,7 @@ def em_iteration(
     opt_memory=None,
     return_opt: bool = False,
     defer_emissions: bool = False,
+    defer_posteriors: bool = False,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -234,6 +239,18 @@ def em_iteration(
     rebuild is exact: the fused route with freq_est 1, e_prob_calc 1.
     With the slab est_maf route this also dead-codes the [S, N, 3]
     exp(gl) inside the jit.
+
+    defer_posteriors: companion switch for state.p_ibd (run_em sets
+    it): when the slab est_maf route consumes the RAW posterior slab
+    (or freq_est == 0 consumes no posterior at all), the unpacked
+    [S, N] p_ibd is write-only inside the loop -- deferring it
+    dead-codes the slab -> site-major unpack relayout + check_interv
+    snap per iteration; the returned state carries the STALE p_ibd and
+    run_em rebuilds it (one posteriors pass at the final iteration's
+    PRE-update params) at loop exit and before checkpoint/--log dumps.
+    Honoured only on the fused route when freq_est == 0 or the slab
+    est_maf route engages (the tiles est_maf consumes the unpacked
+    posterior, so there is nothing to skip).
 
     n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
     individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
@@ -341,7 +358,15 @@ def em_iteration(
         p_raw, ll_f, ll_b = posteriors(
             state.e_prob, dist, state.indF, state.alpha
         )
-    p_ibd = check_interv(p_raw)
+    # defer_posteriors (docstring): on the fused route, when nothing in
+    # the loop consumes the UNPACKED posterior (slab est_maf reads the
+    # raw slab; freq_est 0 reads none), thread the stale state.p_ibd --
+    # XLA then dead-codes the slab -> [S, N] unpack relayout + snap
+    defer_p_eff = (
+        defer_posteriors and use_fused
+        and (freq_est == 0 or maf_slab is not None)
+    )
+    p_ibd = state.p_ibd if defer_p_eff else check_interv(p_raw)
     ind_lkl = ll_f
     if n_rep > 1:
         fwbw_maxdiff = jnp.max(
@@ -677,10 +702,24 @@ def run_em(
     # fused-mode loops never read state.e_prob: defer its per-iteration
     # materialisation and rebuild it (the exact in-loop "linear" form)
     # at loop exit and before checkpoints
+    # (verbose >= 7's per-iteration emission dump reads state.e_prob
+    # from the trace hook -- keep the live materialisation there)
     defer = (
         opts.numerics == "pallas" and opts.freq_est == 1
-        and opts.e_prob_calc == 1
+        and opts.e_prob_calc == 1 and opts.verbose < 7
     )
+    # companion defer for state.p_ibd (em_iteration docstring): in-loop
+    # the slab est_maf consumes the RAW posterior slab, so the [S, N]
+    # unpack relayout + snap is write-only; rebuild needs the final
+    # iteration's PRE-update params (the E-step runs on the entering
+    # state), tracked per step below
+    defer_p = (
+        opts.numerics == "pallas" and opts.e_prob_calc == 1
+        and opts.verbose < 7
+        and (opts.freq_est == 0
+             or (opts.freq_est == 1 and gl_tiles is None))
+    )
+    prev_params = {"v": None}
 
     def _rebuild_eprob(st):
         e = jnp.log(
@@ -688,7 +727,36 @@ def run_em(
         ).astype(gl.dtype)
         return st._replace(e_prob=e)
 
+    def _rebuild_pibd(st):
+        """One posteriors pass at the final iteration's PRE-update
+        params (check_interv-snapped) -- exactly the p_ibd the
+        undeferred loop would carry."""
+        if prev_params["v"] is None:
+            return st
+        freq_p, F_p, a_p = prev_params["v"]
+        if prep_holder["slabs"] is not None:
+            bs2, nbp2 = hmm_pallas.pick_geom2(gl.shape[0], N)
+            prep2 = hmm_pallas.make_prep2(
+                *prep_holder["slabs"], gl.shape[0], N, bs2, nbp2)
+        else:
+            prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
+        fc = hmm_pallas.freq_compact(freq_p, prep2)
+        # mirror the in-loop kernel instantiation (the slab route runs
+        # fw_post with the slab output, freq_est 0 without). The
+        # rebuilt p_ibd matches the undeferred loop's to 1-2 f32 ulps
+        # (XLA forms FMAs differently in the standalone program than
+        # inside the fused iteration; the kernels themselves are
+        # deterministic)
+        if opts.freq_est == 1:
+            p, _, _, _ = hmm_pallas.posteriors_fused(
+                F_p, a_p, prep2, fc, return_slab=True)
+        else:
+            p, _, _ = hmm_pallas.posteriors_fused(F_p, a_p, prep2, fc)
+        return st._replace(p_ibd=check_interv(p).astype(gl.dtype))
+
     def step(st, active):
+        if defer_p:
+            prev_params["v"] = (st.freq, st.indF, st.alpha)
         kw = dict(
             freq_est=opts.freq_est,
             e_prob_calc=opts.e_prob_calc,
@@ -700,6 +768,7 @@ def run_em(
             opt_memory=opt_holder["mem"] if warm else None,
             return_opt=warm,
             defer_emissions=defer,
+            defer_posteriors=defer_p,
         )
         if opts.numerics == "pallas":
             out = em_iteration(
@@ -715,11 +784,13 @@ def run_em(
         return st2, np.asarray(st2.ind_lkl), np.asarray(stats.fwbw_maxdiff)
 
     cb = checkpoint_cb
-    if checkpoint_cb is not None and (warm or defer):
+    if checkpoint_cb is not None and (warm or defer or defer_p):
 
         def cb(n_iter, st, bkd):
             if defer:
                 st = _rebuild_eprob(st)  # checkpoints carry live e_prob
+            if defer_p:
+                st = _rebuild_pibd(st)
             if warm and opt_holder["mem"] is not None:
                 bkd = dict(bkd)
                 bkd["opt_mem"] = tuple(
@@ -727,12 +798,23 @@ def run_em(
                 )
             checkpoint_cb(n_iter, st, bkd)
 
+    log_cb = log_callback
+    if log_callback is not None and defer_p and opts.log_every:
+
+        def log_cb(n_iter, st, tot_):
+            # the --log dump writes p_ibd (EM.cpp:59-63 -> .ibd rows):
+            # rebuild the deferred posterior only on iterations whose
+            # dump actually fires (the CLI's cadence check)
+            if n_iter == 1 or n_iter % opts.log_every == 0:
+                st = _rebuild_pibd(st)
+            log_callback(n_iter, st, tot_)
+
     state, bk, _ = convergence_loop(
         step,
         state,
         opts,
         n_ind=N,
-        log_callback=log_callback,
+        log_callback=log_cb,
         trace=trace,
         checkpoint_cb=cb,
         resume_bookkeeping=resume_bookkeeping,
@@ -742,6 +824,8 @@ def run_em(
     converged = bk.n_iter < opts.max_iters
     if defer and bk.n_iter > 0:
         state = _rebuild_eprob(state)
+    if defer_p and bk.n_iter > 0:
+        state = _rebuild_pibd(state)
 
     # ---- Final Viterbi decode (EM.cpp:110-116)
     path, _ = viterbi(

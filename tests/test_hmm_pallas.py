@@ -185,3 +185,62 @@ def test_run_em_deferred_emissions_match_manual_loop():
     # the checkpointed e_prob at the last iteration is the live one
     np.testing.assert_allclose(seen[max(seen)],
                                np.asarray(res.state.e_prob), rtol=2e-6)
+
+
+def test_run_em_deferred_posteriors_match_manual_loop():
+    """run_em's slab-route loop ALSO defers the per-iteration [S, N]
+    p_ibd unpack (the slab est_maf consumes the raw posterior slab, so
+    the unpacked posterior is write-only in-loop; round-5) and rebuilds
+    it at exit from the final iteration's PRE-update params; the result
+    must equal the undeferred trajectory bit-for-bit, and checkpoint
+    callbacks must see a LIVE, snapped p_ibd."""
+    from ngsf_hmm_tpu.models.em import (
+        EMOptions, em_iteration, init_state, run_em,
+    )
+    from ngsf_hmm_tpu.ops.maf import macro_schedule
+    from ngsf_hmm_tpu.ops.maf_pallas import slab_geom_ok
+
+    rng = np.random.default_rng(413)
+    S, N = 260, 40  # N >= 32: the slab est_maf route engages
+    gl, freq, dist, F, alpha, e = oracle.random_case(rng, S=S, N=N)
+    assert macro_schedule(N) is not None and slab_geom_ok(S, N)
+    gl_j = jnp.asarray(np.transpose(gl, (1, 0, 2)), jnp.float32)
+    dist_j = jnp.asarray(dist, jnp.float32)
+    st0 = init_state(gl_j, jnp.asarray(freq, jnp.float32),
+                     jnp.asarray(F, jnp.float32),
+                     jnp.asarray(alpha, jnp.float32))
+
+    seen = {}
+
+    def cb(n_iter, st, bkd):
+        seen[n_iter] = np.asarray(st.p_ibd)
+
+    opts = EMOptions(numerics="pallas", min_iters=3, max_iters=3,
+                     min_epsilon=1e-9)
+    res = run_em(gl_j, dist_j, st0, opts, checkpoint_cb=cb)
+
+    # undeferred mirror (gl_tiles=None: same slab est_maf route)
+    st, slabs, mem = st0, None, None
+    for _ in range(3):
+        st, _, slabs, mem = em_iteration(
+            gl_j, dist_j, st, numerics="pallas", prep_slabs=slabs,
+            return_prep=True, opt_memory=mem, return_opt=True,
+        )
+
+    np.testing.assert_array_equal(np.asarray(res.state.freq),
+                                  np.asarray(st.freq))
+    np.testing.assert_array_equal(np.asarray(res.state.indF),
+                                  np.asarray(st.indF))
+    # the rebuilt p_ibd re-runs the same kernels on the same threaded
+    # slabs at the same params; XLA's fusion context (FMA formation)
+    # differs between the standalone rebuild program and the fused
+    # iteration, so agreement is to 1-2 f32 ulps, not bit-exact
+    np.testing.assert_allclose(np.asarray(res.state.p_ibd),
+                               np.asarray(st.p_ibd), atol=5e-7)
+    np.testing.assert_array_equal(seen[max(seen)],
+                                  np.asarray(res.state.p_ibd))
+    # snapped (check_interv) values: anything within EPSILON of {0,1}
+    # must be exactly 0/1
+    p = np.asarray(res.state.p_ibd)
+    assert not np.any((p > 0) & (p < 1e-5))
+    assert not np.any((p < 1) & (p > 1 - 1e-5))
