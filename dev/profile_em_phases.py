@@ -260,11 +260,12 @@ state2 = tick("FULL em_iteration (cold opt)", full, state, reps=6)
 
 
 def full_threaded(st, slabs, opt):
-    # defer_emissions as run_em's loop does (e_prob write-only in-loop)
+    # defer_emissions + defer_posteriors as run_em's loop does (e_prob
+    # and, on the slab route, the unpacked p_ibd are write-only in-loop)
     return em_iteration(gl, dist, st, numerics="pallas", gl_tiles=gl_tiles,
                         prep_slabs=slabs, return_prep=True,
                         opt_memory=opt, return_opt=True,
-                        defer_emissions=True)
+                        defer_emissions=True, defer_posteriors=True)
 
 
 _, _, slabs0, opt0 = full_threaded(state, None, None)

@@ -1503,12 +1503,16 @@ def loglik_value_and_grad_fused(F, alpha, prep2, fc):
 
 
 def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None,
-                     return_slab=False):
+                     return_slab=False, return_p=True):
     """v2 (p_ibd [S, N], ll_f [N], ll_b [N]); F/alpha [N]. Same contract
     as posteriors_pallas (boundary carries for site shards / streaming
     chunks; A_reps reuse). return_slab=True appends the RAW [bs_pad, 8,
     C] posterior slab (pre-unpack) -- the slab-layout est_maf kernel
-    (ops/maf_pallas.est_maf_slab) consumes it with no relayout."""
+    (ops/maf_pallas.est_maf_slab) consumes it with no relayout.
+    return_p=False skips the slab -> [S, N] unpack relayout entirely
+    (first tuple element is then None): the streaming freq pass
+    consumes ONLY the raw slab, and outside a jit nothing dead-codes
+    the eager unpack."""
     C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
                           prep2["bs_pad"])
     Lp = _SUB * C
@@ -1534,9 +1538,10 @@ def posteriors_fused(F, alpha, prep2, fc, v0=None, wT=None, A_reps=None,
         prep2["g0"], prep2["g2"], fc, prep2["dc"], reps[0][0], reps[1][0],
         s0, s1, bwr
     )
+    p_out = _unpack_sites2(p, prep2) if return_p else None
     if return_slab:
-        return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0], p
-    return _unpack_sites2(p, prep2), lls[0, 0], lls[1, 0]
+        return p_out, lls[0, 0], lls[1, 0], p
+    return p_out, lls[0, 0], lls[1, 0]
 
 
 def posteriors_pallas(F, alpha, prep, v0=None, wT=None, A_reps=None):

@@ -215,10 +215,10 @@ def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid,
 
 @partial(jax.jit,
          static_argnames=("bs", "S_c", "valid", "with_freq", "maf_kernel",
-                          "chain_kernel", "cs", "N"))
+                          "chain_kernel", "cs", "N", "with_post"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
                  with_freq=True, maf_kernel="xla", chain_kernel="blocked",
-                 pre=None, cs=None, N=None):
+                 pre=None, cs=None, N=None, with_post=True):
     """Posteriors with boundary carries + chunk-local freq M-step.
 
     with_freq=False skips the est_maf fixed point (and its cross-ind
@@ -228,11 +228,19 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
     cross-ind accumulator sums need the GSPMD-inserted collectives the
     XLA path gets for free).
 
+    with_post=False (slab-maf fused tier only) skips the posterior's
+    slab -> [S_c, N] unpack relayout + snap: the per-iteration freq
+    pass consumes ONLY the raw slab, and posteriors come from the one
+    post-convergence posteriors_pass -- this function runs its pieces
+    eagerly, so dead work is not DCE'd away. Returns (None, freq).
+
     pre: cached emission/dist slabs -- the chain part then skips the
     prep; gl_c is still needed (and freq_c not) when with_freq=True
     (est_maf reads the raw GLs), and may be None otherwise."""
     if maf_kernel == "slab" and chain_kernel != "fused":
         raise ValueError("maf_kernel 'slab' requires the fused tier")
+    if with_post is False and not (with_freq and maf_kernel == "slab"):
+        raise ValueError("with_post=False requires the slab-maf route")
     if pre is not None:
         gl_lin = None if gl_c is None else jnp.exp(gl_c)
         if chain_kernel == "fused":
@@ -246,7 +254,7 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
                 p_raw, _, _, p_slab = hmm_pallas.posteriors_fused(
                     F, alpha, prep2, fc,
                     v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
-                    return_slab=True,
+                    return_slab=True, return_p=with_post,
                 )
             else:
                 p_raw, _, _ = hmm_pallas.posteriors_fused(
@@ -263,7 +271,7 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
         p_raw, _, _ = posteriors_blocked_lin(
             e_blk, d_blk, F, alpha, S_c, v0=v0, wT=wT
         )
-    p_ibd = check_interv(p_raw)
+    p_ibd = None if p_raw is None else check_interv(p_raw)
     if not with_freq:
         return p_ibd, freq_c
     if maf_kernel == "slab":
@@ -1013,6 +1021,9 @@ class StreamingEM:
                 wT_c = self._put(wT[c], "ind2", jnp.float32)
             else:
                 v0_c, wT_c = v0_d[c], wT_d[c]
+            # the posterior itself is DEAD here (the one
+            # post-convergence posteriors_pass recomputes it): on the
+            # slab-maf route skip its unpack relayout + snap outright
             p_c, f_c = _chunk_estep(
                 gl_d, fq_d, d_d, F_d, a_d,
                 v0_c, wT_c,
@@ -1021,6 +1032,7 @@ class StreamingEM:
                 maf_kernel=maf_k, chain_kernel=self._ck, pre=pre,
                 cs=self.cs if pre is not None else None,
                 N=self.N if pre is not None else None,
+                with_post=(maf_k != "slab"),
             )
             if opts.freq_est == 1:
                 if self.device_freq:

@@ -371,7 +371,10 @@ def est_maf_pallas(gl_tiles, p_ibd, S, macro=False):
 # ===========================================================================
 
 _SLAB_RB = 8  # rows per grid step: [8, nb_p] state = fully-packed vregs
-_SLAB_VMEM_BUDGET = 88 * 1024 * 1024  # leave headroom under the 100 MB cap
+_SLAB_VMEM_BUDGET = 88 * 1024 * 1024  # geometry-feasibility budget at
+#                                       the baseline RB=8 (slab_geom_ok)
+_SLAB_VMEM_LIMIT = 98 * 1024 * 1024  # actual per-kernel scoped-vmem cap
+#                                      (v5e core: 128 MB, Mosaic cap 100)
 
 
 def slab_geom_ok(S, N, bs=None, nb_p=None):
@@ -390,6 +393,11 @@ def slab_geom_ok(S, N, bs=None, nb_p=None):
 @partial(jax.jit, static_argnames=(
     "C", "nb_p", "G", "bs", "nb", "S", "N", "bs_pad", "K0", "Ms"))
 def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, Ms):
+    # RB=16/32 row blocks were tried (round 5) on the hypothesis that
+    # the ~93-step unrolled advance chain is latency-bound per grid
+    # step: MEASURED WORSE (26.5 vs 21.9 ms at 1M x 100; per-real-pass
+    # 0.83 -> 1.03 ms) -- the wider working set hurts more than the
+    # step amortisation helps. Keep RB=8.
     RB = _SLAB_RB
     nsteps = bs_pad // RB
     f32 = jnp.float32
@@ -540,7 +548,7 @@ def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, Ms):
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SLAB_VMEM_BUDGET
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT
         ),
     )(g0s, g2s, ps)
 
