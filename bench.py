@@ -532,6 +532,8 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
     log(f"[bench] ours ({prefix} {Ss}x{Ns}): "
         + " ".join(f"{t * 1e3:.0f}" for t in times)
         + f" ms/EM-iter -> median {per_iter * 1e3:.0f} ms")
+    import jax.numpy as _jnp
+
     return {
         f"{prefix}_config": f"{Ss}x{Ns}",
         f"{prefix}_chunks": se.C,
@@ -539,6 +541,8 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
         f"{prefix}_iter_ms": [round(t * 1e3, 1) for t in times],
         f"{prefix}_cells_per_s": round(Ss * Ns * 2 / per_iter, 1),
         f"{prefix}_glslab_cache": bool(se._cache_e),
+        f"{prefix}_pin_k": int(getattr(se, "_pin_k", 0)),
+        f"{prefix}_slab_bf16": bool(se._slab_dt == _jnp.bfloat16),
         f"{prefix}_synth": "on_device",
     }
 
@@ -822,7 +826,7 @@ def main():
                     int(os.environ.get("NGSF_BENCH_S50_IND", 100)),
                     int(os.environ.get("NGSF_BENCH_STREAM_CHUNK",
                                        1_000_000)),
-                    int(os.environ.get("NGSF_BENCH_S50_ITERS", 2)),
+                    int(os.environ.get("NGSF_BENCH_S50_ITERS", 4)),
                     prefix="stream50m",
                 ))
             except Exception as e:  # noqa: BLE001

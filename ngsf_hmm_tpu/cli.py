@@ -53,6 +53,12 @@ _OPTIONS = [
     # "compat" (reference-trajectory L-BFGS-B 2.1 + FD gradients,
     # models/em_compat.py -- byte-identical estimated outputs)
     ("opt", True, None),
+    # bfloat16 gl-slab storage for the pallas tier (0 | 1 | auto):
+    # halves the v2 kernels' slab HBM + stream bytes; gl quantised at
+    # ~2^-9 relative, kernel math stays f32. "auto" (default) = off for
+    # in-HBM runs, on for streamed runs whose f32 slabs only partially
+    # fit the device cache budget (models/streaming.py docstring).
+    ("gl_bf16", True, None),
     # multi-restart replicates on one device (the ngsF-HMM.sh protocol,
     # ngsF-HMM.sh:9,83-116, as a vmapped axis; replicate r seeds its
     # random inits with seed+r). 1 = plain single run.
@@ -185,6 +191,7 @@ def parse_args(argv):
         "device": None,
         "kernel": "scan",
         "opt": "speed",
+        "gl_bf16": "auto",
         "n_rep": 1,
         "checkpoint": None,
         "checkpoint_every": 1,
@@ -803,6 +810,11 @@ def main(argv=None):
         error("main", f"invalid --kernel {p['kernel']!r} (scan|blocked|linear|pallas)")
     if p["opt"] not in ("speed", "compat"):
         error("main", f"invalid --opt {p['opt']!r} (speed|compat)")
+    if p["gl_bf16"] not in ("0", "1", "auto"):
+        error("main", f"invalid --gl_bf16 {p['gl_bf16']!r} (0|1|auto)")
+    if p["gl_bf16"] == "1" and p["kernel"] != "pallas":
+        error("main", "--gl_bf16 1 requires --kernel pallas (the bf16 "
+                      "slabs exist only in the v2 fused tier)")
     if p["opt"] == "compat" and (
         p["kernel"] != "scan" or p["dtype"] != "float64"
         or p["n_rep"] != 1 or mesh_spec is not None
@@ -823,6 +835,9 @@ def main(argv=None):
         block_size=None if p["kernel"] in ("scan", "pallas") else "auto",
         numerics={"linear": "linear", "pallas": "pallas"}.get(p["kernel"], "log"),
         log_every=p["log"],
+        # in-HBM runs: bf16 slabs are opt-in only ("auto" keeps full
+        # f32 slabs when they fit; streaming applies its own auto rule)
+        gl_bf16=p["gl_bf16"] == "1",
     )
 
     if p["verbose"] >= 5 and freq0 is not None:
@@ -1292,6 +1307,8 @@ def main(argv=None):
                 gl_host, dist, chunk_sites=p["stream_chunk"],
                 mesh=stream_mesh,
                 n_ind_total=p["n_ind"] if distributed_run else None,
+                slab_bf16={"0": False, "1": True}.get(
+                    p["gl_bf16"], "auto"),
             )
         except ValueError as e:  # e.g. n_ind not divisible by mesh axis
             error("EM", str(e))

@@ -88,6 +88,13 @@ class EMOptions:
     # DEFERRED state fields (e_prob, p_ibd) only on iterations whose
     # dump actually fires, instead of every iteration.
     log_every: int = 0
+    # Store the v2 GL-fused kernels' gl slabs in bfloat16 (pallas mode
+    # only): halves the slabs' HBM footprint and every chain pass's
+    # dominant stream bytes. Only the gl INPUT is quantised (~2^-9
+    # relative -- far below genotype-likelihood model error); all
+    # kernel math stays f32. Off by default: the f32 tier's tight
+    # pallas-vs-XLA gates (2e-5) become ~1e-3-level under bf16.
+    gl_bf16: bool = False
 
 
 class EMState(NamedTuple):
@@ -164,7 +171,7 @@ def in_loop_emission_form(freq_est, numerics, site_sharded=False):
     static_argnames=(
         "freq_est", "e_prob_calc", "indF_fixed", "alpha_fixed", "axis_name",
         "block_size", "numerics", "n_rep", "return_prep", "return_opt",
-        "defer_emissions", "defer_posteriors",
+        "defer_emissions", "defer_posteriors", "gl_bf16",
     ),
 )
 def em_iteration(
@@ -186,6 +193,7 @@ def em_iteration(
     return_opt: bool = False,
     defer_emissions: bool = False,
     defer_posteriors: bool = False,
+    gl_bf16: bool = False,
 ):
     """One EM iteration (reference: iter_EM, EM.cpp:139-289).
 
@@ -252,6 +260,11 @@ def em_iteration(
     est_maf route engages (the tiles est_maf consumes the unpacked
     posterior, so there is nothing to skip).
 
+    gl_bf16: store the v2 gl slabs in bfloat16 (EMOptions.gl_bf16;
+    fused route only -- halves slab HBM + every pass's dominant stream
+    bytes; kernels upcast at load). Only matters when THIS call builds
+    the slabs (prep_slabs is None): threaded slabs keep their dtype.
+
     n_rep: R > 1 runs R lockstep restart replicates FLATTENED into the
     individual axis (models/restart.py's pallas path): gl stays [S, N, 3]
     (shared), state.indF/alpha/ind_lkl are [R*N], state.e_prob/p_ibd are
@@ -302,7 +315,10 @@ def em_iteration(
             bs2, nbp2 = hmm_pallas.pick_geom2(S, NC)
             prep2 = hmm_pallas.make_prep2(*prep_slabs, S, NC, bs2, nbp2)
         else:
-            prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
+            prep2 = hmm_pallas.prepare_gl_inputs(
+                jnp.exp(gl), dist,
+                gl_dtype=jnp.bfloat16 if gl_bf16 else jnp.float32,
+            )
         fc = hmm_pallas.freq_compact(state.freq, prep2)
         # freq M-step fast path: when est_maf will run, take the raw
         # posterior SLAB too -- the slab-layout est_maf kernel consumes
@@ -739,7 +755,10 @@ def run_em(
             prep2 = hmm_pallas.make_prep2(
                 *prep_holder["slabs"], gl.shape[0], N, bs2, nbp2)
         else:
-            prep2 = hmm_pallas.prepare_gl_inputs(jnp.exp(gl), dist)
+            prep2 = hmm_pallas.prepare_gl_inputs(
+                jnp.exp(gl), dist,
+                gl_dtype=jnp.bfloat16 if opts.gl_bf16 else jnp.float32,
+            )
         fc = hmm_pallas.freq_compact(freq_p, prep2)
         # mirror the in-loop kernel instantiation (the slab route runs
         # fw_post with the slab output, freq_est 0 without). The
@@ -769,6 +788,7 @@ def run_em(
             return_opt=warm,
             defer_emissions=defer,
             defer_posteriors=defer_p,
+            gl_bf16=opts.gl_bf16,
         )
         if opts.numerics == "pallas":
             out = em_iteration(

@@ -1021,12 +1021,18 @@ def _geom2(S, N, bs, nb_p):
     return nb, G, Np, C, bs_pad
 
 
-def gl_slabs(gl_lin, bs, nb_p):
+def gl_slabs(gl_lin, bs, nb_p, dtype=jnp.float32):
     """[S, N, 3] LINEAR gls -> (gl0, gl2) [bs_pad, 8, C] v2 slabs.
 
     Built once per run (gl is constant across EM iterations). Pad cells
     get 1/3 (any finite value works: the freq-compact sentinel forces
-    pad emissions to 1)."""
+    pad emissions to 1).
+
+    dtype: slab storage dtype. jnp.bfloat16 HALVES the slabs' HBM
+    footprint and every v2 pass's dominant stream bytes (XLA stores
+    [*, 8, C] bf16 unpadded -- measured via compile memory_analysis);
+    kernels upcast to f32 at load, so only the gl INPUT is quantised
+    (~2^-9 relative). The whole chain math stays f32."""
     S, N = gl_lin.shape[0], gl_lin.shape[1]
     nb, G, Np, C, bs_pad = _geom2(S, N, bs, nb_p)
     f32 = jnp.float32
@@ -1040,7 +1046,8 @@ def gl_slabs(gl_lin, bs, nb_p):
                     constant_values=1.0 / 3.0)
         # [bs_pad, nb_p, G, 8] -> [bs_pad, 8, G, nb_p] -> [bs_pad, 8, C]
         x = x.reshape(bs_pad, nb_p, G, _SUB)
-        return jnp.transpose(x, (0, 3, 2, 1)).reshape(bs_pad, _SUB, C)
+        x = jnp.transpose(x, (0, 3, 2, 1)).reshape(bs_pad, _SUB, C)
+        return x.astype(dtype)
 
     return one(0), one(2)
 
@@ -1072,14 +1079,16 @@ def make_prep2(g0, g2, dc, S, N, bs, nb_p):
                 G=G, Np=Np, C=C, bs_pad=bs_pad)
 
 
-def prepare_gl_inputs(gl_lin, dist, bs=None, nb_p=None):
+def prepare_gl_inputs(gl_lin, dist, bs=None, nb_p=None,
+                      gl_dtype=jnp.float32):
     """(gl_lin [S, N, 3] LINEAR, dist [S]) -> prep2 dict. Run-constant:
     build once, thread everywhere. freq enters separately per iteration
-    via freq_compact."""
+    via freq_compact. gl_dtype: slab storage dtype (gl_slabs
+    docstring; jnp.bfloat16 halves slab HBM + stream bytes)."""
     S, N = gl_lin.shape[0], gl_lin.shape[1]
     if bs is None or nb_p is None:
         bs, nb_p = pick_geom2(S, N)
-    g0, g2 = gl_slabs(gl_lin, bs, nb_p)
+    g0, g2 = gl_slabs(gl_lin, bs, nb_p, dtype=gl_dtype)
     dc = site_compact(jnp.asarray(dist), bs, nb_p, 0.0)
     return make_prep2(g0, g2, dc, S, N, bs, nb_p)
 
@@ -1122,9 +1131,12 @@ def _emit2(g0, g2, fc, dc, G):
     het = jnp.where(pad, zero, jnp.full_like(f, _HET_FLOOR))
     s12 = jnp.where(pad, zero, pr2 + pq)
     parts0, parts1 = [], []
+    f32 = jnp.float32
     for g in range(G):
         sl = (slice(None), slice(None), slice(g * nbp, (g + 1) * nbp))
-        g0g, g2g = g0[sl], g2[sl]
+        # bf16 slabs upcast per lane-group slice (keeps the f32 VMEM
+        # peak at one group, not the whole block); no-op for f32
+        g0g, g2g = g0[sl].astype(f32), g2[sl].astype(f32)
         g1g = 1.0 - g0g - g2g
         parts0.append(i0 + g0g * pr0 + g1g * pq2 + g2g * pr2)
         parts1.append(i0 + g0g * s10 + g1g * het + g2g * s12)

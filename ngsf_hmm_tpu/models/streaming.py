@@ -96,15 +96,20 @@ def _flat_concat(*xs):
     return jnp.concatenate([x.reshape(-1) for x in xs])
 
 
-@partial(jax.jit, static_argnames=("bs2", "nb_p"))
-def _chunk_glslabs(gl_c, bs2, nb_p):
+@partial(jax.jit, static_argnames=("bs2", "nb_p", "bf16"))
+def _chunk_glslabs(gl_c, bs2, nb_p, bf16=False):
     """v2 gl slabs for one chunk: (g0, g2) [bs_pad, 8, C]. Constants of
     the run (gl never changes) -- cached per chunk when the HBM budget
     allows, else rebuilt per pass. Pad-cell gl bytes are irrelevant: the
-    freq-compact sentinel forces pad emissions to exactly 1."""
+    freq-compact sentinel forces pad emissions to exactly 1.
+    bf16: store the slabs bfloat16 (half the HBM/stream bytes; the v2
+    kernels upcast at load -- hmm_pallas.gl_slabs docstring)."""
     from . import hmm_pallas
 
-    return hmm_pallas.gl_slabs(jnp.exp(gl_c), bs2, nb_p)
+    return hmm_pallas.gl_slabs(
+        jnp.exp(gl_c), bs2, nb_p,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
 
 
 @partial(jax.jit, static_argnames=("bs2", "nb_p"))
@@ -436,7 +441,7 @@ class StreamingEM:
     """
 
     def __init__(self, gl, dist, chunk_sites=1 << 20, mesh=None,
-                 n_ind_total=None, device_freq="auto"):
+                 n_ind_total=None, device_freq="auto", slab_bf16="auto"):
         """Multi-process meshes: `gl` holds only THIS process's ind
         columns (each host streams its slab of every chunk) and
         `n_ind_total` gives the global individual count. All host math
@@ -456,7 +461,26 @@ class StreamingEM:
         (freq is [C*cs] padded f32 on device, sliced on-device per
         chunk; the host sees it only at checkpoint cadence and at the
         end). Values are bit-identical: the host path stores the same
-        f32 results through a float64 detour."""
+        f32 results through a float64 detour.
+
+        slab_bf16: store the fused tier's per-chunk gl slabs in
+        bfloat16 (half the slab HBM + stream bytes, so the pinned
+        cache prefix roughly doubles on >HBM streams; gl quantised at
+        ~2^-9 relative, kernel math stays f32). True/False force;
+        "auto" (default) engages exactly when the f32 slabs would only
+        PARTIALLY pin (0 < pin_k < C) -- fully-cacheable streams keep
+        the f32 tier's exactness, cache-disabled runs stay f32 so
+        NGSF_STREAM_CACHE_BYTES=0 remains a pure-memoisation switch.
+        Env override: NGSF_STREAM_SLAB_BF16=0/1. Applies per chunk
+        uniformly (cached and rebuilt chunks share one dtype), so the
+        trajectory is deterministic for a given setting."""
+        import os
+
+        env_bf16 = os.environ.get("NGSF_STREAM_SLAB_BF16")
+        if env_bf16 is not None:
+            slab_bf16 = bool(int(env_bf16))
+        self._slab_bf16_req = slab_bf16
+        self._slab_dt = jnp.float32
         self.gl = gl
         self.S, self.N = gl.shape[0], gl.shape[1]
         self.N_tot = int(n_ind_total) if n_ind_total else self.N
@@ -675,7 +699,8 @@ class StreamingEM:
             _, _, _, C, bs_pad = hmm_pallas._geom2(
                 self.cs, self.N, bs2, nb_p
             )
-            return 2 * bs_pad * 8 * C * 4, bs_pad * nb_p * 4
+            isz = jnp.dtype(self._slab_dt).itemsize
+            return 2 * bs_pad * 8 * C * isz, bs_pad * nb_p * 4
         cs_pad = -(-self.cs // self._cbs) * self._cbs
         return cs_pad * self.N * 2 * 4, cs_pad * 4
 
@@ -710,8 +735,12 @@ class StreamingEM:
         e_b, d_b = self._slab_bytes()
         # per-pass working set the cache must leave room for: the gl
         # chunk h2d + slab-build temps + kernel workspace (ADVICE r3:
-        # budgeting the cache against bytes_limit alone can OOM mid-run)
-        work = self.cs * self.N * 3 * 4 + 3 * e_b
+        # budgeting the cache against bytes_limit alone can OOM
+        # mid-run). The temps are f32 regardless of the slab storage
+        # dtype (exp(gl), fold transposes, upcast kernel blocks), so
+        # the margin uses the F32 slab size even under bf16 slabs.
+        isz = jnp.dtype(self._slab_dt).itemsize
+        work = self.cs * self.N * 3 * 4 + 3 * (e_b * 4 // isz)
         if raw is not None:
             budget = int(raw)
         else:
@@ -765,7 +794,25 @@ class StreamingEM:
         else:
             self._cbs = self.bs
         self._ck = ck
+        self._slab_dt = jnp.float32
         self._plan_slab_caches()
+        # bf16 slab tier (__init__ docstring): forced, or auto when the
+        # f32 slabs only PARTIALLY pin -- then halve the per-chunk slab
+        # footprint and replan (the pinned prefix roughly doubles)
+        want = self._slab_bf16_req
+        if ck == "fused" and (
+            want is True
+            or (want == "auto" and self._cache_e and self._pin_k < self.C)
+        ):
+            self._slab_dt = jnp.bfloat16
+            self._plan_slab_caches()
+            import sys
+
+            print(
+                f"[streaming] bf16 gl-slab tier on (pinning "
+                f"{self._pin_k}/{self.C} chunks)",
+                file=sys.stderr,
+            )
         self._planned = True
 
     def _chunk_inputs(self, freq, c, need_gl=False):
@@ -791,7 +838,9 @@ class StreamingEM:
                 gl_c, lo, hi, _ = self._chunk(c)
                 gl_d = self._put(gl_c, "gl")
             if sl is None:
-                sl = _chunk_glslabs(gl_d, bs2, nb_p)
+                sl = _chunk_glslabs(
+                    gl_d, bs2, nb_p, bf16=self._slab_dt == jnp.bfloat16
+                )
                 if pin:
                     try:
                         # materialise now: an over-optimistic budget

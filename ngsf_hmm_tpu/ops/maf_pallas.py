@@ -404,7 +404,11 @@ def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, Ms):
 
     def kernel(g0_ref, g2_ref, p_ref, out_ref):
         i = pl.program_id(0)
-        g0, g2, F = g0_ref[...], g2_ref[...], p_ref[...]  # [RB, 8, C]
+        # gl slabs may be stored bf16 (hmm_pallas.gl_slabs dtype):
+        # upcast at load; all fixed-point math stays f32
+        g0 = g0_ref[...].astype(f32)
+        g2 = g2_ref[...].astype(f32)
+        F = p_ref[...]  # [RB, 8, C]
         g1 = 1.0 - g0 - g2
         # individual-validity mask -> folded into the planes (module
         # header): n = 8 * (lane // nb_p) + sublane
@@ -553,6 +557,248 @@ def _run_macro_slab(g0s, g2s, ps, C, nb_p, G, bs, nb, S, N, bs_pad, K0, Ms):
     )(g0s, g2s, ps)
 
 
+# ---------------------------------------------------------------------------
+# round-5 split: virtual windows OUT of the kernel (VERDICT ask #5)
+#
+# The in-kernel macro windows are SERIAL per grid step: bs_pad/RB ~ 163
+# sequential 31-step recursions on [RB, nb_p] state cost ~52 us/step
+# (~10 ms of the 21.5 ms total at 1M x 100, dev/probe_maf_windows.py) --
+# pure dependency-chain latency, not flops. Split instead:
+#   kernel A  (_run_state_grad_slab): K0 real passes + the first
+#             sums_grad, VMEM-resident -- one slab stream
+#   XLA       (_virtual_window): the damped virtual recursion,
+#             static-unrolled at FULL [bs_pad, nb_p] width (~1M sites in
+#             parallel, one fused elementwise chain -- the serial-latency
+#             problem vanishes); `inside` is static per unrolled step
+#   kernel B  (_run_sums_grad_slab): rounds 2+ re-stream the slabs for
+#             one sums_grad at the advanced freq (~2 ms each; the
+#             probe's 0.7-2.3 ms in-kernel evals trade against it)
+# Math and op order are UNCHANGED (same planes, same advance formula),
+# so the 2e-5 slab-vs-XLA gates hold; only scheduling moved.
+# ---------------------------------------------------------------------------
+
+
+def _slab_planes(g0, g2, F, nb_p, G, N, C):
+    """Hoisted Horner coefficient planes (+ validity fold) from loaded
+    [RB, 8, C] blocks; returns (planes dict, T_row [RB, nb_p]).
+    Identical math to _run_macro_slab's prologue."""
+    f32 = jnp.float32
+    g0 = g0.astype(f32)
+    g2 = g2.astype(f32)
+    g1 = 1.0 - g0 - g2
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, C), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, C), 2)
+    vm = (8 * (lane // nb_p) + sub) < N
+    zero = jnp.zeros_like(F)
+    two_m_F = 2.0 - F
+    het = F == 1.0
+    tn1 = jnp.where(het, zero, 2.0 - 2.0 * F)
+    K = jnp.where(het, g1 * f32(1e-15), zero)
+    B = g1 * tn1 + (g0 + g2) * F
+    P = g1 * tn1 + g2 * F * two_m_F
+    R = g1 * tn1 * F
+    KF = K * F
+    pl_ = dict(
+        d0=jnp.where(vm, g0 + K, jnp.ones_like(F)),
+        d1=jnp.where(vm, B - 2.0 * g0, zero),
+        d2=jnp.where(vm, g0 - B + g2, zero),
+        QmP=jnp.where(vm, g2 * two_m_F - P, zero),
+        K=jnp.where(vm, K, zero),
+        P=jnp.where(vm, P, zero),
+        R=jnp.where(vm, R, zero),
+        KF=jnp.where(vm, KF, zero),
+    )
+
+    def _reduce(x):  # [RB, 8, C] -> [RB, nb_p] (static slices; see
+        acc = x[:, :, 0:nb_p]  # _run_macro_slab's Mosaic relayout note)
+        for g in range(1, G):
+            acc = acc + x[:, :, g * nb_p:(g + 1) * nb_p]
+        out = acc[:, 0, :]
+        for k in range(1, 8):
+            out = out + acc[:, k, :]
+        return out
+
+    T_row = _reduce(jnp.where(vm, two_m_F, zero))
+    return pl_, T_row
+
+
+def _slab_sums_grad(pls, T_row, freq, nb_p, G):
+    """(cn, cd, dcn, dcd) [RB, nb_p] at `freq` from the hoisted planes
+    -- _run_macro_slab's sums_grad, shared by both split kernels."""
+    def _recip(D):
+        r = pl.reciprocal(D, approx=True)
+        return r * (2.0 - D * r)
+
+    def _sub_sum(x):
+        out = x[:, 0, :]
+        for k in range(1, 8):
+            out = out + x[:, k, :]
+        return out
+
+    def _gsl(x, g):
+        return x[:, :, g * nb_p:(g + 1) * nb_p]
+
+    f3 = freq[:, None, :]
+    a_cn = a_cd = a_dcn = a_dcd = None
+    for g in range(G):
+        d1g, d2g = _gsl(pls["d1"], g), _gsl(pls["d2"], g)
+        Pg, QmPg, Rg = (_gsl(pls["P"], g), _gsl(pls["QmP"], g),
+                        _gsl(pls["R"], g))
+        inv = _recip(_gsl(pls["d0"], g) + (d1g + d2g * f3) * f3)
+        dD = d1g + (d2g + d2g) * f3
+        cni = (_gsl(pls["K"], g) + (Pg + QmPg * f3) * f3) * inv
+        cdi = (_gsl(pls["KF"], g) + (Rg * (1.0 - f3)) * f3) * inv
+        dcn_g = (Pg + (QmPg + QmPg) * f3 - cni * dD) * inv
+        dcd_g = (Rg * (1.0 - (f3 + f3)) - cdi * dD) * inv
+        a_cn = cni if a_cn is None else a_cn + cni
+        a_cd = cdi if a_cd is None else a_cd + cdi
+        a_dcn = dcn_g if a_dcn is None else a_dcn + dcn_g
+        a_dcd = dcd_g if a_dcd is None else a_dcd + dcd_g
+    return (_sub_sum(a_cn), T_row + _sub_sum(a_cd),
+            _sub_sum(a_dcn), _sub_sum(a_dcd))
+
+
+@partial(jax.jit, static_argnames=("C", "nb_p", "G", "N", "bs_pad", "K0"))
+def _run_state_grad_slab(g0s, g2s, ps, C, nb_p, G, N, bs_pad, K0):
+    """Kernel A: K0 real damped passes + the first sums_grad, one slab
+    stream. Output [bs_pad, 8, nb_p] rows =
+    (freq, num, den, active, cn, cd, dcn, dcd)."""
+    RB = _SLAB_RB
+    nsteps = bs_pad // RB
+    f32 = jnp.float32
+
+    def kernel(g0_ref, g2_ref, p_ref, out_ref):
+        pls, T_row = _slab_planes(
+            g0_ref[...], g2_ref[...], p_ref[...], nb_p, G, N, C)
+
+        def _recip(D):
+            r = pl.reciprocal(D, approx=True)
+            return r * (2.0 - D * r)
+
+        def _sub_sum(x):
+            out = x[:, 0, :]
+            for k in range(1, 8):
+                out = out + x[:, k, :]
+            return out
+
+        def _gsl(x, g):
+            return x[:, :, g * nb_p:(g + 1) * nb_p]
+
+        def sums(freq):
+            f3 = freq[:, None, :]
+            a_cn = a_cd = None
+            for g in range(G):
+                inv = _recip(_gsl(pls["d0"], g) + (_gsl(pls["d1"], g)
+                             + _gsl(pls["d2"], g) * f3) * f3)
+                cn_g = (_gsl(pls["K"], g) + (_gsl(pls["P"], g)
+                        + _gsl(pls["QmP"], g) * f3) * f3) * inv
+                cd_g = (_gsl(pls["KF"], g)
+                        + (_gsl(pls["R"], g) * (1.0 - f3)) * f3) * inv
+                a_cn = cn_g if a_cn is None else a_cn + cn_g
+                a_cd = cd_g if a_cd is None else a_cd + cd_g
+            return _sub_sum(a_cn), T_row + _sub_sum(a_cd)
+
+        def advance(st, cn, cd):
+            freq, num, den, active, passes = st
+            prev = freq
+            num = num + active * cn
+            den = den + active * cd
+            freq = freq + active * (num / den - freq)
+            passes = passes + 1
+            moved = (jnp.abs(prev - freq) > EPSILON).astype(f32)
+            inside = f32(1.0) * (passes <= ITER_MAX)
+            return (freq, num, den, active * moved * inside, passes)
+
+        z = jnp.zeros((RB, nb_p), f32)
+        init = (
+            jnp.full((RB, nb_p), 0.01, f32), z, z,
+            jnp.ones((RB, nb_p), f32), jnp.zeros((), jnp.int32),
+        )
+
+        st = jax.lax.while_loop(
+            lambda st: (jnp.sum(st[3]) > 0.0) & (st[4] < K0),
+            lambda st: advance(st, *sums(st[0])),
+            init,
+        )
+        cn, cd, dcn, dcd = _slab_sums_grad(pls, T_row, st[0], nb_p, G)
+        out_ref[...] = jnp.stack(
+            [st[0], st[1], st[2], st[3], cn, cd, dcn, dcd], axis=1)
+
+    slab = pl.BlockSpec((RB, 8, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bs_pad, 8, nb_p), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[slab, slab, slab],
+        out_specs=pl.BlockSpec((RB, 8, nb_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT
+        ),
+    )(g0s, g2s, ps)
+
+
+@partial(jax.jit, static_argnames=("C", "nb_p", "G", "N", "bs_pad"))
+def _run_sums_grad_slab(g0s, g2s, ps, fq, C, nb_p, G, N, bs_pad):
+    """Kernel B: one sums_grad evaluation at the [bs_pad, nb_p] freq
+    (rounds 2+ of the split schedule). Output [bs_pad, 4, nb_p] =
+    (cn, cd, dcn, dcd)."""
+    RB = _SLAB_RB
+    nsteps = bs_pad // RB
+
+    def kernel(g0_ref, g2_ref, p_ref, fq_ref, out_ref):
+        pls, T_row = _slab_planes(
+            g0_ref[...], g2_ref[...], p_ref[...], nb_p, G, N, C)
+        cn, cd, dcn, dcd = _slab_sums_grad(
+            pls, T_row, fq_ref[:, 0, :], nb_p, G)
+        out_ref[...] = jnp.stack([cn, cd, dcn, dcd], axis=1)
+
+    slab = pl.BlockSpec((RB, 8, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bs_pad, 4, nb_p), jnp.float32),
+        grid=(nsteps,),
+        in_specs=[slab, slab, slab,
+                  pl.BlockSpec((RB, 1, nb_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((RB, 4, nb_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SLAB_VMEM_LIMIT
+        ),
+    )(g0s, g2s, ps, fq)
+
+
+def _virtual_window(st, grads, passes0, M_r):
+    """M_r virtual damped passes on the linearised accumulator model,
+    static-unrolled XLA elementwise math on [bs_pad, nb_p] arrays.
+
+    Identical op order to the kernels' `advance`; `inside` is STATIC
+    per unrolled step (the pass schedule is fixed), and once all sites
+    in a block converge the kernels' early-exit passes values only ever
+    gate already-inactive sites -- so assuming passes0 = K0 + prior
+    windows is trajectory-identical (ops/maf.py macro_rounds note)."""
+    freq, num, den, active = st
+    cn0, cd0, dcn, dcd = grads
+    f0 = freq
+    for k in range(M_r):
+        inside = (passes0 + k + 1) <= ITER_MAX
+        df = freq - f0
+        cn = cn0 + dcn * df
+        cd = cd0 + dcd * df
+        prev = freq
+        num = num + active * cn
+        den = den + active * cd
+        freq = freq + active * (num / den - freq)
+        moved = (jnp.abs(prev - freq) > EPSILON).astype(freq.dtype)
+        active = active * moved if inside else active * 0.0
+    return freq, num, den, active
+
+
 def est_maf_slab(prep2, p_slab, macro=True):
     """Per-site MAF directly from the v2 gl slabs + raw posterior slab.
 
@@ -561,6 +807,12 @@ def est_maf_slab(prep2, p_slab, macro=True):
     posteriors_fused(..., return_slab=True) call emitted (pre-unpack).
     Returns freq [S] f32. Caller gates on slab_geom_ok + a non-None
     macro_schedule(N).
+
+    Round-5 split pipeline (see the section header above): kernel A
+    runs the real passes + first sums_grad; the macro virtual windows
+    run as full-width XLA unrolls; rounds 2+ re-evaluate sums_grad with
+    kernel B. 21.5 -> ~15 ms at 1M x 100 (the in-kernel serial windows
+    were latency-bound).
 
     Note: p_slab is the UNSNAPPED kernel output -- the state's p_ibd
     gets check_interv's within-EPSILON {0,1} snap (gen_func.cpp:55-70)
@@ -577,10 +829,21 @@ def est_maf_slab(prep2, p_slab, macro=True):
     if not macro:
         raise ValueError("est_maf_slab requires a macro schedule")
     K0, M = macro
-    fcomp = _run_macro_slab(
-        prep2["g0"], prep2["g2"], p_slab,
-        prep2["C"], prep2["nb_p"], prep2["G"], prep2["bs"], prep2["nb"],
-        S, N, prep2["bs_pad"], K0, macro_rounds(K0, M),
-    )
-    v = jnp.swapaxes(fcomp[:, 0, :], 0, 1)[: prep2["nb"], : prep2["bs"]]
+    Ms = macro_rounds(K0, M)
+    C, nb_p, G, bs_pad = (prep2["C"], prep2["nb_p"], prep2["G"],
+                          prep2["bs_pad"])
+    st8 = _run_state_grad_slab(
+        prep2["g0"], prep2["g2"], p_slab, C, nb_p, G, N, bs_pad, K0)
+    st = tuple(st8[:, k, :] for k in range(4))
+    grads = tuple(st8[:, k, :] for k in range(4, 8))
+    passes = K0
+    for r, M_r in enumerate(Ms):
+        if r > 0:
+            s4 = _run_sums_grad_slab(
+                prep2["g0"], prep2["g2"], p_slab, st[0][:, None, :],
+                C, nb_p, G, N, bs_pad)
+            grads = tuple(s4[:, k, :] for k in range(4))
+        st = _virtual_window(st, grads, passes, M_r)
+        passes += M_r
+    v = jnp.swapaxes(st[0], 0, 1)[: prep2["nb"], : prep2["bs"]]
     return v.reshape(-1)[:S]
