@@ -421,8 +421,15 @@ def time_ours_big(t_sync, Sb=None, Nb=None, label="big", lean=False):
         _, _, _, p_slab = posteriors_fused(
             state.indF, state.alpha, prep2, fc, return_slab=True)
 
+        # jit with the slabs as ARGUMENTS: the round-5 split runs its
+        # virtual windows as XLA glue (eager dispatch through the
+        # tunnel would dominate), and closure-baked big arrays hang the
+        # tunneled compile (CLAUDE.md gotchas)
+        maf_jit = jax.jit(lambda g0, g2, ps: est_maf_slab(
+            dict(prep2, g0=g0, g2=g2), ps))
+
         def maf_once():
-            return est_maf_slab(prep2, p_slab)
+            return maf_jit(prep2["g0"], prep2["g2"], p_slab)
     else:
         from ngsf_hmm_tpu.models.hmm_pallas import (
             freq_compact, posteriors_fused, prepare_gl_inputs,

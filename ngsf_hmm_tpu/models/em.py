@@ -310,6 +310,8 @@ def em_iteration(
     # ---- E-step: forward-backward posteriors (EM.cpp:147-185)
     maf_slab = None  # (prep2, raw posterior slab) when the v2 slab
     #                  est_maf route is available (set below)
+    A_g0 = None  # fused transfer+tangent carries when the E-step
+    #              doubles as the M-step's first evaluation (fused route)
     if use_fused:
         if prep_slabs is not None:
             bs2, nbp2 = hmm_pallas.pick_geom2(S, NC)
@@ -334,14 +336,27 @@ def em_iteration(
                 macro_schedule(NC) is not None
                 and slab_geom_ok(S, NC, prep2["bs"], prep2["nb_p"])
             )
+        # E-step / M-step merge (streaming's pass-A/f0 merge, here for
+        # the monolithic loop): when the (F, alpha) M-step will run, the
+        # transfer pass is upgraded to the fused transfer+TANGENT stream
+        # -- its primal rows ARE the transfer products (bit-for-bit,
+        # transfer_grad_reps_fused docstring), so the posteriors reuse
+        # them via A_reps and the M-step's first value-and-grad comes
+        # out of the same stream instead of a separate full pass.
+        A_g0 = A_reps0 = None
+        if not (indF_fixed and alpha_fixed):
+            A_g0, A_reps0 = hmm_pallas.transfer_grad_reps_fused(
+                state.indF, state.alpha, prep2, fc
+            )
         if want_slab:
             p_raw, ll_f, ll_b, p_slab2 = hmm_pallas.posteriors_fused(
-                state.indF, state.alpha, prep2, fc, return_slab=True
+                state.indF, state.alpha, prep2, fc, return_slab=True,
+                A_reps=A_reps0,
             )
             maf_slab = (prep2, p_slab2)
         else:
             p_raw, ll_f, ll_b = hmm_pallas.posteriors_fused(
-                state.indF, state.alpha, prep2, fc
+                state.indF, state.alpha, prep2, fc, A_reps=A_reps0
             )
         p_raw = p_raw.astype(dtype)
         ll_f, ll_b = ll_f.astype(dtype), ll_b.astype(dtype)
@@ -473,9 +488,29 @@ def em_iteration(
                 )
                 return -L, -jnp.stack([gF, ga], axis=-1)
 
+        f0g0 = None
+        if use_fused and A_g0 is not None:
+            # the E-step's fused stream already evaluated the chain AND
+            # its tangents at exactly these params: assemble the
+            # optimizer's first (value, gradient) from its carries
+            # (identical values to objective_vag(x0) -- same kernel,
+            # same assembly) instead of re-streaming. Valid only when
+            # the core's box clip is a no-op; out-of-box inits (library
+            # callers) fall back to a real evaluation via a scalar cond.
+            L0, gF0, ga0 = hmm_pallas.grad_from_carries_pallas(
+                A_g0, state.indF
+            )
+            f0_pre = -L0.astype(dtype)
+            g0_pre = -jnp.stack([gF0, ga0], axis=-1).astype(dtype)
+            seed_ok = jnp.all((x0 >= lo) & (x0 <= hi))
+            f0g0 = jax.lax.cond(
+                seed_ok,
+                lambda: (f0_pre, g0_pre),
+                lambda: objective_vag(jnp.clip(x0, lo, hi)),
+            )
         x_opt, _, opt_iters, opt_mem = lbfgsb_minimize(
             objective, x0, lo, hi, value_and_grad=objective_vag,
-            warm=opt_memory, return_memory=True,
+            warm=opt_memory, return_memory=True, f0g0=f0g0,
         )
         if axis_name is not None:
             # each ind-shard's batched L-BFGS converges at its own pace;

@@ -1508,6 +1508,28 @@ def forward_loglik_fused(F, alpha, prep2, fc):
     return lls[0]
 
 
+def transfer_grad_reps_fused(F, alpha, prep2, fc):
+    """ONE fused transfer+tangent stream serving BOTH the E-step and
+    the M-step's first evaluation (the monolithic analog of streaming's
+    pass-A/f0 merge, models/streaming.py:_stream_iteration).
+
+    Returns (A_g [nb, 13, 1, N], A_reps) where A_reps = (primal rows of
+    A_g, lane-repeated params) is exactly block_transfers_fused's B=1
+    output: the grad kernel's primal shares the transfer kernel's op
+    order (its mA leaves are _t_elems x emissions term-for-term,
+    _k2_block_transfer_grad:1227-1232, and _tree_product_grad's
+    qA/rescale path is _tree_product's), so a
+    posteriors_fused(A_reps=...) call reproduces the separate transfer
+    pass's values while grad_from_carries_pallas(A_g, F) yields the
+    M-step's first (value, gradient) with no extra stream."""
+    F = jnp.asarray(F, jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    A_g = transfer_grad_fused(F, alpha, prep2, fc)
+    reps = _rep_params2(F[None], alpha[None], prep2)
+    A_r = jnp.concatenate([A_g[:, 0:4], A_g[:, 12:13]], axis=1)
+    return A_g, (A_r, reps)
+
+
 def loglik_value_and_grad_fused(F, alpha, prep2, fc):
     """(ll, dL/dF, dL/dalpha), each [N]; F/alpha [N]."""
     A_g = transfer_grad_fused(F, alpha, prep2, fc)

@@ -387,6 +387,7 @@ def lbfgsb_minimize(
     warm=None,
     return_memory: bool = False,
     noise_eps=None,
+    f0g0=None,
 ):
     """Minimise a batched objective within box bounds (traceable/jittable).
 
@@ -403,6 +404,10 @@ def lbfgsb_minimize(
         previous call (with return_memory=True) on a nearby objective --
         the EM warm start. return_memory: append that tuple to the
         return value.
+    f0g0: optional precomputed (f, g) at the box-clipped x0 (see
+        _lbfgsb_core) -- em_iteration's fused route seeds it from the
+        E-step's transfer+tangent stream, skipping the optimizer's
+        initial evaluation. Values must equal value_and_grad(x0)'s.
     Returns (x_opt [B, n], f_opt [B], n_outer_iters[, memory]).
     """
     del fun_multi
@@ -426,6 +431,7 @@ def lbfgsb_minimize(
         value_and_grad,
         warm=warm,
         noise_eps=noise_eps,
+        f0g0=f0g0,
     )
     return out if return_memory else out[:3]
 
