@@ -841,16 +841,20 @@ def main():
                 out["stream50m_error"] = str(e)[:200]
         if os.environ.get("NGSF_BENCH_WIDE_STREAM", "1") == "1":
             # 1000-ind streamed rung (BASELINE ladder: 1000 x 10M):
-            # chunked v2 pipeline at wide N -- chunk geometry
-            # 250k x 1000 so per-chunk slabs (2 GB) leave pin room
+            # chunked v2 pipeline at wide N. 125k x 1000 chunks measured
+            # best (round 5): the per-pass working margin scales with
+            # the chunk, so halving it frees enough budget to pin 15/80
+            # chunks (vs 3/40 at 250k) -- 27.9 -> ~13.5-16 s/iter. The
+            # leg needs ~2 iterations to reach cache steady state, so 4
+            # timed iterations keep the median honest.
             try:
                 out.update(time_stream(
                     int(os.environ.get("NGSF_BENCH_WSTREAM_SITES",
                                        10_000_000)),
                     int(os.environ.get("NGSF_BENCH_WSTREAM_IND", 1000)),
                     int(os.environ.get("NGSF_BENCH_WSTREAM_CHUNK",
-                                       250_000)),
-                    int(os.environ.get("NGSF_BENCH_WSTREAM_ITERS", 2)),
+                                       125_000)),
+                    int(os.environ.get("NGSF_BENCH_WSTREAM_ITERS", 4)),
                     prefix="stream_wide",
                 ))
             except Exception as e:  # noqa: BLE001

@@ -223,7 +223,7 @@ def _chunk_transfer(gl_c, freq_c, dist_c, F, alpha, bs, valid,
                           "chain_kernel", "cs", "N", "with_post"))
 def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
                  with_freq=True, maf_kernel="xla", chain_kernel="blocked",
-                 pre=None, cs=None, N=None, with_post=True):
+                 pre=None, cs=None, N=None, with_post=True, areps=None):
     """Posteriors with boundary carries + chunk-local freq M-step.
 
     with_freq=False skips the est_maf fixed point (and its cross-ind
@@ -241,7 +241,12 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
 
     pre: cached emission/dist slabs -- the chain part then skips the
     prep; gl_c is still needed (and freq_c not) when with_freq=True
-    (est_maf reads the raw GLs), and may be None otherwise."""
+    (est_maf reads the raw GLs), and may be None otherwise.
+
+    areps (fused tier): pass A's per-block primal transfer rows
+    ([nb, 5, 1, N]) for this chunk at the SAME (freq, F, alpha) --
+    posteriors then skip their own transfer sub-pass (bit-identical
+    values, _chunk_transfer_grad docstring)."""
     if maf_kernel == "slab" and chain_kernel != "fused":
         raise ValueError("maf_kernel 'slab' requires the fused tier")
     if with_post is False and not (with_freq and maf_kernel == "slab"):
@@ -252,6 +257,11 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
             from . import hmm_pallas
 
             prep2, fc = _pre_prep(pre, dist_c, bs, cs, N, "fused")
+            A_reps = None
+            if areps is not None:
+                A_reps = (areps, hmm_pallas._rep_params2(
+                    F[None].astype(jnp.float32),
+                    alpha[None].astype(jnp.float32), prep2))
             if with_freq and maf_kernel == "slab":
                 # slab est_maf consumes the RAW posterior slab + the
                 # resident gl slabs: pass B then never touches the raw
@@ -260,11 +270,13 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
                     F, alpha, prep2, fc,
                     v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
                     return_slab=True, return_p=with_post,
+                    A_reps=A_reps,
                 )
             else:
                 p_raw, _, _ = hmm_pallas.posteriors_fused(
                     F, alpha, prep2, fc,
                     v0=v0.astype(jnp.float32), wT=wT.astype(jnp.float32),
+                    A_reps=A_reps,
                 )
         else:
             e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
@@ -297,10 +309,19 @@ def _chunk_estep(gl_c, freq_c, dist_c, F, alpha, v0, wT, bs, S_c, valid,
 
 
 @partial(jax.jit,
-         static_argnames=("bs", "valid", "chain_kernel", "cs", "N"))
+         static_argnames=("bs", "valid", "chain_kernel", "cs", "N",
+                          "return_areps"))
 def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
-                         chain_kernel="blocked", pre=None, cs=None, N=None):
+                         chain_kernel="blocked", pre=None, cs=None, N=None,
+                         return_areps=False):
     """ONE stream -> chunk transfer product AND its parameter tangents.
+
+    return_areps (fused tier only): append the chunk's per-BLOCK primal
+    transfer rows A_r [nb, 5, 1, N] (device-resident) -- pass B's
+    posteriors reuse them via posteriors_fused(A_reps=...), skipping
+    their own transfer sub-pass; the grad kernel's primal rows are the
+    transfer kernel's bit-for-bit
+    (hmm_pallas.transfer_grad_reps_fused docstring).
 
     chain_kernel="pallas": the fused transfer+tangent Pallas stream
     (hmm_pallas._k_block_transfer_grad) + the tangent-aware fold; the
@@ -326,6 +347,9 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
         A_g = hmm_pallas.transfer_grad_fused(F, alpha, prep2, fc)
         T, s, DF, Da = hmm_pallas.fold_grad_pallas(A_g)
         z = jnp.zeros_like(s)
+        if return_areps:
+            A_r = jnp.concatenate([A_g[:, 0:4], A_g[:, 12:13]], axis=1)
+            return T, s, DF, z, Da, z, A_r
         return T, s, DF, z, Da, z
     if pre is not None:
         e_blk, d_blk = _pre_prep(pre, dist_c, bs, cs, N, "blocked")
@@ -336,6 +360,8 @@ def _chunk_transfer_grad(gl_c, freq_c, dist_c, F, alpha, bs, valid,
         A, ln = _block_transfer_lin(e_blk, d_blk, F_, a_)
         return fold_transfer_lin(A, ln)
 
+    if return_areps:
+        raise ValueError("return_areps requires the fused tier")
     (T, s), f_lin = jax.linearize(f, F, alpha)
     ones, zeros = jnp.ones_like(F), jnp.zeros_like(F)
     dT_F, ds_F = f_lin(ones, zeros)
@@ -947,22 +973,35 @@ class StreamingEM:
             off += n
         return tuple(res)
 
-    def _transfers_grad(self, freq, F, alpha):
+    def _transfers_grad(self, freq, F, alpha, keep_areps=False):
         """ONE stream -> per-chunk transfers + parameter tangents
-        (the fused objective+gradient pass of the streamed L-BFGS)."""
+        (the fused objective+gradient pass of the streamed L-BFGS).
+
+        keep_areps (fused tier): additionally return {chunk: A_r}
+        device-resident per-block transfer rows for pass B's posterior
+        reuse (~1.5 MB per 1M x 100 chunk) -- only pass A sets it; the
+        M-step's line-search evaluations at other params do not."""
         F_d = self._put(F, "ind", jnp.float32)
         a_d = self._put(alpha, "ind", jnp.float32)
+        keep = keep_areps and self._ck == "fused"
+        areps = {} if keep else None
         outs = []
         for c in range(self.C):
             gl_d, fq_d, d_d, pre, lo, hi = self._chunk_inputs(freq, c)
-            outs.append(_chunk_transfer_grad(
+            res = _chunk_transfer_grad(
                 gl_d, fq_d, d_d, F_d, a_d, self._cbs,
                 self.cs if pre is not None else hi - lo,
                 chain_kernel=self._ck, pre=pre,
                 cs=self.cs if pre is not None else None,
                 N=self.N if pre is not None else None,
-            ))
-        return self._pull_chunk_outs(outs)
+                return_areps=keep,
+            )
+            if keep:
+                areps[c] = res[-1]
+                res = res[:-1]
+            outs.append(res)
+        host = self._pull_chunk_outs(outs)
+        return (host, areps) if keep_areps else host
 
     def _transfers(self, freq, F, alpha):
         F_d = self._put(F, "ind", jnp.float32)
@@ -1019,9 +1058,12 @@ class StreamingEM:
         # over every chunk per EM iteration (round-4 VERDICT ask #2).
         mstep = not (opts.indF_fixed and opts.alpha_fixed)
         grads_A = None
+        areps_A = None  # pass A's device-resident per-block transfer
+        #                 rows, reused by pass B's posteriors (fused
+        #                 tier; same params, bit-identical values)
         if mstep:
-            Ts, ss, dTF, dsF, dTa, dsa = self._transfers_grad(
-                freq, F, alpha)
+            (Ts, ss, dTF, dsF, dTa, dsa), areps_A = self._transfers_grad(
+                freq, F, alpha, keep_areps=True)
             grads_A = (dTF, dsF, dTa, dsa)
         else:
             Ts, ss = self._transfers(freq, F, alpha)
@@ -1082,6 +1124,7 @@ class StreamingEM:
                 cs=self.cs if pre is not None else None,
                 N=self.N if pre is not None else None,
                 with_post=(maf_k != "slab"),
+                areps=None if areps_A is None else areps_A.get(c),
             )
             if opts.freq_est == 1:
                 if self.device_freq:
