@@ -30,6 +30,7 @@ SUITE=(
   "site_sharding|tests/test_site_sharding.py"
   "distributed|tests/test_distributed.py"
   "streaming|tests/test_streaming.py tests/test_restart.py"
+  "wide_bf16|tests/test_wide_n.py tests/test_bf16.py"
   "golden_small|tests/test_golden.py -k not 10k and not 20ind"
   "golden_10k|tests/test_golden.py -k 10k or 20ind"
 )
