@@ -475,7 +475,13 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
     steady-state cache behaviour (run-lifetime gl slabs, per-epoch freq
     compacts) is what is measured; per-iteration times are logged
     individually and the MEDIAN is reported (round-3 VERDICT Weak #6
-    asked for >= 4 trustworthy warm iterations).
+    asked for >= 4 trustworthy warm iterations). Tunnel-stall guard:
+    the axon tunnel can wedge mid-iteration for minutes (CLAUDE.md
+    gotcha; observed a 284 s stall inside an otherwise-13 s leg), which
+    says nothing about the engine -- iterations slower than 3x the
+    fastest are excluded from the summary median, the full
+    per-iteration list stays in the JSON, and the excluded count is
+    reported as "<prefix>_stalled_iters".
     """
     import jax
     import jax.numpy as jnp
@@ -535,10 +541,15 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
         t0 = time.perf_counter()
         out = se._stream_iteration(out[0], out[1], out[2], opts)
         times.append(time.perf_counter() - t0)
-    per_iter = float(np.median(times))
+    tmin = min(times)
+    kept = [t for t in times if t <= 3.0 * tmin]
+    per_iter = float(np.median(kept))
+    stalled = len(times) - len(kept)
     log(f"[bench] ours ({prefix} {Ss}x{Ns}): "
         + " ".join(f"{t * 1e3:.0f}" for t in times)
-        + f" ms/EM-iter -> median {per_iter * 1e3:.0f} ms")
+        + f" ms/EM-iter -> median {per_iter * 1e3:.0f} ms"
+        + (f" ({stalled} tunnel-stalled iter(s) excluded)" if stalled
+           else ""))
     import jax.numpy as _jnp
 
     return {
@@ -546,6 +557,7 @@ def time_stream(Ss, Ns, cs, reps, prefix="stream"):
         f"{prefix}_chunks": se.C,
         f"ms_per_em_iter_{prefix}": round(per_iter * 1e3, 1),
         f"{prefix}_iter_ms": [round(t * 1e3, 1) for t in times],
+        f"{prefix}_stalled_iters": stalled,
         f"{prefix}_cells_per_s": round(Ss * Ns * 2 / per_iter, 1),
         f"{prefix}_glslab_cache": bool(se._cache_e),
         f"{prefix}_pin_k": int(getattr(se, "_pin_k", 0)),
